@@ -1,0 +1,71 @@
+"""Grouping / surrogate keys / sequence codes (SURVEY §2.5: A1–A5).
+
+Scale contract for ids (SURVEY §7 hard part 4):
+* Dimension tables (small): dense ``row_number`` over an explicit order —
+  matches the reference's ``enumerate(..., 1)``.
+* Fact tables (100 TB): a global single-partition window is forbidden; use
+  ``xxhash64``-based ids (deterministic, collision-checked at 64 bits) or
+  ``zipWithIndex`` when density is mandatory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def collapse_first_wins(df: DataFrame, key: str, attrs: list[str], order_by: list[str]) -> DataFrame:
+    """A1: distinct-key collapse keeping one attribute set per key
+    (reference dict build ``seperate_tables.py:24-33``). Deterministic via
+    ``min_by``-style first over an explicit order, executed as one partial-agg
+    shuffle (no window needed)."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key, *attrs)
+    )
+
+
+def dense_ids(df: DataFrame, id_col: str, order_by: list[str]) -> DataFrame:
+    """A3 (dims): dense 1..n ids in a deterministic order. Single-partition
+    window — acceptable for dimension tables only (documented deviation for
+    facts; see ``hash_ids``)."""
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(id_col, F.row_number().over(w))
+
+
+def hash_ids(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """A3 (facts): 64-bit deterministic surrogate keys, no shuffle at all.
+    The 100 TB-safe replacement for ``enumerate``-style dense ids."""
+    return df.withColumn(id_col, F.xxhash64(*[F.col(c) for c in key_cols]))
+
+
+def group_sequence(
+    df: DataFrame, partition_by: list[str], order_by: list[str], out_col: str = "seq"
+) -> DataFrame:
+    """A2: per-group sequence counter (reference ``cat_counters[cat] += 1``,
+    ``generate_mock_data.py:82-103``). One shuffle on the group key; each
+    group numbers independently so this scales with group cardinality."""
+    w = Window.partitionBy(*partition_by).orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def sequence_code(
+    df: DataFrame,
+    brand_col: str,
+    group_col: str,
+    order_by: list[str],
+    out_col: str = "product_code",
+) -> DataFrame:
+    """A2 full form: ``{BRAND[:2]}-{GROUP[:2]}-{NNN}`` codes
+    (reference ``generate_mock_data.py:11-16``), built from the per-group
+    sequence with pure string expressions."""
+    df = group_sequence(df, [group_col], order_by, "__seq")
+    code = F.format_string(
+        "%s-%s-%03d",
+        F.upper(F.substring(F.col(brand_col), 1, 2)),
+        F.upper(F.substring(F.col(group_col), 1, 2)),
+        F.col("__seq"),
+    )
+    return df.withColumn(out_col, code).drop("__seq")

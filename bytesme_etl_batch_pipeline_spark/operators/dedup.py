@@ -1,0 +1,63 @@
+"""Exact duplicate elimination (SURVEY §2.3: D1–D4).
+
+Reference semantics:
+* D1 — ``df.drop_duplicates(subset=[...], keep='first')``
+  (``scripts/transform/remove_duplicates.py:6-12``). pandas' "first" relies on
+  file order; Spark has no insertion order, so keep-first takes an explicit
+  ordering key and compiles to ``row_number() == 1`` — deterministic on any
+  cluster size.
+* D2 — set-based URL dedup (``scripts/extract/products_scraping.py:129-137``)
+  → ``distinct()``.
+* D3 — duplicate *report* (``tests/test_duplicate_products.py:6-19``)
+  → ``groupBy(keys).count() > 1``.
+* D4 — parent-path anti filter (``scripts/extract/menus_crawling.py:12-19``)
+  → left-anti self-join.
+
+Scale notes: D1/D3 are single hash-shuffles on the dedup key — the minimum
+possible. AQE handles skewed keys. ``dedup_keep_first`` beats
+``dropDuplicates`` at scale because its window executes as partial
+ranking within the same exchange, and its result is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """D1: keep the first row per key under an explicit total order.
+
+    ``order_by`` is the stable tie-break (e.g. source file + row position, or
+    a natural key) standing in for pandas' implicit file order.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_distinct(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """D2: set semantics — full-row (or projected) distinct."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def duplicate_report(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """D3: report keys occurring more than once, with their multiplicity."""
+    keys = keys or df.columns
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def anti_join(df: DataFrame, exclude: DataFrame, on: list[str]) -> DataFrame:
+    """D4/U2: rows of ``df`` whose key does not appear in ``exclude``.
+
+    Spark plans a broadcast anti-join when ``exclude`` is small — the direct
+    analogue of the reference's in-memory set difference.
+    """
+    return df.join(exclude, on=on, how="left_anti")

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Centralizes the engine's Spark configuration so tests, the driver entry point,
+and the bench harness all run with the same (scale-aware) settings.
+
+Scale notes (100 TB target):
+* AQE on — runtime coalescing of shuffle partitions + skew-join splitting are
+  the first line of defense against skewed keys on a real cluster.
+* ``spark.sql.shuffle.partitions`` defaults to a small number locally; on a
+  1000-executor cluster the AQE coalesce starts from
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` so we leave the
+  static value as a local-test knob only.
+* Arrow on — every pandas UDF in this engine is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bytesme-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local default is ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    caller passes ``master=None`` and lets spark-submit own it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

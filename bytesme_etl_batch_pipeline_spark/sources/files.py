@@ -1,0 +1,85 @@
+"""File sources and sinks (SURVEY §2.1: S1–S4, S8, S9).
+
+Reference behavior re-expressed Spark-first:
+
+* S1/S2 — per-file ``pd.read_csv`` / ``csv.DictReader`` loops become ONE
+  distributed CSV scan (reference: ``scripts/pipeline.py:48``,
+  ``scripts/transform/seperate_tables.py:20-23``).
+* S3 — ``glob.glob(dir + "*.csv")`` becomes a Spark path glob; per-file lineage
+  is retained via ``input_file_name()`` instead of a driver-side loop
+  (reference: ``scripts/pipeline.py:38-42``).
+* S8/S9 — ``df.to_csv`` / ``json.dump`` become distributed writers.
+
+Schemas are explicit by default (`inferSchema` is the fallback, SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    header: bool = True,
+    permissive: bool = True,
+    with_lineage: bool = False,
+) -> DataFrame:
+    """S1/S2/S3: distributed CSV scan over a file, directory, or glob.
+
+    ``permissive`` maps the reference's per-file try/except tolerance
+    (``scripts/pipeline.py:94-111``) to row-level tolerance: malformed rows are
+    captured in ``_corrupt_record`` instead of failing the file.
+    ``with_lineage`` adds ``source_file`` + ``row_pos`` — the stable ordering
+    key that keep-first dedup and surrogate-key assignment need (SURVEY §7
+    hard part 2); pandas got this ordering for free, Spark must capture it.
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE" if permissive else "FAILFAST")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    if with_lineage:
+        df = df.withColumn("source_file", F.input_file_name()).withColumn(
+            "row_pos", F.monotonically_increasing_id()
+        )
+    return df
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """S4: JSON scan (reference reads ``{site: [urls]}`` maps via json.load)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("multiLine", True).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: CSV sink (reference: ``df.to_csv(path, index=False)`` and DictWriter
+    appends). Distributed, header on, overwrite/append via ``mode``."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S9: JSON sink."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Columnar sink — the engine's preferred landing format at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,44 @@
+"""Parquet table catalog over a scale-factor directory.
+
+The driver's testdata layout is ``{sf_dir}/{table}.parquet`` (TESTDATA.md).
+Reads stay fully declarative (``spark.read.parquet``) so Catalyst gets
+predicate pushdown, column pruning, and partition pruning for free — at 100 TB
+these scans would be the same code over a partitioned table root.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Pure metadata op — no job is triggered."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Scan several tables and also register them as temp views so the same
+    queries can be phrased in ``spark.sql``."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
