@@ -1,0 +1,68 @@
+"""String/JSON scalar functions (SURVEY §2.9).
+
+All pure Column expressions — they stay inside whole-stage codegen; nothing
+here drops to Python at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def clean_lower(col: Column | str) -> Column:
+    """``.lower().strip()`` (reference ``standardize_categories.py:39-40``)."""
+    return F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+
+
+def strip_non_digits(col: Column | str) -> Column:
+    """``re.sub(r'[^\\d]', '', text)`` → long (reference price cleaner,
+    ``products_scraping.py:443-446``). NULL-safe: empty result → NULL cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "[^0-9]", "").cast("long")
+
+
+def truncate_ellipsis(col: Column | str, max_len: int = 1000) -> Column:
+    """``desc[:1000] + '...'`` when over-length (reference
+    ``generate_embeddings.py:106-108``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(c) > max_len, F.concat(F.substring(c, 1, max_len), F.lit("..."))
+    ).otherwise(c)
+
+
+def normalize_quoted_json(col: Column | str) -> Column:
+    """Tolerant single-quoted-JSON normalization (reference
+    ``json.loads(s.replace("'", '"'))``, ``seperate_tables.py:38,150``).
+
+    The reference's naive replace corrupts values containing apostrophes
+    (SURVEY §7 hard part 3). This version only rewrites quotes that act as
+    *delimiters* — a single quote adjacent to ``{ } : ,`` boundaries —
+    leaving interior apostrophes intact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # ' preceded by { , : or start → "   /   ' followed by } , : or end → "
+    c = F.regexp_replace(c, r"(?<=[\{\[,:])\s*'", ' "')
+    c = F.regexp_replace(c, r"'(?=\s*[\}\],:])", '"')
+    return c
+
+
+def parse_unit_price(col: Column | str, schema: StructType) -> Column:
+    """Parse the three-shape ``product_unit_price`` column (plain int / 0 /
+    single-quoted JSON — FIXTURES.md §1) into the sizes/prices struct."""
+    c = F.col(col) if isinstance(col, str) else col
+    is_json = c.startswith("{") & c.endswith("}")
+    return F.when(is_json, F.from_json(normalize_quoted_json(c), schema))
+
+
+def pipe_array(col: Column | str) -> Column:
+    """``split('|')`` (reference ``seperate_tables.py:82-83``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\|")
+
+
+def pipe_join(col: Column | str) -> Column:
+    """``'|'.join(list)`` (reference ``generate_mock_data.py:77-78``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(c, "|")

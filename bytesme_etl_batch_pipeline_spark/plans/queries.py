@@ -323,3 +323,282 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name"), F.lit("supplier").alias("entity")
     )
     return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions / row transforms (SURVEY §2.2, §2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_normalize",
+    oracle="""
+    SELECT p_partkey,
+           lower(trim(p_name)) AS clean_name,
+           CAST(regexp_replace(p_brand, '[^0-9]', '', 'g') AS BIGINT) AS brand_num,
+           upper(substr(p_name, 1, 3)) AS name_code,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+           concat_ws('-', p_brand, p_type) AS tagline
+    FROM part
+    """,
+)
+def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 string battery: lower/trim, strip-non-digits price cleaner,
+    substring codes, lpad, concat_ws (reference sites:
+    ``standardize_categories.py:39-40``, ``products_scraping.py:443-446``,
+    ``generate_mock_data.py:12-15``)."""
+    from ..functions import strings as S
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        S.clean_lower("p_name").alias("clean_name"),
+        S.strip_non_digits("p_brand").alias("brand_num"),
+        F.upper(F.substring("p_name", 1, 3)).alias("name_code"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.concat_ws("-", "p_brand", "p_type").alias("tagline"),
+    )
+
+
+@register(
+    "truncate_preview",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...'
+                ELSE text END AS preview
+    FROM documents
+    """,
+)
+def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 truncation with ellipsis (reference
+    ``generate_embeddings.py:106-108``)."""
+    from ..functions import strings as S
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", S.truncate_ellipsis("text", 100).alias("preview"))
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 JSON field access (reference ``get('product_sizes')`` probes,
+    ``seperate_tables.py:42-43``)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "tolerant_json_parse",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 single-quoted-JSON tolerance (reference
+    ``json.loads(s.replace("'", '"'))``, ``seperate_tables.py:38``; SURVEY §7
+    hard part 3). The query *constructs* a single-quoted variant of each JSON
+    payload, repairs it apostrophe-safely, and must recover the original
+    value — the oracle reads the clean payload directly."""
+    from ..functions import strings as S
+
+    e = load_table(spark, sf_dir, "events")
+    sq = F.translate(F.col("props"), '"', "'")  # simulate the dirty input shape
+    repaired = S.normalize_quoted_json(sq)
+    return e.select(
+        "event_id",
+        F.get_json_object(repaired, "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "month_rollup",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date functions + rollup (reference audit-timestamp formatting,
+    ``seperate_tables.py:31-32``, generalized to a time-bucketed agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "conditional_rewrite",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 100 THEN 'high'
+                WHEN value >= 50 THEN 'mid'
+                ELSE 'low' END AS tier,
+           CASE WHEN props IS NULL OR props = '' THEN 'missing'
+                ELSE 'present' END AS props_state
+    FROM events
+    """,
+)
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8: null/empty gates + conditional value rewrite (reference
+    ``generate_mock_data.py:113-128``, ``seperate_tables.py:46-62``)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.when(
+            F.col("props").isNull() | (F.col("props") == ""), "missing"
+        )
+        .otherwise("present")
+        .alias("props_state"),
+    )
+
+
+@register(
+    "membership_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type IN ('PROMO', 'ECONOMY') AND NOT contains(p_name, 'nut')
+    """,
+)
+def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: IN-list membership + substring anti-filter (reference
+    ``WHERE product_code IN %s``, ``generate_embeddings.py:397-398``; skip
+    patterns ``products_scraping.py:337-340``). Both predicates reach the
+    parquet scan as pushed filters."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", "p_name", "p_type").filter(
+        F.col("p_type").isin("PROMO", "ECONOMY") & ~F.col("p_name").contains("nut")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping: explode / zip (SURVEY §2.10, J6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: explode delimited text into child rows + count (reference image
+    explode ``seperate_tables.py:81-106``, as the canonical split+explode)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "zip_explode_pairs",
+    oracle="""
+    SELECT p_partkey, CAST(t.i AS INT) AS pos,
+           l1[t.i + 1] AS left_val, l2[t.i + 1] AS right_val
+    FROM (
+      SELECT p_partkey,
+             string_split(p_brand || '|' || p_type, '|') AS l1,
+             string_split(p_type || '|' || p_brand, '|') AS l2
+      FROM part
+    ) s CROSS JOIN range(2) t(i)
+    """,
+)
+def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 + X1: positional zip of two parallel pipe-delimited strings, then
+    explode with position (reference ``zip(images, image_names)``,
+    ``seperate_tables.py:85``). Pure arrays_zip/posexplode — no UDF."""
+    p = load_table(spark, sf_dir, "part")
+    zipped = p.select(
+        "p_partkey",
+        F.arrays_zip(
+            F.split(F.concat_ws("|", "p_brand", "p_type"), r"\|").alias("l"),
+            F.split(F.concat_ws("|", "p_type", "p_brand"), r"\|").alias("r"),
+        ).alias("z"),
+    )
+    return zipped.select(
+        "p_partkey", F.posexplode("z").alias("pos", "pair")
+    ).select(
+        "p_partkey",
+        "pos",
+        F.col("pair.l").alias("left_val"),
+        F.col("pair.r").alias("right_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1 rule-cascade classification (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+_PART_RULES = [
+    ("Promotional", ["promo"]),
+    ("Economy", ["economy"]),
+    ("Premium", ["large", "standard"]),
+    ("Hardware", ["bolt", "rod", "nut", "screw"]),
+    ("Widget", ["widget"]),
+]
+_PART_SPECIALS = [("medium", "Mid-range")]
+
+
+@register(
+    "rule_cascade_classify",
+    oracle="""
+    SELECT p_partkey, p_name, p_type,
+      CASE
+        WHEN contains(lower(trim(p_type)), 'medium') THEN 'Mid-range'
+        WHEN lower(trim(p_type)) IN ('promo') THEN 'Promotional'
+        WHEN lower(trim(p_type)) IN ('economy') THEN 'Economy'
+        WHEN lower(trim(p_type)) IN ('large', 'standard') THEN 'Premium'
+        WHEN lower(trim(p_type)) IN ('bolt', 'rod', 'nut', 'screw') THEN 'Hardware'
+        WHEN lower(trim(p_type)) IN ('widget') THEN 'Widget'
+        WHEN regexp_matches(p_name, '(?i)promo') THEN 'Promotional'
+        WHEN regexp_matches(p_name, '(?i)economy') THEN 'Economy'
+        WHEN regexp_matches(p_name, '(?i)large|standard') THEN 'Premium'
+        WHEN regexp_matches(p_name, '(?i)bolt|rod|nut|screw') THEN 'Hardware'
+        WHEN regexp_matches(p_name, '(?i)widget') THEN 'Widget'
+        ELSE 'Others'
+      END AS category_name
+    FROM part
+    """,
+)
+def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: the reference's 3-tier category cascade
+    (``standardize_categories.py:38-72``) as rules-as-data compiled to one
+    ordered when-chain — special-case substring, exact raw match, then
+    name-regex fallback, first hit wins in rule order."""
+    from ..operators.categorize import build_rule_cascade
+
+    p = load_table(spark, sf_dir, "part")
+    cascade = build_rule_cascade(
+        name_col="p_name",
+        raw_col="p_type",
+        rules=_PART_RULES,
+        special_cases=_PART_SPECIALS,
+    )
+    return p.select("p_partkey", "p_name", "p_type", cascade.alias("category_name"))
