@@ -1,0 +1,175 @@
+"""Near-duplicate detection for LLM training corpora.
+
+Engine extension surface (BASELINE.json north star): exact content dedup,
+MinHash + LSH, SimHash Hamming pairs, n-gram Jaccard. The reference only has
+keyed exact dedup (SURVEY §2.3); these scale that idea to fuzzy content
+matching.
+
+Scale design:
+* Exact dedup — hash-groupBy on a content digest: one shuffle, no pairwise
+  work. The only O(n²)-free exact method and the 100 TB default.
+* MinHash/LSH — signatures are per-doc map-side work; candidate generation is
+  an equi-join on (band, band_hash), so cost tracks true-duplicate density,
+  not n². This is the standard web-scale pipeline (shingle → minhash →
+  band → bucket-join → verify).
+* n-gram Jaccard — exact pairwise verification; always *blocked* (here by a
+  blocking key, in LSH by band buckets). Never run unblocked at scale.
+* Hash primitive is md5-derived 48-bit ints (textops.md5_hash48) so DuckDB
+  oracles can replay values exactly; a production deployment would swap in
+  xxhash64 (same shape, faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import md5_hash48, words
+
+
+def exact_dedup_by_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: keep the lowest-id row per normalized-content
+    digest. One shuffle on the digest; survivors keep their full row."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    keyed = df.withColumn("__digest", digest)
+    keep = keyed.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, on=["__digest", id_col], how="inner").drop("__digest")
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text column (pure expression:
+    transform over a sequence of start offsets + slice + join)."""
+    ws = words(col)
+    count = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(ws, i, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked n-gram Jaccard: explode distinct shingles, self-join within the
+    blocking key, count common shingles, Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    The blocking key bounds the candidate space (only same-block pairs are
+    compared); at web scale the block is an LSH bucket instead of a metadata
+    column, but the verify math is identical.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(block_col).alias("__blk"),
+        F.explode(word_ngrams(text_col, n)).alias("__shingle"),
+    )
+    sizes = sh.groupBy("doc_a").agg(F.count(F.lit(1)).alias("size_a"))
+    right = sh.select(
+        F.col("doc_a").alias("doc_b"), F.col("__blk"), F.col("__shingle")
+    )
+    common = (
+        sh.join(right, on=["__blk", "__shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes_b = sizes.select(F.col("doc_a").alias("doc_b"), F.col("size_a").alias("size_b"))
+    jac = (
+        common.join(sizes, "doc_a")
+        .join(sizes_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 1
+) -> DataFrame:
+    """MinHash signature rows (doc, seed, minhash): for each seed, the min
+    over shingles of hash48(seed || '|' || shingle). Map-side except the final
+    (doc, seed) min-agg — a partial-aggregating single shuffle."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, shingle_n)).alias("__shingle"),
+    )
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("__shingle"),
+    )
+    h = md5_hash48(F.concat_ws("|", F.col("seed").cast("string"), F.col("__shingle")))
+    return (
+        seeded.withColumn("__h", h)
+        .groupBy(id_col, "seed")
+        .agg(F.min("__h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """LSH candidate pairs: group the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, hash each band, equi-join on (band, hash).
+
+    Returns distinct (doc_a, doc_b) candidates — feed into
+    ``ngram_jaccard_pairs``-style verification for the final decision.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+    )
+    left = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
+    return (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_hamming_pairs(
+    sim: DataFrame, id_col: str, simhash_col: str, max_hamming: int, block_col: str
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance via bit_count(xor) within a
+    blocking key. At scale the block is a band of the simhash itself
+    (pigeonhole: any pair within distance d shares one of d+1 bands)."""
+    a = sim.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(simhash_col).alias("sh_a"),
+        F.col(block_col).alias("__blk"),
+    )
+    b = sim.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(simhash_col).alias("sh_b"),
+        F.col(block_col).alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

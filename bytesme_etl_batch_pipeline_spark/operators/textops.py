@@ -1,0 +1,137 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Engine extension surface (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting. The reference's only text
+analytics is the Vietnamese doc templating (``generate_embeddings.py:39-194``)
+and an unused pyvi tokenizer import (SURVEY §2.12 E6); these operators
+generalize that surface for 100 TB corpora.
+
+Everything here is pure Column expressions — runs map-side inside
+whole-stage codegen, no shuffle, no Python. Hash primitives use md5 (not
+xxhash64) where a DuckDB oracle must reproduce the value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Distinctive stopwords per language, ordered — order is the deterministic
+# tie-break for argmax (first max wins).
+LANG_STOPWORDS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "to", "in", "is"]),
+    ("de", ["der", "die", "das", "und", "ist", "ein", "nicht"]),
+    ("fr", ["le", "la", "les", "et", "est", "un", "pas"]),
+    ("es", ["el", "los", "las", "y", "es", "uno", "no"]),
+    ("zh", ["的", "是", "了", "在", "我", "有"]),
+]
+
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def words(col: Column | str) -> Column:
+    """Non-empty whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda w: w != "")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_regex(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, single punctuation — a
+    cheap, deterministic proxy for subword tokenizer counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def _stopword_hits(ws: Column, stopwords: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(col: Column | str, rules: list[tuple[str, list[str]]] | None = None) -> Column:
+    """Language ID by stopword-hit argmax (n-gram heuristic family).
+    Returns 'und' when no list scores a hit; ties break in rule order."""
+    rules = rules or LANG_STOPWORDS
+    ws = words(col)
+    scores = [(lang, _stopword_hits(ws, sw)) for lang, sw in rules]
+    mx = F.greatest(*[s for _, s in scores])
+    expr = F.when(mx == 0, F.lit("und"))
+    for lang, s in scores:
+        expr = expr.when(s == mx, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword features + a composite
+    score in [0,1]. Ratios are rounded to 6 decimals so the values are
+    bit-identical across engines."""
+    c = F.col(text_col)
+    ws = words(text_col)
+    n_chars = F.length(c)
+    n_words = F.size(ws)
+    en_stop = _stopword_hits(ws, LANG_STOPWORDS[0][1])
+    punct = F.length(F.regexp_replace(c, "[^.!?,;]", ""))
+    avg_word_len = F.round(F.length(F.regexp_replace(c, " ", "")) / n_words, 6)
+    punct_ratio = F.round(punct / n_chars, 6)
+    stop_ratio = F.round(en_stop / n_words, 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + stop_ratio * 0.3,
+        6,
+    )
+    return df.select(
+        *id_cols,
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def md5_hash48(col: Column) -> Column:
+    """First 12 hex chars of md5 as a 48-bit int — exact in both Spark
+    (``conv``) and DuckDB (hex-digit polynomial), and < 2^53 so float-safe."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def fingerprint(df: DataFrame, text_col: str, id_cols: list[str], k_words: int = 8) -> DataFrame:
+    """Document fingerprinting: full-content md5 + a 48-bit prefix hash of the
+    first ``k_words`` normalized words (rolling-hash family — stable under
+    trailing edits)."""
+    c = F.col(text_col)
+    head = F.array_join(F.slice(words(text_col), 1, k_words), " ")
+    return df.select(
+        *id_cols,
+        F.md5(c).alias("content_md5"),
+        md5_hash48(head).alias("prefix_hash48"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_cols: list[str], n_bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens (with multiplicity): per bit, sum ±1
+    votes from each word's 48-bit md5 hash; bit set iff the vote is positive.
+
+    Implemented as ``n_bits`` independent aggregate expressions over one
+    explode — a single shuffle on the doc id, no per-bit row blowup.
+    """
+    exploded = df.select(*id_cols, F.explode(words(text_col)).alias("__w"))
+    h = md5_hash48(F.col("__w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(n_bits)
+    ]
+    agg = exploded.groupBy(*id_cols).agg(*votes)
+    sh = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return agg.select(*id_cols, sh.cast("long").alias("simhash"))

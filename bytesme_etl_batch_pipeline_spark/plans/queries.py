@@ -602,3 +602,386 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         special_cases=_PART_SPECIALS,
     )
     return p.select("p_partkey", "p_name", "p_type", cascade.alias("category_name"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (engine extension: LLM-data-pipeline operators)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of textops.md5_hash48: hex-digit polynomial over the first 12
+# md5 chars — every term an exact integer < 2^53, so the double sum is exact.
+def _duck_hash48(expr: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(12), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), i + 1, 1)) - 1) "
+        "* 16 ** (11 - i))) AS BIGINT)"
+    )
+
+
+_DUCK_WORDS = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_WORDS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_regex_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens (engine
+    extension; reference's only tokenizer is the unused pyvi import,
+    SURVEY §2.12 E6)."""
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws("text").alias("n_ws_tokens"),
+        T.token_count_regex("text").alias("n_regex_tokens"),
+    )
+
+
+def _duck_lang_id_sql() -> str:
+    from ..operators.textops import LANG_STOPWORDS
+
+    hits = []
+    for lang, sw in LANG_STOPWORDS:
+        arr = ", ".join(f"'{w}'" for w in sw)
+        hits.append(
+            f"len(list_filter({_DUCK_WORDS}, w -> list_contains([{arr}], w))) AS s_{lang}"
+        )
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    mx = f"greatest({', '.join('s_' + l for l in langs)})"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {mx} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    SELECT doc_id, lang, {case} AS lang_pred
+    FROM (SELECT doc_id, lang, {', '.join(hits)} FROM documents) t
+    """
+
+
+@register("lang_id", oracle=_duck_lang_id_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit argmax (n-gram heuristic; engine
+    extension). Ties break in rule order; no hits → 'und'."""
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+_DUCK_EN_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_DUCK_WORDS}) AS n_words,
+             round(length(regexp_replace(text, ' ', '', 'g'))
+                   / len({_DUCK_WORDS}), 6) AS avg_word_len,
+             round(length(regexp_replace(text, '[^.!?,;]', '', 'g'))
+                   / length(text), 6) AS punct_ratio,
+             round(len(list_filter({_DUCK_WORDS}, w -> list_contains({_DUCK_EN_STOP}, w)))
+                   / len({_DUCK_WORDS}), 6) AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stop_ratio,
+           round(least(1.0, n_words / 100.0) * 0.4
+                 + (1.0 - punct_ratio) * 0.3
+                 + stop_ratio * 0.3, 6) AS quality_score
+    FROM feats
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword features + composite
+    score (engine extension for corpus filtering)."""
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return T.quality_features(d, "text", ["doc_id"])
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           {_duck_hash48(f"array_to_string(({_DUCK_WORDS})[1:8], ' ')")} AS prefix_hash48
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content md5 + 48-bit prefix hash (rolling-hash
+    family; engine extension)."""
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(d, "text", ["doc_id"], k_words=8)
+
+
+@register(
+    "simhash16",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+    ),
+    h AS (SELECT doc_id, {_duck_hash48('word')} AS h FROM w),
+    v AS (
+      SELECT doc_id,
+             {', '.join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({' + '.join(f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(16))} AS BIGINT) AS simhash
+    FROM v
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, md5-derived word hashes) — near-dup fingerprint
+    (engine extension). One shuffle on doc_id; bit votes are parallel
+    aggregate expressions, not a per-bit row blowup."""
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return T.simhash(d, "text", ["doc_id"], n_bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (engine extension)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (
+      SELECT md5(lower(trim(text))) AS dg, min(doc_id) AS doc_id
+      FROM documents GROUP BY 1
+    ) k ON md5(lower(trim(d.text))) = k.dg AND d.doc_id = k.doc_id
+    """,
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup by md5 digest, keep lowest id — the O(n²)-free
+    100 TB default (hash-groupBy, one shuffle)."""
+    from ..operators import neardup as N
+
+    d = load_table(spark, sf_dir, "documents")
+    return N.exact_dedup_by_content(d, "text", "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_DUCK_NGRAMS2 = (
+    f"list_distinct(list_transform(range(greatest(len({_DUCK_WORDS}) - 1, 0)), "
+    f"i -> array_to_string(({_DUCK_WORDS})[i + 1:i + 2], ' ')))"
+)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({_DUCK_NGRAMS2}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked word-bigram Jaccard near-dup pairs (engine extension).
+    Blocking key = source; at web scale the block is an LSH bucket."""
+    from ..operators import neardup as N
+
+    d = load_table(spark, sf_dir, "documents")
+    return N.ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=2, threshold=0.1
+    )
+
+
+_DUCK_MINHASH_SIG = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_WORDS})) AS shingle FROM documents
+    ),
+    seeded AS (
+      SELECT doc_id, t.seed, shingle
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS seed) t
+    ),
+    h AS (
+      SELECT doc_id, seed,
+             {_duck_hash48("CAST(seed AS VARCHAR) || '|' || shingle")} AS h
+      FROM seeded
+    )
+    SELECT doc_id, CAST(seed AS INT) AS seed, MIN(h) AS minhash
+    FROM h GROUP BY doc_id, seed
+"""
+
+
+@register("minhash_signatures", oracle=_DUCK_MINHASH_SIG)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 seeded hashes over unigram shingles) — the
+    map-side half of MinHash-LSH dedup (engine extension)."""
+    from ..operators import neardup as N
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = N.minhash_signatures(d, "doc_id", "text", num_hashes=4, shingle_n=1)
+    return sig.select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+      FROM sig GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 2 bands × 2 rows; equi-join on band hash
+    so cost tracks duplicate density, not n² (engine extension)."""
+    from ..operators import neardup as N
+
+    d = load_table(spark, sf_dir, "documents")
+    return N.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=1)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (SURVEY §2.12 E4 + engine extension)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of similarity._dots/_norm: explicit ascending-index fold so the
+# double accumulation order matches Spark's sequential aggregate() exactly.
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(len({a})), i -> "
+        f"CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE)))"
+    )
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"round({_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})), 6)"
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, {_duck_cosine('embedding', 'qv')} AS score
+    FROM embeddings CROSS JOIN q
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 brute-force cosine top-k against a query vector (reference pgvector
+    ``ORDER BY distance LIMIT k``, ``generate_embeddings.py:418-452`` — here
+    executed natively: broadcast query, map-side scoring,
+    TakeOrderedAndProject)."""
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = SIM.topk_brute_force(e, query, k=10, metric="cosine")
+    return out.select("vec_id", "label", "score")
+
+
+@register(
+    "l2_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(range(len(embedding)), i ->
+             (CAST(embedding[i + 1] AS DOUBLE) - CAST(qv[i + 1] AS DOUBLE))
+             * (CAST(embedding[i + 1] AS DOUBLE) - CAST(qv[i + 1] AS DOUBLE))))), 6) AS distance
+    FROM embeddings CROSS JOIN q
+    ORDER BY distance, vec_id
+    LIMIT 10
+    """,
+)
+def q_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 L2-distance top-k (the reference's actual metric — pgvector ``<->``
+    with score ``1 - distance``, ``generate_embeddings.py:487``)."""
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = SIM.topk_brute_force(e, query, k=10, metric="l2")
+    return out.select("vec_id", "label", "distance")
+
+
+@register(
+    "embedding_pairs_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (label) — the
+    exact-verify stage of an ANN dedup pipeline (engine extension)."""
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pairs_above_threshold(
+        e, "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
+@register("ann_lsh_topk")  # no SQL oracle: recall vs brute force is tested in pytest
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH signature pruning (engine
+    extension — the 100 TB path where brute force is infeasible; signature
+    becomes a bucket/partition key at scale)."""
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = SIM.topk_ann_lsh(e, query, dim=64, k=10, n_planes=8, max_hamming=3)
+    return out.select("vec_id", "label", "score")
+
+
+@register("ann_ivf_topk")  # no SQL oracle: recall vs brute force is tested in pytest
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF coarse quantization (engine extension): probe the
+    nearest cells only; cells become partition keys at scale."""
+    from ..operators import similarity as SIM
+    from ..operators.similarity import _hyperplane
+
+    # Deterministic pseudo-random centroids (stand-in for an offline-trained
+    # quantizer; same md5 derivation as the LSH hyperplanes).
+    centroids = [_hyperplane(64, p, seed=99) for p in range(4)]
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = SIM.topk_ivf(e, query, centroids, k=10, n_probe=2)
+    return out.select("vec_id", "label", "score")
