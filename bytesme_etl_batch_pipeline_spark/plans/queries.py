@@ -985,3 +985,251 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     out = SIM.topk_ivf(e, query, centroids, k=10, n_probe=2)
     return out.select("vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# Seeded enrichment (SURVEY §2.9 math/random; §7 hard part 1)
+# ---------------------------------------------------------------------------
+
+def _duck_uniform(seed: str, key: str = "CAST(p_partkey AS VARCHAR)") -> str:
+    """DuckDB twin of seeded.hash_uniform: hash48('{seed}|' || key) / 2^48.
+    Division by a power of two is exact, so both engines agree bit-for-bit."""
+    keyed = f"'{seed}|' || {key}"
+    return f"({_duck_hash48(keyed)} / 281474976710656.0)"
+
+
+@register(
+    "seeded_enrichment",
+    oracle=f"""
+    SELECT p_partkey,
+           CAST(CASE WHEN {_duck_uniform('42-gate')} < 0.3
+                THEN CAST(FLOOR({_duck_uniform('42-val')} * 45) + 5 AS INT)
+                ELSE 0 END AS INT) AS discount,
+           CAST(FLOOR({_duck_uniform('42-ord')} * 500) + 0 AS INT) AS orders_mock,
+           CAST((FLOOR({_duck_uniform('42-price')} * 140) + 80) * 1000 AS BIGINT) AS price_default
+    FROM part
+    """,
+)
+def q_seeded_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded mock-data generation (reference unseeded numpy draws,
+    ``generate_mock_data.py:18-26,39-40,50-57``): every value derives from
+    (stable key, seed) via md5 — reproducible on any partitioning/retry,
+    which ``rand(seed)`` cannot guarantee at 100 TB (SURVEY §4a)."""
+    from ..functions import seeded as S
+
+    from ..operators.enrich import default_price
+
+    p = load_table(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        S.discount_column(key, 42).alias("discount"),
+        S.orders_column(key, 42).alias("orders_mock"),
+        default_price(key, 42).alias("price_default"),
+    )
+
+
+@register(
+    "ratings_exponential",
+    oracle=f"""
+    SELECT p_partkey,
+           CAST(FLOOR(-50.0 * ln(1.0 - {_duck_uniform('42-rat')})) + 1 AS INT) AS ratings_mock
+    FROM part
+    """,
+)
+def q_ratings_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential(50)+1 ratings via inverse CDF (reference
+    ``generate_mock_data.py:28-31``). Kept as its own query: ln() is the one
+    place libm rounding could theoretically diverge between engines."""
+    from ..functions import seeded as S
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", S.ratings_column(F.col("p_partkey"), 42).alias("ratings_mock")
+    )
+
+
+@register("stars_beta")  # no SQL oracle: Beta has no closed form — property-tested
+def q_stars_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta(4,1.5)-skewed star ratings (reference
+    ``generate_mock_data.py:33-35``) — the one pandas-UDF enrichment (seeded
+    per-row, Arrow-batched)."""
+    from ..operators import enrich as E
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", E.stars_column(F.col("p_partkey")).alias("stars_mock")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLAP extension surface: rollup/cube, frames, sessionization, set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping id (SURVEY §2.5 'absent from reference' —
+    built-in Spark surface the engine exposes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_price")
+
+
+@register(
+    "cube_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping id (extension surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n")
+    ).select("l_returnflag", "l_linestatus", "gid", "n")
+
+
+@register(
+    "running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: per-customer running spend (frame-spec windows — absent
+    from reference, exposed as extension; decimal-exact accumulation)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "lag_lead_deltas",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                AS BIGINT) AS us_since_prev
+    FROM events
+    """,
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead inter-event deltas (extension surface; streaming-adjacent)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    delta = (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("us_since_prev")
+    return e.select("user_id", "event_id", delta)
+
+
+@register(
+    "nation_set_ops",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference — U2 generalized to SQL set ops)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event windows — the batch twin of the streaming
+    pipeline (streaming/events.py runs the same transform under
+    readStream + watermark; SURVEY §2.14 door-open design)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_num
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via ``session_window`` — the
+    streaming-native sessionizer run in batch; oracle replays the same
+    semantics with lag + cumulative-sum session numbering."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
