@@ -35,10 +35,13 @@ def dense_ids(df: DataFrame, id_col: str, order_by: list[str]) -> DataFrame:
     return df.withColumn(id_col, F.row_number().over(w))
 
 
-def hash_ids(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+def hash_ids(df: DataFrame, id_col: str, key_cols: list[str], hash_fn=None) -> DataFrame:
     """A3 (facts): 64-bit deterministic surrogate keys, no shuffle at all.
-    The 100 TB-safe replacement for ``enumerate``-style dense ids."""
-    return df.withColumn(id_col, F.xxhash64(*[F.col(c) for c in key_cols]))
+    The 100 TB-safe replacement for ``enumerate``-style dense ids.
+    ``hash_fn`` defaults to ``xxhash64`` (fast, JVM-side); pass an md5-based
+    hash when a cross-engine oracle must replay the ids."""
+    hash_fn = hash_fn or F.xxhash64
+    return df.withColumn(id_col, hash_fn(*[F.col(c) for c in key_cols]))
 
 
 def group_sequence(

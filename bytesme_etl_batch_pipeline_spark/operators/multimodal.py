@@ -1,0 +1,139 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+Engine extension (BASELINE.json north star). Convention (schemas.MEDIA):
+``payload`` is an opaque ``binary`` column; ``kind``/``mime``/dims/duration
+are typed metadata so planning (filtering, partitioning, batching) never
+touches bytes.
+
+The heavy steps — decode, resize, frame-sample, feature-extract — run as
+Arrow-batched ``mapInPandas`` stages: bytes never pass through Python row
+objects, and partition size controls memory (a partition of 128 MB payloads
+→ one Arrow batch of the same scale; set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` down for large media).
+
+The codec layer (PIL/ffmpeg/torchaudio) is NOT in this container, so the
+real decoders raise ``NotImplementedError`` behind the same interface the
+deterministic fake implements — the Spark-side plumbing (schemas, UDF
+signatures, batch shapes, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+class MediaCodec:
+    """Decode interface. Production backend wraps PIL/ffmpeg; this container
+    has neither, so ``RealCodec`` raises and tests use ``FakeCodec``."""
+
+    def probe(self, payload: bytes, kind: str) -> tuple[int, int, int]:
+        """→ (width, height, n_frames)."""
+        raise NotImplementedError
+
+    def features(self, payload: bytes, kind: str, dim: int) -> list[float]:
+        raise NotImplementedError
+
+
+class RealCodec(MediaCodec):  # pragma: no cover - codec libs not installed
+    def __init__(self):
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not installed in this environment; "
+            "use FakeCodec for plumbing tests or install codecs on the cluster"
+        )
+
+
+class FakeCodec(MediaCodec):
+    """Deterministic stand-in: dimensions and features derive from the
+    payload hash, so plumbing tests are stable and reproducible."""
+
+    def probe(self, payload: bytes, kind: str) -> tuple[int, int, int]:
+        h = hashlib.md5(payload or b"").digest()
+        w = 64 + h[0] % 192
+        hh = 64 + h[1] % 192
+        frames = 1 if kind == "image" else 1 + h[2] % 32
+        return w, hh, frames
+
+    def features(self, payload: bytes, kind: str, dim: int) -> list[float]:
+        out = []
+        seed = hashlib.md5(payload or b"").digest()
+        for i in range(dim):
+            b = hashlib.md5(seed + i.to_bytes(2, "big")).digest()
+            out.append(int.from_bytes(b[:4], "big") / float(2**32) * 2 - 1)
+        return out
+
+
+def decode_and_featurize(
+    media: DataFrame,
+    codec_factory=FakeCodec,
+    feature_dim: int = 16,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Decode + feature-extract as one mapInPandas pass. One codec instance
+    per executor (closure cache), Arrow batches in/out."""
+    state: dict = {}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if "c" not in state:
+            state["c"] = codec_factory()
+        codec = state["c"]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col]
+                if isinstance(payload, str):
+                    payload = payload.encode()
+                w, h, nf = codec.probe(payload, r[kind_col])
+                rows.append(
+                    {
+                        "media_id": r[id_col],
+                        "kind": r[kind_col],
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "features": codec.features(payload, r[kind_col], feature_dim),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per kept frame
+    index. Pure expressions (sequence + explode) — the decode of each kept
+    frame happens later in the codec stage, so planning stays JVM-side."""
+    decoded = media.filter(F.col("kind") == "video")
+    return decoded.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") / 1000, F.lit(0)).cast("int"))
+        ).alias("second"),
+    ).filter(F.col("second") % every_n == 0)

@@ -1,0 +1,105 @@
+"""Config-driven pipeline runner (SURVEY §2.15, §3.1).
+
+The reference dispatches transform names from YAML over each raw file with
+per-file try/except and a success/error summary
+(``scripts/pipeline.py:17-112``, ``utils/etl_config.yml:6-10``). Engine
+shape: a declarative spec — ordered named stages, each a pure
+``DataFrame -> DataFrame`` — composed into ONE lazy DAG per input (Catalyst
+sees the whole plan; nothing materializes between stages), with per-input
+isolation and a job report.
+
+Unlike the reference (module-level mutable state, mid-pipeline staging-dir
+read — SURVEY §2.15 hazards), stages are pure and the DAG is explicit.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+Stage = Callable[[DataFrame], DataFrame]
+
+# Named stage registry — the engine twin of the reference's string-dispatched
+# transform names (``scripts/pipeline.py:52-83``).
+STAGES: dict[str, Stage] = {}
+
+
+def register_stage(name: str) -> Callable[[Stage], Stage]:
+    def deco(fn: Stage) -> Stage:
+        STAGES[name] = fn
+        return fn
+
+    return deco
+
+
+@dataclass
+class StageResult:
+    input_name: str
+    status: str  # success | error
+    stages: list[str]
+    rows_out: int | None
+    seconds: float
+    error: str | None = None
+
+
+@dataclass
+class PipelineReport:
+    results: list[StageResult] = field(default_factory=list)
+
+    @property
+    def n_success(self) -> int:
+        return sum(1 for r in self.results if r.status == "success")
+
+    @property
+    def n_error(self) -> int:
+        return sum(1 for r in self.results if r.status == "error")
+
+    def summary(self) -> dict:
+        return {
+            "total": len(self.results),
+            "success": self.n_success,
+            "error": self.n_error,
+        }
+
+
+def run_pipeline(
+    inputs: dict[str, DataFrame],
+    stage_names: list[str],
+    sink: Callable[[str, DataFrame], None] | None = None,
+) -> tuple[dict[str, DataFrame], PipelineReport]:
+    """Apply the configured stages to each input with per-input isolation
+    (reference ``pipeline.py:94-111``): one input failing does not stop the
+    rest; the report carries per-input status and timing.
+
+    Stages compose lazily — the only actions are the sink (or a count when
+    no sink is given, mirroring the reference's per-file summary).
+    """
+    report = PipelineReport()
+    outputs: dict[str, DataFrame] = {}
+    for name, df in inputs.items():
+        t0 = time.perf_counter()
+        try:
+            out = df
+            for sname in stage_names:
+                if sname not in STAGES:
+                    raise KeyError(f"unknown stage: {sname!r}")
+                out = STAGES[sname](out)
+            if sink is not None:
+                sink(name, out)
+                rows = None
+            else:
+                rows = out.count()
+            outputs[name] = out
+            report.results.append(
+                StageResult(name, "success", stage_names, rows, time.perf_counter() - t0)
+            )
+        except Exception as e:  # per-input isolation — error is data, not crash
+            report.results.append(
+                StageResult(
+                    name, "error", stage_names, None, time.perf_counter() - t0, str(e)
+                )
+            )
+    return outputs, report

@@ -1233,3 +1233,260 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E1 document templating / E5 LLM enrichment (SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_template",
+    oracle="""
+    SELECT p_partkey,
+           concat_ws(' ',
+             'Product: ' || p_name || '.',
+             'Category: ' || p_type || '.',
+             CASE WHEN p_brand IS NOT NULL AND p_brand <> ''
+                  THEN 'Brand: ' || p_brand || '.' END,
+             CASE WHEN p_size > 30 THEN 'Details: oversize.' END,
+             CASE WHEN p_retailprice > 0
+                  THEN 'Price: ' || CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) || '.' END,
+             CASE WHEN p_size / 10.0 >= 4.5 THEN 'Rated excellent.'
+                  WHEN p_size / 10.0 >= 3.5 THEN 'Rated good.'
+                  ELSE 'Rated average.' END,
+             CASE WHEN (p_partkey * 7) % 1500 >= 1000 THEN 'A best-seller.' END,
+             CASE WHEN p_size * 5 >= 100 THEN 'In stock.'
+                  WHEN p_size * 5 >= 21 THEN 'Limited stock.'
+                  WHEN p_size * 5 >= 1 THEN 'Almost sold out.'
+                  ELSE 'Out of stock.' END
+           ) AS document
+    FROM part
+    """,
+)
+def q_doc_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: conditional document templating (reference Vietnamese blob
+    assembly, ``generate_embeddings.py:39-194``) — pure when/concat_ws
+    expression tree; absent sections vanish via concat_ws NULL-skipping.
+    Bucket thresholds mirror the reference's stars/orders/stock cutoffs."""
+    from ..operators import template as T
+
+    p = load_table(spark, sf_dir, "part")
+    doc = T.product_document(
+        name=F.col("p_name"),
+        brand=F.col("p_brand"),
+        category=F.col("p_type"),
+        description=F.when(F.col("p_size") > 30, F.lit("oversize")).otherwise(F.lit("")),
+        price=F.floor(F.col("p_retailprice")),
+        stars=F.col("p_size") / 10.0,
+        orders=(F.col("p_partkey") * 7) % 1500,
+        stock=F.col("p_size") * 5,
+    )
+    return p.select("p_partkey", doc.alias("document"))
+
+
+@register(
+    "llm_enrich_descriptions",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CASE WHEN p_size < 10
+                THEN 'Auto-description [' ||
+                     substr(md5('Describe the product: ' || p_name), 1, 8) || ']'
+                ELSE p_type END AS description
+    FROM part
+    """,
+)
+def q_llm_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: LLM description enrichment (reference Ollama fill of empty
+    descriptions, ``generate_mock_data.py:42-65,130-133``) with the
+    deterministic mock backend. Only rows failing the P7 empty-gate enter the
+    mapInPandas path; the rest never leave the JVM."""
+    from ..operators import llm as L
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.when(F.col("p_size") < 10, F.lit("")).otherwise(F.col("p_type")).alias("description"),
+    )
+    return L.enrich_descriptions(
+        p, text_col="description", prompt_cols=["p_name"]
+    ).select("p_partkey", "p_name", "description")
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 snowflake split (SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+def _wide_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped wide table synthesized from part: a piped multi-image
+    column (second image name intentionally blank → fallback path)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.withColumn(
+        "image_urls",
+        F.concat_ws(
+            "|",
+            F.concat(F.lit("http://img/"), F.col("p_partkey").cast("string")),
+            F.concat(F.lit("http://alt/"), F.col("p_partkey").cast("string")),
+        ),
+    ).withColumn("image_names", F.concat_ws("|", F.col("p_name"), F.lit("")))
+
+
+_DUCK_WIDE_PART = """
+    SELECT *,
+           'http://img/' || CAST(p_partkey AS VARCHAR) || '|' ||
+           'http://alt/' || CAST(p_partkey AS VARCHAR) AS image_urls,
+           p_name || '|' AS image_names
+    FROM part
+"""
+
+
+@register(
+    "snowflake_dims",
+    oracle=f"""
+    WITH wide AS ({_DUCK_WIDE_PART}),
+    fw AS (
+      SELECT p_brand, p_type,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+      FROM wide
+    )
+    SELECT CAST(row_number() OVER (ORDER BY p_brand) AS INT) AS dim_id, p_brand, p_type
+    FROM fw WHERE rn = 1
+    """,
+)
+def q_snowflake_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 dims branch: first-wins collapse per brand + dense ids (reference
+    dict build ``seperate_tables.py:24-33`` + ``enumerate`` ids at :112)."""
+    from ..operators import normalize as NORM
+    from ..operators.textops import md5_hash48
+
+    wide = _wide_part(spark, sf_dir)
+    result = NORM.snowflake_split(
+        wide,
+        dim_key="p_brand",
+        dim_attrs=["p_type"],
+        fact_key="p_partkey",
+        child_url_col="image_urls",
+        child_name_col="image_names",
+        order_by=["p_partkey"],
+        fact_id_hash=lambda *cols: md5_hash48(F.concat_ws("|", *cols)),
+    )
+    return result.dims.select("dim_id", "p_brand", "p_type")
+
+
+@register(
+    "snowflake_facts",
+    oracle=f"""
+    WITH wide AS ({_DUCK_WIDE_PART}),
+    fw AS (
+      SELECT p_brand,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+      FROM wide
+    ),
+    dims AS (
+      SELECT CAST(row_number() OVER (ORDER BY p_brand) AS INT) AS dim_id, p_brand
+      FROM fw WHERE rn = 1
+    )
+    SELECT w.p_partkey,
+           {_duck_hash48("CAST(w.p_partkey AS VARCHAR)")} AS fact_id,
+           d.dim_id, w.p_name
+    FROM wide w JOIN dims d ON w.p_brand = d.p_brand
+    """,
+)
+def q_snowflake_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 facts branch: broadcast dim-key resolution (J1) + hash surrogate
+    ids — the 100 TB-safe deviation from the reference's global enumerate
+    (SURVEY §7 hard part 4)."""
+    from ..operators import normalize as NORM
+    from ..operators.textops import md5_hash48
+
+    wide = _wide_part(spark, sf_dir)
+    result = NORM.snowflake_split(
+        wide,
+        dim_key="p_brand",
+        dim_attrs=["p_type"],
+        fact_key="p_partkey",
+        child_url_col="image_urls",
+        child_name_col="image_names",
+        order_by=["p_partkey"],
+        fact_id_hash=lambda *cols: md5_hash48(F.concat_ws("|", *cols)),
+    )
+    return result.facts.select("p_partkey", "fact_id", "dim_id", "p_name")
+
+
+@register(
+    "snowflake_children",
+    oracle=f"""
+    WITH wide AS ({_DUCK_WIDE_PART}),
+    exploded AS (
+      SELECT {_duck_hash48("CAST(p_partkey AS VARCHAR)")} AS fact_id,
+             p_partkey,
+             trim(string_split(image_urls, '|')[t.i + 1]) AS item_url,
+             trim(string_split(image_names, '|')[t.i + 1]) AS item_name_raw
+      FROM wide CROSS JOIN range(2) t(i)
+    )
+    SELECT fact_id, item_url,
+           CASE WHEN item_name_raw IS NULL OR item_name_raw = ''
+                THEN CAST(p_partkey AS VARCHAR) ELSE item_name_raw END AS item_name
+    FROM exploded
+    WHERE item_url IS NOT NULL AND item_url <> ''
+    """,
+)
+def q_snowflake_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 children branch: piped url/name explode with empty-name fallback
+    (reference ``seperate_tables.py:81-106``)."""
+    from ..operators import normalize as NORM
+    from ..operators.textops import md5_hash48
+
+    wide = _wide_part(spark, sf_dir)
+    result = NORM.snowflake_split(
+        wide,
+        dim_key="p_brand",
+        dim_attrs=["p_type"],
+        fact_key="p_partkey",
+        child_url_col="image_urls",
+        child_name_col="image_names",
+        order_by=["p_partkey"],
+        fact_id_hash=lambda *cols: md5_hash48(F.concat_ws("|", *cols)),
+    )
+    return result.children.select("fact_id", "item_url", "item_name")
+
+
+# ---------------------------------------------------------------------------
+# E2 embeddings / multimodal plumbing (rows-only: Python-side operators)
+# ---------------------------------------------------------------------------
+
+@register("doc_embeddings")  # no SQL oracle: pandas-UDF op — pytest-verified
+def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: deterministic hash-embedder over documents (pluggable model
+    interface; production swaps in a sentence-transformer via the same
+    pandas-UDF shape, reference ``generate_embeddings.py:245-272``)."""
+    from ..operators.embed import embed_column
+    from ..operators.similarity import _norm
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select("doc_id", embed_column(F.col("text")).alias("embedding"))
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("emb_dim"),
+        F.round(_norm(F.col("embedding")), 4).alias("emb_norm"),
+    )
+
+
+@register("media_decode")  # no SQL oracle: mapInPandas plumbing — pytest-verified
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode/feature plumbing over a synthesized media table
+    (payload = opaque bytes; FakeCodec stands in for PIL/ffmpeg which are
+    not installed — the Spark-side schema/batching is the real thing)."""
+    from ..operators.multimodal import decode_and_featurize
+
+    p = load_table(spark, sf_dir, "part")
+    media = p.select(
+        F.col("p_partkey").alias("media_id"),
+        F.when(F.col("p_partkey") % 2 == 0, "image").otherwise("video").alias("kind"),
+        F.encode(F.col("p_name"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("p_partkey") * 997 % 60000).cast("long").alias("duration_ms"),
+    )
+    out = decode_and_featurize(media, feature_dim=8)
+    return out.select("media_id", "kind", "width", "height", "n_frames")

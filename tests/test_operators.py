@@ -1,0 +1,143 @@
+"""Unit tests for Python-side operators that no SQL oracle can check:
+embeddings, LLM enrichment, multimodal plumbing, pipeline runner, and the
+reference-shaped edge cases from FIXTURES.md §6."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bytesme_etl_batch_pipeline_spark.operators.embed import HashEmbedder, embed_column
+from bytesme_etl_batch_pipeline_spark.operators.llm import enrich_descriptions, mock_generator
+from bytesme_etl_batch_pipeline_spark.operators.multimodal import (
+    FakeCodec,
+    RealCodec,
+    decode_and_featurize,
+    sample_frames,
+)
+from bytesme_etl_batch_pipeline_spark.operators.normalize import explode_piped_pairs
+from bytesme_etl_batch_pipeline_spark.plans.pipeline import (
+    STAGES,
+    register_stage,
+    run_pipeline,
+)
+
+
+# --- E2 embeddings ----------------------------------------------------------
+
+def test_hash_embedder_deterministic_unit_norm():
+    e = HashEmbedder(dim=16)
+    v1, v2 = e.encode(["hello world"]), e.encode(["hello world"])
+    assert v1 == v2
+    norm = sum(x * x for x in v1[0]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    # empty text → zero vector (reference failure fallback)
+    z = e.encode([""])[0]
+    assert all(x == 0.0 for x in z)
+    assert len(z) == 16
+
+
+def test_embed_column_spark(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engine"), (2, ""), (3, None)], ["id", "text"]
+    )
+    out = df.select("id", embed_column(F.col("text"), HashEmbedder, dim=8).alias("v")).collect()
+    by_id = {r["id"]: r["v"] for r in out}
+    assert len(by_id[1]) == 8
+    assert all(x == 0.0 for x in by_id[2])
+    assert all(x == 0.0 for x in by_id[3])  # null treated as empty
+
+
+# --- E5 LLM enrichment ------------------------------------------------------
+
+def test_enrich_descriptions_gates_and_fills(spark):
+    df = spark.createDataFrame(
+        [(1, "widget", "has text"), (2, "gadget", ""), (3, "sprocket", None)],
+        ["id", "name", "description"],
+    )
+    out = enrich_descriptions(df, "description", ["name"]).collect()
+    by_id = {r["id"]: r["description"] for r in out}
+    assert by_id[1] == "has text"
+    assert by_id[2].startswith("Auto-description [")
+    assert by_id[3].startswith("Auto-description [")
+    # deterministic mock
+    assert by_id[2] == mock_generator("Describe the product: gadget")
+
+
+# --- multimodal -------------------------------------------------------------
+
+def test_real_codec_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        RealCodec()
+
+
+def test_decode_and_featurize_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"imgdata"), "image/png", None, None, 0),
+        (2, "video", bytearray(b"viddata"), "video/mp4", None, None, 30000),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long"
+    )
+    out = {r["media_id"]: r for r in decode_and_featurize(media, feature_dim=4).collect()}
+    assert out[1]["n_frames"] == 1  # images are single-frame
+    assert out[2]["n_frames"] >= 1
+    assert 64 <= out[1]["width"] < 256
+    assert len(out[1]["features"]) == 4
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r for r in decode_and_featurize(media, feature_dim=4).collect()}
+    assert out[1]["features"] == again[1]["features"]
+
+
+def test_sample_frames(spark):
+    media = spark.createDataFrame(
+        [(1, "video", 20000), (2, "image", 0)],
+        "media_id long, kind string, duration_ms long",
+    )
+    out = sample_frames(media, every_n=8).collect()
+    assert all(r["second"] % 8 == 0 for r in out)
+    assert {r["media_id"] for r in out} == {1}  # images don't sample frames
+
+
+# --- X1 explode edge cases (FIXTURES.md §6.4) -------------------------------
+
+def test_explode_piped_pairs_fallback(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", "http://a|http://b", "one|"),   # empty 2nd name → fallback
+            ("p2", "http://c", None),               # single url, null names
+            ("p3", "http://d|http://e", "x|y"),
+        ],
+        ["pname", "urls", "names"],
+    )
+    out = explode_piped_pairs(df, "urls", "names", "pname").collect()
+    got = {(r["item_url"], r["item_name"]) for r in out}
+    assert ("http://a", "one") in got
+    assert ("http://b", "p1") in got    # fallback to product name
+    assert ("http://c", "p2") in got
+    assert ("http://d", "x") in got and ("http://e", "y") in got
+    assert len(out) == 5
+
+
+# --- pipeline runner --------------------------------------------------------
+
+def test_run_pipeline_isolation_and_report(spark):
+    @register_stage("double_value")
+    def double_value(df):
+        return df.withColumn("v", F.col("v") * 2)
+
+    @register_stage("boom")
+    def boom(df):
+        raise RuntimeError("stage exploded")
+
+    ok = spark.createDataFrame([(1,), (2,)], ["v"])
+    outputs, report = run_pipeline({"good": ok}, ["double_value"])
+    assert report.summary() == {"total": 1, "success": 1, "error": 0}
+    assert sorted(r["v"] for r in outputs["good"].collect()) == [2, 4]
+
+    _, report2 = run_pipeline({"good": ok, "bad": ok}, ["boom"])
+    assert report2.n_error == 2  # both inputs hit the bad stage, isolated
+    _, report3 = run_pipeline({"a": ok}, ["nope"])
+    assert report3.results[0].status == "error"
+    assert "unknown stage" in report3.results[0].error
