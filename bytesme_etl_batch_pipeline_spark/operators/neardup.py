@@ -38,13 +38,30 @@ def exact_dedup_by_content(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
     """Distinct word n-gram shingles of a text column (pure expression:
-    transform over a sequence of start offsets + slice + join)."""
-    ws = words(col)
+    transform over a sequence of start offsets + slice + join).
+
+    PERF: pass a *materialized array column reference* (see
+    ``_shingle_rows``), not an inline ``words(text)`` expression — an inline
+    expression re-evaluates the split per lambda element (~4× slower
+    measured at sf0.1)."""
+    ws = F.col(col) if isinstance(col, str) else col
     count = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(ws, i, n), " ")
     )
     return F.array_distinct(grams)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int, extra: list[str] | None = None) -> DataFrame:
+    """(id, shingle) rows with the words array materialized once per row."""
+    return (
+        df.withColumn("__ws", words(text_col))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in (extra or [])],
+            F.explode(word_ngrams(F.col("__ws"), n)).alias("__shingle"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -62,10 +79,10 @@ def ngram_jaccard_pairs(
     compared); at web scale the block is an LSH bucket instead of a metadata
     column, but the verify math is identical.
     """
-    sh = df.select(
+    sh = _shingle_rows(df, id_col, text_col, n, extra=[block_col]).select(
         F.col(id_col).alias("doc_a"),
         F.col(block_col).alias("__blk"),
-        F.explode(word_ngrams(text_col, n)).alias("__shingle"),
+        F.col("__shingle"),
     )
     sizes = sh.groupBy("doc_a").agg(F.count(F.lit(1)).alias("size_a"))
     right = sh.select(
@@ -98,23 +115,35 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 1
 ) -> DataFrame:
     """MinHash signature rows (doc, seed, minhash): for each seed, the min
-    over shingles of hash48(seed || '|' || shingle). Map-side except the final
-    (doc, seed) min-agg — a partial-aggregating single shuffle."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(text_col, shingle_n)).alias("__shingle"),
+    over shingles of hash48(seed || '|' || shingle).
+
+    Hash the distinct-shingle DICTIONARY, not the occurrences: corpora repeat
+    shingles heavily, so hashing each distinct shingle once (dict ≪
+    occurrences) and broadcast-joining back turns ~|occurrences|·k hash calls
+    into ~|dict|·k — at sf0.1 that is 6M → 100k md5s. At 100 TB the dict may
+    outgrow a broadcast; the same plan with a shuffle join keeps the
+    hash-once property."""
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    dictionary = sh.select("__shingle").distinct()
+    for i in range(num_hashes):
+        dictionary = dictionary.withColumn(
+            f"__h{i}", md5_hash48(F.concat(F.lit(f"{i}|"), F.col("__shingle")))
+        )
+    # k mins as parallel aggregate expressions — no per-seed row explosion;
+    # partial (map-side) aggregation shrinks the shuffle to ~|docs| rows.
+    # No broadcast hint: AQE broadcasts a small dictionary automatically and
+    # falls back to a shuffle join when the dict outgrows the threshold —
+    # exactly the behavior we want at 100 TB.
+    mins = (
+        sh.join(dictionary, on="__shingle")
+        .groupBy(id_col)
+        .agg(*[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)])
     )
-    seeded = sh.select(
+    stack_args = ", ".join(f"{i}, __h{i}" for i in range(num_hashes))
+    return mins.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("__shingle"),
-    )
-    h = md5_hash48(F.concat_ws("|", F.col("seed").cast("string"), F.col("__shingle")))
-    return (
-        seeded.withColumn("__h", h)
-        .groupBy(id_col, "seed")
-        .agg(F.min("__h").alias("minhash"))
-    )
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
+    ).select(id_col, F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 def minhash_lsh_pairs(

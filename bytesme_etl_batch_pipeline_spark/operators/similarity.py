@@ -82,16 +82,29 @@ def pairs_above_threshold(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (exact verify
     step of an LSH/IVF pipeline; never run unblocked at scale)."""
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(block_col).alias("__blk")
+    # Precompute each vector's norm ONCE (n folds) instead of per pair
+    # (2·n² folds) — same arithmetic, ~3× less work on the O(n²) stage.
+    with_norm = vectors.select(
+        F.col(id_col), F.col(vec_col), F.col(block_col).alias("__blk"),
+        _norm(F.col(vec_col)).alias("__nrm"),
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(block_col).alias("__blk")
+    a = with_norm.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        F.col("__blk"), F.col("__nrm").alias("n_a"),
+    )
+    b = with_norm.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        F.col("__blk"), F.col("__nrm").alias("n_b"),
     )
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dots(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -52,11 +52,17 @@ def _stopword_hits(ws: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
 
 
-def lang_id(col: Column | str, rules: list[tuple[str, list[str]]] | None = None) -> Column:
+def lang_id(
+    col: Column | str,
+    rules: list[tuple[str, list[str]]] | None = None,
+    ws: Column | None = None,
+) -> Column:
     """Language ID by stopword-hit argmax (n-gram heuristic family).
-    Returns 'und' when no list scores a hit; ties break in rule order."""
+    Returns 'und' when no list scores a hit; ties break in rule order.
+    Pass ``ws`` (a materialized words-array column) to avoid re-splitting
+    the text once per language."""
     rules = rules or LANG_STOPWORDS
-    ws = words(col)
+    ws = ws if ws is not None else words(col)
     scores = [(lang, _stopword_hits(ws, sw)) for lang, sw in rules]
     mx = F.greatest(*[s for _, s in scores])
     expr = F.when(mx == 0, F.lit("und"))
@@ -69,8 +75,9 @@ def quality_features(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFr
     """Quality scoring: length/punctuation/stopword features + a composite
     score in [0,1]. Ratios are rounded to 6 decimals so the values are
     bit-identical across engines."""
+    df = df.withColumn("__ws", words(text_col))
     c = F.col(text_col)
-    ws = words(text_col)
+    ws = F.col("__ws")  # materialized once — inline re-splits per use
     n_chars = F.length(c)
     n_words = F.size(ws)
     en_stop = _stopword_hits(ws, LANG_STOPWORDS[0][1])

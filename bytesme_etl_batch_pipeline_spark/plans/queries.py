@@ -671,8 +671,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension). Ties break in rule order; no hits → 'und'."""
     from ..operators import textops as T
 
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+    d = load_table(spark, sf_dir, "documents").withColumn("__ws", T.words("text"))
+    return d.select(
+        "doc_id", "lang", T.lang_id("text", ws=F.col("__ws")).alias("lang_pred")
+    )
 
 
 _DUCK_EN_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
@@ -818,9 +820,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_NGRAMS3 = (
+    f"list_distinct(list_transform(range(greatest(len({_DUCK_WORDS}) - 2, 0)), "
+    f"i -> array_to_string(({_DUCK_WORDS})[i + 1:i + 3], ' ')))"
+)
+
 _DUCK_MINHASH_SIG = f"""
     WITH sh AS (
-      SELECT doc_id, unnest(list_distinct({_DUCK_WORDS})) AS shingle FROM documents
+      SELECT doc_id, unnest({_DUCK_NGRAMS3}) AS shingle FROM documents
     ),
     seeded AS (
       SELECT doc_id, t.seed, shingle
@@ -838,12 +845,13 @@ _DUCK_MINHASH_SIG = f"""
 
 @register("minhash_signatures", oracle=_DUCK_MINHASH_SIG)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (4 seeded hashes over unigram shingles) — the
+    """MinHash signatures (4 seeded hashes over trigram shingles — unigrams
+    degenerate on small-vocabulary corpora: identical word-sets collide) — the
     map-side half of MinHash-LSH dedup (engine extension)."""
     from ..operators import neardup as N
 
     d = load_table(spark, sf_dir, "documents")
-    sig = N.minhash_signatures(d, "doc_id", "text", num_hashes=4, shingle_n=1)
+    sig = N.minhash_signatures(d, "doc_id", "text", num_hashes=4, shingle_n=3)
     return sig.select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
@@ -867,7 +875,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import neardup as N
 
     d = load_table(spark, sf_dir, "documents")
-    return N.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=1)
+    return N.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3)
 
 
 # ---------------------------------------------------------------------------
