@@ -1,0 +1,95 @@
+"""Source/sink behavior (SURVEY §2.1): CSV/JSON round-trips, glob scans with
+lineage, and lineage-ordered keep-first dedup — the D1 semantics the
+reference gets implicitly from pandas file order."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bytesme_etl_batch_pipeline_spark.operators.dedup import dedup_keep_first
+from bytesme_etl_batch_pipeline_spark.sources.files import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("product_name", StringType()),
+        StructField("product_url", StringType()),
+        StructField("price", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_csv_roundtrip_with_glob_and_lineage(spark, tmpdir):
+    # Two per-source files, as the reference's data/raw/*_products.csv layout
+    f1 = os.path.join(tmpdir, "a_products.csv")
+    f2 = os.path.join(tmpdir, "b_products.csv")
+    with open(f1, "w") as f:
+        f.write("product_name,product_url,price\nCake,http://x,10\nTea,http://y,20\n")
+    with open(f2, "w") as f:
+        f.write("product_name,product_url,price\nCake,http://x,99\nPie,http://z,30\n")
+
+    df = read_csv(spark, os.path.join(tmpdir, "*_products.csv"), SCHEMA, with_lineage=True)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {os.path.basename(r["source_file"]) for r in rows} == {
+        "a_products.csv",
+        "b_products.csv",
+    }
+
+    # D1 keep-first under file order: the a_products row must win
+    deduped = dedup_keep_first(
+        df, keys=["product_name", "product_url"], order_by=["source_file", "row_pos"]
+    )
+    kept = {r["product_name"]: r for r in deduped.collect()}
+    assert len(kept) == 3
+    assert kept["Cake"]["price"] == 10
+    assert os.path.basename(kept["Cake"]["source_file"]) == "a_products.csv"
+
+
+def test_csv_write_read_roundtrip(spark, tmpdir):
+    df = spark.createDataFrame([("Cake", "http://x", 10)], SCHEMA)
+    out = os.path.join(tmpdir, "out_csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, SCHEMA).collect()
+    assert [tuple(r) for r in back] == [("Cake", "http://x", 10)]
+
+
+def test_csv_permissive_malformed_rows(spark, tmpdir):
+    """Reference per-file try/except → engine row-level tolerance."""
+    f1 = os.path.join(tmpdir, "bad.csv")
+    with open(f1, "w") as f:
+        f.write('product_name,product_url,price\nOK,http://x,1\nBad,http://y,"not-an-int"\n')
+    df = read_csv(spark, f1, SCHEMA, permissive=True)
+    rows = df.collect()
+    assert len(rows) == 2  # malformed row survives with NULLed bad column
+    bad = [r for r in rows if r["product_name"] == "Bad"][0]
+    assert bad["price"] is None
+
+
+def test_json_roundtrip(spark, tmpdir):
+    df = spark.createDataFrame([("siteA", ["http://1", "http://2"])], "site string, urls array<string>")
+    out = os.path.join(tmpdir, "out_json")
+    write_json(df, out)
+    back = read_json(spark, out)
+    r = back.collect()[0]
+    assert r["site"] == "siteA" and r["urls"] == ["http://1", "http://2"]

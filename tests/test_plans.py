@@ -1,0 +1,60 @@
+"""Physical-plan regression tests — the 100 TB guardrails.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the one
+that survives scale-up: dims broadcast (fact side never shuffles for a join),
+predicates reach the parquet scan, projections prune the read schema, top-k
+avoids a global sort, aggregations combine map-side."""
+
+from __future__ import annotations
+
+from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = catalog.SPARK_QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dim_join_rollup")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan  # a 100 TB fact must not sort for dims
+
+
+def test_filters_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "membership_filter")
+    assert "PushedFilters: [" in plan
+    assert "In(p_type" in plan  # IN-list reaches parquet
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dim_join_rollup")
+    # customer scan must read only the join key + aggregated column
+    assert "ReadSchema: struct<c_nationkey:int,c_acctbal:double>" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no full sort shuffle
+
+
+def test_aggregation_is_partial(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_cascade_is_single_projection(spark, sf_dir):
+    """C1 compiles to a map-side projection: no exchange, no UDF."""
+    plan = plan_of(spark, sf_dir, "rule_cascade_classify")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_enrichment_is_whole_stage_codegen(spark, sf_dir):
+    """Seeded randomness stays JVM-side (no Python in the hot path)."""
+    plan = plan_of(spark, sf_dir, "seeded_enrichment")
+    assert "*(1) Project" in plan  # '*' = whole-stage-codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
