@@ -72,3 +72,24 @@ def sequence_code(
         F.col("__seq"),
     )
     return df.withColumn(out_col, code).drop("__seq")
+
+
+def salted_count(
+    df: DataFrame, keys: list[str], salt_buckets: int = 16, out_col: str = "n"
+) -> DataFrame:
+    """Skew-resistant two-stage count: shuffle once on (key, salt) spreading
+    a hot key over ``salt_buckets`` reducers, then combine the partials on
+    the key alone (second shuffle moves only ``buckets × |keys|`` rows).
+
+    With partial map-side aggregation, plain groupBy handles most skew; the
+    salted form is for the pathological hot-key case where even a single
+    reducer's *final* partials overflow — standard remedy at 100 TB.
+    Salt derives from a stable hash of all columns, not rand(): retries and
+    recomputations land rows in the same bucket (determinism contract)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").cast("long").alias(out_col))

@@ -53,3 +53,76 @@ def zip_join(df: DataFrame, left_col: str, right_col: str, out_col: str, sep: st
             F.split(F.col(right_col), sep).alias("right"),
         ),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` per key (an operator Spark lacks natively;
+    DuckDB/kdb call it ASOF JOIN).
+
+    Spark-first composition — NO pairwise range join: union both sides
+    tagged, one window sorted by (key, time, side) carrying the right-side
+    values forward with ``last(..., ignorenulls=True)``, then keep left rows.
+    One shuffle on the key; cost is O(n log n) per key vs O(n·m) for the
+    naive theta join — at 100 TB this is the difference between a sort and a
+    blow-up."""
+    lcols = [F.col(c) for c in left.columns]
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_vals],
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_vals],
+    )
+    from pyspark.sql import Window
+
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__side",
+        "__lrow",
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__last_{c}")
+            for c in right_vals
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col("__lrow.*"),
+        *[F.col(f"__last_{c}").alias(c) for c in right_vals],
+    )
+    return out
+
+
+def range_join(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Range (theta) join: match each fact row to the range bucket containing
+    ``value_col`` (lo <= v < hi). The ranges side is a small broadcast dim →
+    Spark plans BroadcastNestedLoopJoin, which is fine for dozens of tiers;
+    for large range tables, bucketize the value to an equi-join key first."""
+    v = F.col(value_col)
+    return fact.join(
+        F.broadcast(ranges), on=[(v >= F.col(lo_col)) & (v < F.col(hi_col))], how="left"
+    )

@@ -202,3 +202,12 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def neardup_filter(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Dedup decision: given verified near-dup pairs (doc_a < doc_b), drop
+    every doc that appears as the higher id of a pair (keep-lowest policy —
+    the fuzzy analogue of exact keep-first). Anti-join against the removal
+    set: one broadcast-able join, no pairwise work on the corpus side."""
+    removals = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(removals, on=id_col, how="left_anti")

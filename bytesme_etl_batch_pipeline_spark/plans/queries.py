@@ -1498,3 +1498,211 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = decode_and_featurize(media, feature_dim=8)
     return out.select("media_id", "kind", "width", "height", "n_frames")
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins, skew-salted aggs, casts (extension surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.purchase_value, p.purchase_ts
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value AS purchase_value, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): each event picks the
+    user's latest purchase at-or-before its timestamp. Implemented as
+    union + sorted window carry-forward — one shuffle, O(n log n) per key,
+    no pairwise range explosion (operators/joins.py)."""
+    from ..operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    left = e.select("event_id", "user_id", "event_type", "ts")
+    out = asof_join(
+        left,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_vals=["purchase_value", "purchase_ts"],
+    )
+    return out.select("event_id", "user_id", "event_type", "purchase_value", "purchase_ts")
+
+
+@register(
+    "range_join_balance_tiers",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, t.tier
+    FROM customer c
+    LEFT JOIN (VALUES ('negative', -1e9, 0.0),
+                      ('low', 0.0, 3000.0),
+                      ('mid', 3000.0, 7000.0),
+                      ('high', 7000.0, 1e9)) t(tier, lo, hi)
+      ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join against a broadcast tier dimension (extension
+    surface; BroadcastNestedLoopJoin over 4 tiers — bucketize to an equi-key
+    if the range table grows)."""
+    from ..operators.joins import range_join
+
+    c = load_table(spark, sf_dir, "customer")
+    tiers = spark.createDataFrame(
+        [
+            ("negative", -1e9, 0.0),
+            ("low", 0.0, 3000.0),
+            ("mid", 3000.0, 7000.0),
+            ("high", 7000.0, 1e9),
+        ],
+        "tier string, lo double, hi double",
+    )
+    out = range_join(c.select("c_custkey", "c_acctbal"), tiers, "c_acctbal", "lo", "hi")
+    return out.select("c_custkey", "c_acctbal", "tier")
+
+
+@register(
+    "salted_counts",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-stage count (hot-key remedy at 100 TB): same answer
+    as a plain groupBy — the oracle proves it — via (key, salt) partials."""
+    from ..operators.aggregate import salted_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count(li, ["l_returnflag"], salt_buckets=16)
+
+
+@register(
+    "casts_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS INT) AS priority_num
+    FROM orders
+    """,
+)
+def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 casts battery (reference defensive per-column casts,
+    ``generate_mock_data.py:84-88``, ``seperate_tables.py:69-74``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.regexp_replace("o_orderpriority", "[^0-9]", "").cast("int").alias("priority_num"),
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (SURVEY §2.5 'absent' list —
+    engine exposes them; Catalyst expands to expand+two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("approx_distinct_counts")  # no oracle: HLL sketches differ per engine
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts — the 100 TB path where exact distinct
+    would shuffle every key (pytest bounds the relative error vs exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )
+
+
+@register(
+    "neardup_dedup_docs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({_DUCK_NGRAMS2}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    removals AS (
+      SELECT DISTINCT doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.1
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM removals)
+    """,
+)
+def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup decision: blocked Jaccard pairs → keep-lowest
+    removal policy → anti-join survivors (the full candidate→verify→decide
+    pipeline a training corpus runs)."""
+    from ..operators import neardup as N
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = N.ngram_jaccard_pairs(d, "doc_id", "text", "source", n=2, threshold=0.1)
+    return N.neardup_filter(d, pairs, "doc_id").select("doc_id", "source")
+
+
+_DUCK_SIMHASH16 = ORACLE_SQL["simhash16"]
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH sig AS ({_DUCK_SIMHASH16}),
+    tagged AS (
+      SELECT s.doc_id, s.simhash, d.lang
+      FROM sig s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM tagged a JOIN tagged b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming ≤ 3 within a blocking key (lang). At
+    scale the block is a simhash band (pigeonhole guarantee) instead of
+    metadata."""
+    from ..operators import neardup as N
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    sim = T.simhash(d, "text", ["doc_id"], n_bits=16).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return N.simhash_hamming_pairs(sim, "doc_id", "simhash", max_hamming=3, block_col="lang")

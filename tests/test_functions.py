@@ -1,0 +1,83 @@
+"""Scalar-function edge cases: the three-shape unit-price parser (SURVEY §7
+hard part 3 — apostrophe-safe quote normalization), truncation, price
+cleaning; plus approx-distinct error bounds and embed→search end-to-end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bytesme_etl_batch_pipeline_spark.functions.strings import (
+    normalize_quoted_json,
+    parse_unit_price,
+    strip_non_digits,
+    truncate_ellipsis,
+)
+from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
+from bytesme_etl_batch_pipeline_spark.schemas import UNIT_PRICE
+
+
+def test_parse_unit_price_three_shapes(spark):
+    rows = [
+        (1, "89000"),                                                     # plain int
+        (2, "0"),                                                         # zero
+        (3, "{'product_sizes': 'S|M|L', 'product_prices': '89|94|99'}"),  # quoted JSON
+        (4, "{'product_sizes': 'S’pecial|M', 'product_prices': '1|2'}"),  # apostrophe in value
+    ]
+    df = spark.createDataFrame(rows, ["id", "product_unit_price"])
+    out = df.select(
+        "id", parse_unit_price("product_unit_price", UNIT_PRICE).alias("p")
+    ).collect()
+    by_id = {r["id"]: r["p"] for r in out}
+    assert by_id[1] is None and by_id[2] is None  # non-JSON shapes → NULL struct
+    assert by_id[3]["product_sizes"] == "S|M|L"
+    assert by_id[3]["product_prices"] == "89|94|99"
+    # the naive replace("'", '"') would corrupt this value; ours must not
+    assert by_id[4]["product_sizes"] == "S’pecial|M"
+
+
+def test_normalize_quoted_json_keeps_interior_apostrophe(spark):
+    df = spark.createDataFrame(
+        [("{'name': 'bánh D’or', 'n': '3'}",)], ["s"]
+    )
+    out = df.select(
+        F.get_json_object(normalize_quoted_json("s"), "$.name").alias("v")
+    ).collect()
+    assert out[0]["v"] == "bánh D’or"
+
+
+def test_strip_non_digits_and_truncate(spark):
+    df = spark.createDataFrame([("129.000 ₫", "x" * 120)], ["price", "txt"])
+    r = df.select(
+        strip_non_digits("price").alias("p"),
+        truncate_ellipsis("txt", 100).alias("t"),
+    ).collect()[0]
+    assert r["p"] == 129000
+    assert r["t"].endswith("...") and len(r["t"]) == 103
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in catalog.SPARK_QUERIES["distinct_counts"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in catalog.SPARK_QUERIES["approx_distinct_counts"](spark, sf_dir).collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex < 0.1, (k, ex, approx[k])
+
+
+def test_embed_then_search_self_retrieval(spark, sf_dir):
+    """E2→E4 end-to-end: embed documents, search with one doc's embedding —
+    that doc must rank first with score ≈ 1."""
+    from bytesme_etl_batch_pipeline_spark.operators.embed import embed_column
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import topk_brute_force
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    emb = d.select("doc_id", embed_column(F.col("text")).alias("embedding"))
+    query = emb.filter(F.col("doc_id") == 7).select(F.col("embedding").alias("q"))
+    top = topk_brute_force(emb, query, k=3, id_col="doc_id").collect()
+    assert top[0]["doc_id"] == 7
+    assert abs(top[0]["score"] - 1.0) < 1e-5
