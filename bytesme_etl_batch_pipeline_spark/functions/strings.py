@@ -20,7 +20,9 @@ def strip_non_digits(col: Column | str) -> Column:
     """``re.sub(r'[^\\d]', '', text)`` → long (reference price cleaner,
     ``products_scraping.py:443-446``). NULL-safe: empty result → NULL cast."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, "[^0-9]", "").cast("long")
+    # try_cast: under ANSI mode (Spark 4 default) a plain cast of '' throws;
+    # the reference's defensive int() maps to NULL-on-malformed semantics.
+    return F.regexp_replace(c, "[^0-9]", "").try_cast("long")
 
 
 def truncate_ellipsis(col: Column | str, max_len: int = 1000) -> Column:

@@ -1706,3 +1706,31 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang"), "doc_id"
     )
     return N.simhash_hamming_pairs(sim, "doc_id", "simhash", max_hamming=3, block_col="lang")
+
+
+@register(
+    "order_lineitem_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_big_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-join (lineitem ⋈ orders) + rollup — the big-big
+    join class absent from the reference (all its joins probe tiny dims).
+    Catalyst picks sort-merge/shuffled-hash with AQE skew splitting; at scale
+    this is THE query bucketing/co-partitioning accelerates (see
+    tests/test_bucketing.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
