@@ -142,3 +142,24 @@ def simhash(df: DataFrame, text_col: str, id_cols: list[str], n_bits: int = 16) 
         term = F.when(F.col(f"__v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sh = term if sh is None else sh + term
     return agg.select(*id_cols, sh.cast("long").alias("simhash"))
+
+
+def vi_tokenize_column(col: Column | str) -> Column:
+    """E6 — Vietnamese word segmentation hook (reference imports
+    ``pyvi.ViTokenizer`` but never calls it, ``generate_embeddings.py:13``).
+    Uses pyvi when installed; falls back to whitespace tokens so the
+    operator is total in every environment."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    try:  # pragma: no cover - pyvi not in this container
+        from pyvi.ViTokenizer import tokenize as _vi
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _tok(texts: pd.Series) -> pd.Series:
+            return texts.fillna("").map(lambda t: _vi(t).split())
+
+        c = F.col(col) if isinstance(col, str) else col
+        return _tok(c)
+    except ImportError:
+        return words(col)

