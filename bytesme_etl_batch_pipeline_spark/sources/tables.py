@@ -27,6 +27,16 @@ TABLE_NAMES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession (including one the driver built without our
+    factory) able to run the catalog: nanos-timestamp parquet support and a
+    pinned UTC session timezone (timestamp formatting must not depend on the
+    host TZ — the DuckDB oracle is TZ-naive). Both are runtime-settable SQL
+    confs; setting them is idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure metadata op — no job is triggered.
 
@@ -36,6 +46,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     float division would lose precision on epoch-nanos magnitudes). DuckDB
     truncates nanos→micros the same way, so both engines see identical values.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
