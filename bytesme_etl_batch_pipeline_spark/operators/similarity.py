@@ -220,3 +220,23 @@ def topk_ivf(
     probe_cells = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
     pruned = assigned.filter(F.col("cell").isin(probe_cells))
     return topk_brute_force(pruned, query, k, id_col, vec_col, query_col).drop("cell")
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer with MLlib KMeans (seeded). At 100 TB,
+    train on a sample (``sample_fraction``) — quantizer quality saturates
+    long before full-data training pays off — then assign the full corpus
+    map-side via ``ivf_assign``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors if sample_fraction >= 1.0 else vectors.sample(sample_fraction, seed)
+    feats = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]

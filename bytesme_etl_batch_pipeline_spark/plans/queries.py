@@ -1828,3 +1828,29 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming in the catalog (SURVEY §2.14)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_windowed_counts",
+    oracle=ORACLE_SQL["events_tumbling_window"],
+)
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path of the tumbling-window aggregation: file-source
+    readStream + watermark drained with availableNow into an in-memory sink.
+    Shares its oracle with the batch twin — the streaming engine must
+    produce the identical result on bounded input (checkpointing included)."""
+    import tempfile
+    import uuid
+
+    from ..streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    agg = SE.windowed_counts(stream)
+    qname = f"win_counts_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        SE.run_stream_to_memory(agg, qname, ckpt)
+    return spark.table(qname)
