@@ -1854,3 +1854,118 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as ckpt:
         SE.run_stream_to_memory(agg, qname, ckpt)
     return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface breadth: subqueries, arrays, regex, dates
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(18,4)))::DOUBLE FROM customer)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter (above-average balance). Spark evaluates the
+    scalar subquery once and broadcasts it as a literal predicate — map-side
+    filter after a one-row agg."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+          SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) FROM customer
+        )
+        """
+    )
+
+
+@register(
+    "array_ops_battery",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(string_split(lower(text), ' '),
+                                               w -> w <> ''))) AS vocab,
+           len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                         w -> w <> ''))) AS vocab_size,
+           list_sort(list_filter(list_distinct(list_filter(string_split(lower(text), ' '),
+                                                           w -> w <> '')),
+                     w -> list_contains(['the','a','of','and','to','in','is'], w)))
+             AS stop_hits
+    FROM documents
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: distinct, sort, filter-intersect. Outputs are
+    sorted so cross-engine array ordering is canonical."""
+    from ..operators.textops import LANG_STOPWORDS, words
+
+    d = load_table(spark, sf_dir, "documents").withColumn("__ws", words("text"))
+    vocab = F.array_sort(F.array_distinct(F.col("__ws")))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[0][1]])
+    return d.select(
+        "doc_id",
+        vocab.alias("vocab"),
+        F.size(F.array_distinct(F.col("__ws"))).alias("vocab_size"),
+        F.array_sort(
+            F.filter(
+                F.array_distinct(F.col("__ws")),
+                lambda w: F.array_contains(stop_arr, w),
+            )
+        ).alias("stop_hits"),
+    )
+
+
+@register(
+    "regex_extract_battery",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_id,
+           regexp_extract(p_name, '^([a-z]+) ', 1) AS first_word,
+           CASE WHEN regexp_matches(p_name, 'w.dget') THEN 1 ELSE 0 END AS is_widgetish
+    FROM part
+    """,
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: group extraction + wildcard matching (reference
+    ``re.search``/``<script>`` JSON extraction sites, SURVEY §2.9)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).alias("brand_id"),
+        F.regexp_extract("p_name", "^([a-z]+) ", 1).alias("first_word"),
+        F.when(F.col("p_name").rlike("w.dget"), 1).otherwise(0).alias("is_widgetish"),
+    )
+
+
+@register(
+    "date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch95,
+           dayofweek(o_orderdate) + 1 AS dow  -- DuckDB 0=Sun, Spark 1=Sun
+    FROM orders
+    """,
+)
+def q_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic battery (reference audit timestamps generalized):
+    trunc, last_day, interval add, datediff, day-of-week."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
