@@ -141,3 +141,59 @@ def test_run_pipeline_isolation_and_report(spark):
     _, report3 = run_pipeline({"a": ok}, ["nope"])
     assert report3.results[0].status == "error"
     assert "unknown stage" in report3.results[0].error
+
+
+# --- near-dup semantics on planted duplicates --------------------------------
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    """Plant a near-identical pair and an unrelated doc: LSH candidates must
+    contain the planted pair and the verify stage must rank it above noise."""
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")          # 1-word edit → high overlap
+    other = "completely different content about spark shuffles and parquet files"
+    df = spark.createDataFrame(
+        [(1, base, "s"), (2, near, "s"), (3, other, "s")], ["doc_id", "text", "source"]
+    )
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", num_hashes=8, bands=4, shingle_n=2).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", "source", n=2, threshold=0.3).collect()
+    }
+    assert (1, 2) in verified and verified[(1, 2)] > 0.6
+    assert (1, 3) not in verified
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import exact_dedup_by_content
+
+    df = spark.createDataFrame(
+        [(5, "Same Text"), (2, "  same text "), (9, "unique")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup_by_content(df, "text", "doc_id").collect())
+    assert kept == [2, 9]  # normalization (trim+lower) unifies, lowest id wins
+
+
+def test_simhash_close_texts_close_hashes(spark):
+    from bytesme_etl_batch_pipeline_spark.operators.textops import simhash
+
+    base = "spark makes large scale data processing simple and fast for everyone"
+    near = base.replace("fast", "quick")
+    far = "unrelated words entirely about cooking pasta with garlic and olive oil"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", ["doc_id"]).collect()}
+    ham_near = bin(sh[1] ^ sh[2]).count("1")
+    ham_far = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_near < ham_far
