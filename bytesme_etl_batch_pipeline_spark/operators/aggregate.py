@@ -16,14 +16,22 @@ from pyspark.sql import functions as F
 
 def collapse_first_wins(df: DataFrame, key: str, attrs: list[str], order_by: list[str]) -> DataFrame:
     """A1: distinct-key collapse keeping one attribute set per key
-    (reference dict build ``seperate_tables.py:24-33``). Deterministic via
-    ``min_by``-style first over an explicit order, executed as one partial-agg
-    shuffle (no window needed)."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    (reference dict build ``seperate_tables.py:24-33``).
+
+    Implemented as ``min(struct(order..., attrs...))`` — lexicographic struct
+    min ≡ first row under the order — because a plain aggregate gets
+    map-side partial combining: each task reduces to one candidate per key
+    before the shuffle. A row_number window would sort every partition and
+    ship every row. Order columns must be non-null for deterministic
+    results (true for the engine's stable-key contract)."""
+    packed = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_by)],
+        *[F.col(a).alias(f"a{i}") for i, a in enumerate(attrs)],
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(key, *attrs)
+        df.groupBy(key)
+        .agg(F.min(packed).alias("__p"))
+        .select(key, *[F.col(f"__p.a{i}").alias(a) for i, a in enumerate(attrs)])
     )
 
 
