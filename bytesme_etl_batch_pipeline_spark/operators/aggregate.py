@@ -18,19 +18,20 @@ def collapse_first_wins(df: DataFrame, key: str, attrs: list[str], order_by: lis
     """A1: distinct-key collapse keeping one attribute set per key
     (reference dict build ``seperate_tables.py:24-33``).
 
-    Implemented as ``min(struct(order..., attrs...))`` — lexicographic struct
-    min ≡ first row under the order — because a plain aggregate gets
-    map-side partial combining: each task reduces to one candidate per key
-    before the shuffle. A row_number window would sort every partition and
-    ship every row. Order columns must be non-null for deterministic
-    results (true for the engine's stable-key contract)."""
-    packed = F.struct(
-        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_by)],
-        *[F.col(a).alias(f"a{i}") for i, a in enumerate(attrs)],
-    )
+    Implemented as ``min_by(struct(attrs), struct(order))`` because a plain
+    aggregate gets map-side partial combining: each task reduces to one
+    candidate per key before the shuffle. A row_number window would sort
+    every partition and ship every row. ``min_by`` orders only on the order
+    struct, so attrs may be any type (maps/arrays included).
+
+    Determinism contract: ``order_by`` must be non-null and UNIQUE per key
+    (the engine's stable-key contract — e.g. file+row lineage or a natural
+    key). On order ties ``min_by`` picks an arbitrary tied row."""
+    ord_struct = F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(order_by)])
+    val_struct = F.struct(*[F.col(a).alias(f"a{i}") for i, a in enumerate(attrs)])
     return (
         df.groupBy(key)
-        .agg(F.min(packed).alias("__p"))
+        .agg(F.min_by(val_struct, ord_struct).alias("__p"))
         .select(key, *[F.col(f"__p.a{i}").alias(a) for i, a in enumerate(attrs)])
     )
 

@@ -197,3 +197,15 @@ def test_simhash_close_texts_close_hashes(spark):
     ham_near = bin(sh[1] ^ sh[2]).count("1")
     ham_far = bin(sh[1] ^ sh[3]).count("1")
     assert ham_near < ham_far
+
+
+def test_collapse_first_wins_nonorderable_attrs(spark):
+    """Attrs of any type (maps) must work — only the order struct is ordered."""
+    from bytesme_etl_batch_pipeline_spark.operators.aggregate import collapse_first_wins
+
+    df = spark.createDataFrame(
+        [("k1", 2, {"a": "2"}), ("k1", 1, {"a": "1"}), ("k2", 5, {"b": "5"})],
+        "k string, ts int, props map<string,string>",
+    )
+    out = {r["k"]: r["props"] for r in collapse_first_wins(df, "k", ["props"], ["ts"]).collect()}
+    assert out == {"k1": {"a": "1"}, "k2": {"b": "5"}}
