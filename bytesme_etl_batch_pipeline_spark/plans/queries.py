@@ -1969,3 +1969,126 @@ def q_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.dayofweek("o_orderdate").alias("dow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins / grouping sets / ranking / ordered collect
+# ---------------------------------------------------------------------------
+
+@register(
+    "left_outer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (outer-join
+    class — absent from the reference, SURVEY §2.4 'absent' list)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "full_outer_nation_presence",
+    oracle="""
+    SELECT COALESCE(cu.n, su.n) AS nationkey,
+           COALESCE(cu.c_cnt, 0) AS n_customers,
+           COALESCE(su.s_cnt, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS n, COUNT(*) AS c_cnt FROM customer GROUP BY 1) cu
+    FULL OUTER JOIN (SELECT s_nationkey AS n, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) su
+      ON cu.n = su.n
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations present on either side, zero-filled."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    joined = c.alias("cu").join(s.alias("su"), F.col("cu.n") == F.col("su.n"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("cu.n"), F.col("su.n")).alias("nationkey"),
+        F.coalesce(F.col("cu.c_cnt"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("su.s_cnt"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "ranking_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery: rank, dense_rank, ntile, percent_rank."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@register(
+    "grouped_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+                      ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (canonical order makes collect_list
+    deterministic across partitions — unordered collect is never
+    hash-comparable)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
+        ).alias("nations")
+    )
