@@ -2092,3 +2092,39 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
         ).alias("nations")
     )
+
+
+@register("semantic_search_pipeline")  # no SQL oracle: embeds via pandas UDF; pytest-verified
+def q_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's §3.3 lifecycle end-to-end in Spark: template each
+    product row into a document (E1) → embed (E2, hash-embedder) → top-k
+    cosine search for a text query (E4) → join results back to product
+    details (J3) with score = rank-descending cosine. Everything except the
+    two pandas-UDF embed calls is JVM-side."""
+    from ..operators.embed import embed_column
+    from ..operators.similarity import topk_brute_force
+    from ..operators.template import product_document
+
+    p = load_table(spark, sf_dir, "part")
+    docs = p.select(
+        "p_partkey",
+        product_document(
+            name=F.col("p_name"),
+            brand=F.col("p_brand"),
+            category=F.col("p_type"),
+            description=F.lit(""),
+            price=F.floor(F.col("p_retailprice")),
+            stars=F.col("p_size") / 10.0,
+            orders=F.lit(0),
+            stock=F.col("p_size") * 5,
+        ).alias("document"),
+    )
+    emb = docs.select("p_partkey", "document", embed_column(F.col("document")).alias("embedding"))
+    query = spark.createDataFrame([("large economy widget",)], ["qtext"]).select(
+        embed_column(F.col("qtext")).alias("q")
+    )
+    top = topk_brute_force(emb, query, k=5, id_col="p_partkey")
+    # J3: join search hits back to full product details
+    return top.join(p, "p_partkey").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "score"
+    )

@@ -81,3 +81,15 @@ def test_embed_then_search_self_retrieval(spark, sf_dir):
     top = topk_brute_force(emb, query, k=3, id_col="doc_id").collect()
     assert top[0]["doc_id"] == 7
     assert abs(top[0]["score"] - 1.0) < 1e-5
+
+
+def test_semantic_pipeline_shape_and_determinism(spark, sf_dir):
+    df = catalog.SPARK_QUERIES["semantic_search_pipeline"](spark, sf_dir)
+    rows1 = df.collect()
+    assert len(rows1) == 5
+    assert rows1[0]["score"] is not None
+    # widget/economy terms should surface widget-ish or economy parts first
+    top_text = " ".join(r["p_name"] + " " + r["p_type"] for r in rows1).lower()
+    assert "widget" in top_text or "economy" in top_text
+    rows2 = catalog.SPARK_QUERIES["semantic_search_pipeline"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
