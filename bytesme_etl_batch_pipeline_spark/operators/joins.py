@@ -72,7 +72,13 @@ def asof_join(
     values forward with ``last(..., ignorenulls=True)``, then keep left rows.
     One shuffle on the key; cost is O(n log n) per key vs O(n·m) for the
     naive theta join — at 100 TB this is the difference between a sort and a
-    blow-up."""
+    blow-up.
+
+    Tie contract: when several right rows share (key, time), the one with
+    the greatest ``right_vals`` tuple wins (they are the final sort keys) —
+    deterministic across runs, but an arbitrary-tie engine (e.g. DuckDB
+    ASOF) may pick differently; for cross-engine parity keep (key, time)
+    unique on the right side."""
     lcols = [F.col(c) for c in left.columns]
     l_tag = left.select(
         F.col(key).alias("__k"),
@@ -93,7 +99,7 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", *[F.col(f"__rv_{c}") for c in right_vals])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

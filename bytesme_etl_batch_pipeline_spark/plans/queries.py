@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optionally its DuckDB oracle) to the catalog."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
+        assert name not in SPARK_QUERIES, f"duplicate catalog query name: {name!r}"
         SPARK_QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -334,7 +335,7 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            lower(trim(p_name)) AS clean_name,
-           CAST(regexp_replace(p_brand, '[^0-9]', '', 'g') AS BIGINT) AS brand_num,
+           TRY_CAST(regexp_replace(p_brand, '[^0-9]', '', 'g') AS BIGINT) AS brand_num,
            upper(substr(p_name, 1, 3)) AS name_code,
            lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
            concat_ws('-', p_brand, p_type) AS tagline
@@ -381,7 +382,8 @@ def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     oracle="""
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
     FROM events
     """,
 )
@@ -399,7 +401,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tolerant_json_parse",
     oracle="""
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    SELECT event_id,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
     FROM events
     """,
 )
@@ -677,7 +681,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_EN_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+def _duck_en_stop() -> str:
+    from ..operators.textops import LANG_STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[0][1]) + "]"
+
+
+_DUCK_EN_STOP = _duck_en_stop()
 
 
 @register(
@@ -1257,7 +1267,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN p_brand IS NOT NULL AND p_brand <> ''
                   THEN 'Brand: ' || p_brand || '.' END,
              CASE WHEN p_size > 30 THEN 'Details: oversize.' END,
-             CASE WHEN p_retailprice > 0
+             CASE WHEN floor(p_retailprice) > 0  -- Spark gates on the floored value
                   THEN 'Price: ' || CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) || '.' END,
              CASE WHEN p_size / 10.0 >= 4.5 THEN 'Rated excellent.'
                   WHEN p_size / 10.0 >= 3.5 THEN 'Rated good.'
@@ -1597,7 +1607,7 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
            CAST(o_orderdate AS DATE) AS order_date,
-           CAST(regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS INT) AS priority_num
+           TRY_CAST(regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS INT) AS priority_num
     FROM orders
     """,
 )
@@ -1610,7 +1620,7 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.floor("o_totalprice").cast("long").alias("price_floor"),
         F.col("o_orderdate").cast("date").alias("order_date"),
-        F.regexp_replace("o_orderpriority", "[^0-9]", "").cast("int").alias("priority_num"),
+        F.regexp_replace("o_orderpriority", "[^0-9]", "").try_cast("int").alias("priority_num"),
     )
 
 
@@ -1853,7 +1863,12 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"win_counts_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as ckpt:
         SE.run_stream_to_memory(agg, qname, ckpt)
-    return spark.table(qname)
+    # materialize, then drop the memory-sink table so repeated invocations
+    # (bench loops, driver retries) don't accumulate session-lifetime state
+    result = spark.table(qname)
+    rows, schema = result.collect(), result.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1887,7 +1902,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_ops_battery",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            list_sort(list_distinct(list_filter(string_split(lower(text), ' '),
                                                w -> w <> ''))) AS vocab,
@@ -1895,7 +1910,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          w -> w <> ''))) AS vocab_size,
            list_sort(list_filter(list_distinct(list_filter(string_split(lower(text), ' '),
                                                            w -> w <> '')),
-                     w -> list_contains(['the','a','of','and','to','in','is'], w)))
+                     w -> list_contains({_DUCK_EN_STOP}, w)))
              AS stop_hits
     FROM documents
     """,

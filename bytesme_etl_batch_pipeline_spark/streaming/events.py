@@ -27,6 +27,9 @@ def read_events_stream(
     the same downstream code). ``maxFilesPerTrigger`` bounds batch size."""
     import os
 
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)  # nanos-parquet + UTC, even on foreign sessions
     path = os.path.join(sf_dir, "events.parquet")
     if schema is None:
         schema = spark.read.parquet(path).schema

@@ -93,3 +93,55 @@ def test_semantic_pipeline_shape_and_determinism(spark, sf_dir):
     assert "widget" in top_text or "economy" in top_text
     rows2 = catalog.SPARK_QUERIES["semantic_search_pipeline"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+
+def test_malformed_json_and_digitless_inputs_are_null(spark):
+    """Review regression: NULL-on-malformed parity shapes (empty/garbage
+    JSON, digitless strings) must not error in either engine path."""
+    import duckdb
+
+    from bytesme_etl_batch_pipeline_spark.functions.strings import strip_non_digits
+
+    df = spark.createDataFrame([("no digits here",), ("",)], ["s"])
+    got = [r[0] for r in df.select(strip_non_digits("s")).collect()]
+    assert got == [None, None]
+
+    df2 = spark.createDataFrame([("",), ("not json",), ('{"k": 5}',)], ["props"])
+    got2 = [
+        r[0]
+        for r in df2.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        ).collect()
+    ]
+    assert got2 == [None, None, 5]
+    # the oracle shape used in queries.py must agree
+    con = duckdb.connect()
+    oracle = con.sql(
+        """
+        SELECT CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+        FROM (VALUES (''), ('not json'), ('{"k": 5}')) t(props)
+        """
+    ).fetchall()
+    assert [r[0] for r in oracle] == [None, None, 5]
+    con.close()
+
+
+def test_asof_join_tie_is_deterministic(spark):
+    """Review regression: tied (key, ts) right rows resolve to the greatest
+    right_vals tuple, stably across runs."""
+    import datetime
+
+    from bytesme_etl_batch_pipeline_spark.operators.joins import asof_join
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t, "evt")], "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, t, 10.0), (1, t, 99.0)], "user_id long, ts timestamp, purchase_value double"
+    )
+    for _ in range(3):
+        out = asof_join(
+            left, right, key="user_id", left_time="ts", right_time="ts",
+            right_vals=["purchase_value"],
+        ).collect()
+        assert len(out) == 1 and out[0]["purchase_value"] == 99.0
