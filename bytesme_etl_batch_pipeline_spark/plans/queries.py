@@ -2143,3 +2143,131 @@ def q_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(p, "p_partkey").select(
         "p_partkey", "p_name", "p_brand", "p_type", "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandas escape hatch / data quality / corpus stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouped_robust_zscore",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l.l_returnflag, quantile_cont(abs(l.l_quantity - med.m), 0.5) AS mad
+      FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+      GROUP BY l.l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round((l.l_quantity - med.m) / (1.4826 * mad.mad), 6) AS robust_z
+    FROM lineitem l
+    JOIN med ON l.l_returnflag = med.l_returnflag
+    JOIN mad ON l.l_returnflag = mad.l_returnflag
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom analytics via ``applyInPandas`` (SURVEY §2.13 — the
+    per-group pandas escape hatch): robust z-score (median/MAD) per return
+    flag, computed in numpy per group, verified against a pure-SQL oracle.
+    numpy's linear-interpolated median matches quantile_cont(0.5) exactly."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_returnflag", StringType()),
+            StructField("robust_z", DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        q = pdf["l_quantity"].to_numpy(dtype="float64")
+        m = float(np.median(q))
+        mad = float(np.median(np.abs(q - m)))
+        pdf = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        pdf["robust_z"] = np.round((q - m) / (1.4826 * mad), 6)
+        return pdf
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(zscore, schema=out_schema)
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
+      SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_quantity,
+      SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
+      SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+      SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS bad_returnflag,
+      COUNT(DISTINCT l_orderkey) AS distinct_orders
+    FROM lineitem
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (training-pipeline gatekeeping):
+    null/range/domain violation counts in ONE pass — every check is a
+    conditional aggregate, so the table is scanned once regardless of how
+    many rules run."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("l_quantity").isNull()).alias("null_quantity"),
+        viol(F.col("l_quantity") <= 0).alias("nonpositive_quantity"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("bad_discount"),
+        viol(F.col("l_shipdate").isNull()).alias("null_shipdate"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_returnflag"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+    )
+
+
+@register(
+    "corpus_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len({_DUCK_WORDS})) AS total_tokens,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (the first report any training-data
+    pipeline runs): doc counts, token totals, length percentiles."""
+    from ..operators.textops import token_count_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws("text")).alias("total_tokens"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
