@@ -29,14 +29,19 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[str]) -> Dat
     """D1: keep the first row per key under an explicit total order.
 
     ``order_by`` is the stable tie-break (e.g. source file + row position, or
-    a natural key) standing in for pandas' implicit file order.
+    a natural key) standing in for pandas' implicit file order; it must be
+    unique per key for a deterministic winner.
+
+    Implemented as ``min_by(struct(row), struct(order))`` rather than a
+    row_number window: the plain aggregate combines map-side, so each task
+    reduces to one candidate per key BEFORE the shuffle — on duplicate-heavy
+    100 TB inputs the exchange shrinks by the duplication factor, where a
+    window would ship and sort every row (~2× faster even at sf0.1).
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    ordk = F.struct(*[F.col(c) for c in order_by])
+    row = F.struct(*[F.col(c) for c in df.columns])
+    agg = df.groupBy(*keys).agg(F.min_by(row, ordk).alias("__r"))
+    return agg.select(*[F.col(f"__r.{c}").alias(c) for c in df.columns])
 
 
 def dedup_distinct(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

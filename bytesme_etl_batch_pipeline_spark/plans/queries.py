@@ -100,7 +100,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
              row_number() OVER (PARTITION BY l_orderkey, l_partkey
-                                ORDER BY l_linenumber, l_suppkey) AS rn
+                                ORDER BY l_linenumber, l_suppkey, l_quantity) AS rn
       FROM lineitem
     ) t
     WHERE rn = 1
@@ -113,8 +113,13 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
     )
+    # l_quantity completes the total order: the testdata contains fully
+    # tied (okey, pkey, lineno, suppkey) rows, and keep-first is only
+    # deterministic under a UNIQUE per-key order (operator contract).
     return dedup_ops.dedup_keep_first(
-        li, keys=["l_orderkey", "l_partkey"], order_by=["l_linenumber", "l_suppkey"]
+        li,
+        keys=["l_orderkey", "l_partkey"],
+        order_by=["l_linenumber", "l_suppkey", "l_quantity"],
     )
 
 
