@@ -79,22 +79,29 @@ def ngram_jaccard_pairs(
     compared); at web scale the block is an LSH bucket instead of a metadata
     column, but the verify math is identical.
     """
-    sh = _shingle_rows(df, id_col, text_col, n, extra=[block_col]).select(
-        F.col(id_col).alias("doc_a"),
-        F.col(block_col).alias("__blk"),
-        F.col("__shingle"),
-    )
-    sizes = sh.groupBy("doc_a").agg(F.count(F.lit(1)).alias("size_a"))
-    right = sh.select(
-        F.col("doc_a").alias("doc_b"), F.col("__blk"), F.col("__shingle")
-    )
+    sh = _shingle_rows(df, id_col, text_col, n, extra=[block_col])
+    a, b = sh.alias("a"), sh.alias("b")
     common = (
-        sh.join(right, on=["__blk", "__shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        a.join(
+            b,
+            on=[
+                F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
+                F.col("a.__shingle") == F.col("b.__shingle"),
+            ],
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes_b = sizes.select(F.col("doc_a").alias("doc_b"), F.col("size_a").alias("size_b"))
+    # Shingle-set sizes straight from size(ngrams) — one row per doc, no
+    # third explode pass over the corpus.
+    sizes_src = df.withColumn("__ws", words(text_col)).select(
+        F.col(id_col), F.size(word_ngrams(F.col("__ws"), n)).alias("__sz")
+    )
+    sizes = sizes_src.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("size_a"))
+    sizes_b = sizes_src.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("size_b"))
     jac = (
         common.join(sizes, "doc_a")
         .join(sizes_b, "doc_b")
