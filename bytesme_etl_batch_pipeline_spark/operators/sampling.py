@@ -1,0 +1,65 @@
+"""Deterministic sampling & split assignment for training-data pipelines.
+
+Engine extension (BASELINE.json north star). Spark's ``sample``/``sampleBy``
+are seed-stable only for a fixed partitioning — a reshuffle, retry, or
+cluster resize changes the picked rows. Training pipelines need sampling
+that is a pure FUNCTION OF THE ROW: the same document lands in the same
+split on any cluster, any day, which makes mixes reproducible and
+incremental reruns consistent. Everything here derives from
+``hash_uniform(stable_key, seed)`` (functions/seeded.py) — and is therefore
+also replayable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.seeded import hash_uniform
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int | str = 42
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by row-key hash — reproducible under
+    any partitioning/retry (unlike ``DataFrame.sample``)."""
+    return df.filter(hash_uniform(F.col(key_col), seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int | str = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 100% of high-quality docs, 10% of mid, 1% of low). Map-side
+    filter, no shuffle; fractions are data, not code."""
+    u = hash_uniform(F.col(key_col), seed)
+    expr: Column = F.lit(default_fraction)
+    for stratum, frac in fractions.items():
+        expr = F.when(F.col(strata_col) == stratum, F.lit(frac)).otherwise(expr)
+    return df.filter(u < expr)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    seed: int | str = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to train/val/test by key hash. Stable across reruns
+    and data growth: a document never migrates between splits when new data
+    arrives (its hash doesn't change) — the property random splits lack."""
+    u = hash_uniform(F.col(key_col), seed)
+    train_cut = 1.0 - val_fraction - test_fraction
+    return df.withColumn(
+        out_col,
+        F.when(u < train_cut, "train")
+        .when(u < train_cut + val_fraction, "val")
+        .otherwise("test"),
+    )

@@ -2276,3 +2276,66 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / split assignment (training-pipeline extension)
+# ---------------------------------------------------------------------------
+
+def _duck_uniform_doc(seed: str) -> str:
+    return _duck_uniform(seed, key="CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_duck_uniform_doc('42')} <
+          CASE WHEN lang = 'en' THEN 0.8
+               WHEN lang = 'de' THEN 0.5
+               WHEN lang = 'zh' THEN 0.25
+               ELSE 0.1 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (data mixing): fraction by
+    language, chosen by row-key hash — same rows survive on any cluster,
+    any partitioning, any retry (``DataFrame.sample`` cannot promise that)."""
+    from ..operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.8, "de": 0.5, "zh": 0.25},
+        seed=42,
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           -- cuts mirror the Spark-side float arithmetic exactly
+           -- (1.0-0.1-0.1 != 0.8 in IEEE; a literal 0.8 would misclassify
+           -- a hash landing in the 1-ulp gap)
+           CASE WHEN {_duck_uniform_doc('42-split')} < (1.0 - 0.1 - 0.1) THEN 'train'
+                WHEN {_duck_uniform_doc('42-split')} < (1.0 - 0.1 - 0.1 + 0.1) THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment: a document never migrates
+    between splits as the corpus grows — the reproducibility property
+    random splits lack."""
+    from ..operators.sampling import train_val_test_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(d, key_col="doc_id", seed="42-split").select(
+        "doc_id", "split"
+    )

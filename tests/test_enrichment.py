@@ -40,3 +40,32 @@ def test_ratings_power_law(spark, sf_dir):
     assert all(v >= 1 for v in vals)
     mean = sum(vals) / len(vals)
     assert 30 < mean < 75  # Exp(50) + 1
+
+
+def test_split_is_stable_under_corpus_growth(spark, sf_dir):
+    """A doc's split assignment must not change when the corpus grows —
+    the core property hash-splits have and random splits lack."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.sampling import train_val_test_split
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(d, "doc_id", seed="s").collect()
+    }
+    subset = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(d.filter(F.col("doc_id") < 100), "doc_id", seed="s").collect()
+    }
+    for doc_id, split in subset.items():
+        assert full[doc_id] == split
+    # fractions roughly honored
+    from collections import Counter
+
+    c = Counter(full.values())
+    n = sum(c.values())
+    assert 0.7 < c["train"] / n < 0.9
+    assert 0.05 < c["val"] / n < 0.15
+    assert 0.05 < c["test"] / n < 0.15
