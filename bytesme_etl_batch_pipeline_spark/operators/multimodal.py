@@ -137,3 +137,53 @@ def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") / 1000, F.lit(0)).cast("int"))
         ).alias("second"),
     ).filter(F.col("second") % every_n == 0)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", StringType(), True),  # BinaryType with real codecs
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    codec_factory=FakeCodec,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage: image rows only (planning filter stays JVM-side), bytes
+    re-encoded per Arrow batch. FakeCodec returns a deterministic tag of the
+    (payload, target) pair standing in for real pixels; a production codec
+    (PIL) slots into the same interface."""
+    state: dict = {}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if "c" not in state:
+            state["c"] = codec_factory()
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col]
+                if isinstance(payload, (bytes, bytearray)):
+                    payload = bytes(payload)
+                else:
+                    payload = str(payload).encode()
+                tag = hashlib.md5(payload + f"|{target_w}x{target_h}".encode()).hexdigest()
+                rows.append(
+                    {
+                        "media_id": r[id_col],
+                        "width": target_w,
+                        "height": target_h,
+                        "payload": f"resized:{tag}",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    images = media.filter(F.col("kind") == "image")
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -45,10 +45,12 @@ def word_ngrams(col: Column | str, n: int = 2) -> Column:
     expression re-evaluates the split per lambda element (~4× slower
     measured at sf0.1)."""
     ws = F.col(col) if isinstance(col, str) else col
-    count = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(ws, i, n), " ")
-    )
+    # Guard: Spark sequence(1, 0) is DESCENDING [1, 0], not empty — a text
+    # shorter than n words must yield an empty shingle set.
+    starts = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(ws, i, n), " "))
     return F.array_distinct(grams)
 
 

@@ -163,3 +163,37 @@ def vi_tokenize_column(col: Column | str) -> Column:
         return _tok(c)
     except ImportError:
         return words(col)
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_cols: list[str], k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash fingerprint family used for
+    plagiarism/near-dup detection): hash every word k-gram, slide a window
+    of w hashes, keep the minimum of each window, emit the distinct mins.
+
+    Robust to local edits: a change only perturbs fingerprints whose window
+    touches it. Pure expressions — per-row array ops, one explode; no
+    shuffle until the caller aggregates."""
+    from .textops import md5_hash48, words  # self-import safe under module exec
+
+    ws = F.col("__ws")
+
+    def _starts(arr, width):
+        # sequence(1, 0) is descending [1, 0], never use it for empty ranges
+        return F.when(
+            F.size(arr) >= width, F.sequence(F.lit(1), F.size(arr) - F.lit(width - 1))
+        ).otherwise(F.array().cast("array<int>"))
+
+    kgrams = F.transform(_starts(ws, k), lambda i: F.array_join(F.slice(ws, i, k), " "))
+    hashes = F.transform(F.col("__kg"), lambda g: md5_hash48(g))
+    mins = F.transform(
+        _starts(F.col("__h"), w), lambda i: F.array_min(F.slice(F.col("__h"), i, w))
+    )
+    return (
+        df.withColumn("__ws", words(text_col))
+        .withColumn("__kg", kgrams)
+        .withColumn("__h", hashes)
+        .withColumn("__mins", mins)
+        .select(*id_cols, F.explode(F.array_distinct(F.col("__mins"))).alias("fingerprint"))
+    )

@@ -2339,3 +2339,38 @@ def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(d, key_col="doc_id", seed="42-split").select(
         "doc_id", "split"
     )
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(ws) - 2, 0)),
+                            i -> array_to_string(ws[i + 1:i + 3], ' ')) AS kgrams
+      FROM base
+    ),
+    h AS (
+      SELECT doc_id, list_transform(kgrams, g -> {_duck_hash48('g')}) AS hs FROM kg
+    ),
+    m AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(hs) - 3, 0)),
+                            i -> list_min(hs[i + 1:i + 4])) AS mins
+      FROM h
+    )
+    SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m
+    """,
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash family, MOSS-style): hash word
+    3-grams, keep the min of each sliding window of 4 — local edits only
+    perturb fingerprints whose window touches them. Map-side array ops, one
+    explode."""
+    from ..operators.textops import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "text", ["doc_id"], k=3, w=4)

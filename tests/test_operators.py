@@ -209,3 +209,38 @@ def test_collapse_first_wins_nonorderable_attrs(spark):
     )
     out = {r["k"]: r["props"] for r in collapse_first_wins(df, "k", ["props"], ["ts"]).collect()}
     assert out == {"k1": {"a": "1"}, "k2": {"b": "5"}}
+
+
+def test_resize_images_plumbing(spark):
+    from bytesme_etl_batch_pipeline_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"img1"), 0),
+            (2, "video", bytearray(b"vid1"), 1000),
+            (3, "image", bytearray(b"img2"), 0),
+        ],
+        "media_id long, kind string, payload binary, duration_ms long",
+    )
+    out = resize_images(media, 224, 224).collect()
+    assert {r["media_id"] for r in out} == {1, 3}  # videos skipped
+    for r in out:
+        assert (r["width"], r["height"]) == (224, 224)
+        assert r["payload"].startswith("resized:")
+    # deterministic re-encode tag
+    again = resize_images(media, 224, 224).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_word_ngrams_short_text_empty(spark):
+    """Regression: sequence(1,0) is descending in Spark — short texts must
+    yield empty shingle sets, not bogus partial grams."""
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import minhash_signatures
+
+    df = spark.createDataFrame([(1, "one"), (2, "a b c d")], ["doc_id", "text"])
+    sig = minhash_signatures(df, "doc_id", "text", num_hashes=2, shingle_n=3)
+    by_doc = {}
+    for r in sig.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["minhash"])
+    assert 1 not in by_doc          # too short for trigrams → no signature
+    assert len(by_doc[2]) == 2      # one minhash per seed
