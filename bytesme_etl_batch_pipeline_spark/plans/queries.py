@@ -2374,3 +2374,56 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(d, "text", ["doc_id"], k=3, w=4)
+
+
+@register(
+    "fill_forward_props",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-forward / gap filling: carry the last non-null observation
+    forward per key (time-series staple; ``last(..., ignorenulls=True)``
+    over an ordered frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(marked, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "trailing_hour_activity",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour
+    FROM events
+    """,
+)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE window: per event, how many events the user
+    produced in the preceding hour (the batch twin of a sliding-window
+    stream metric). RANGE frame over epoch seconds — value-based, not
+    row-based."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")) / 1_000_000)
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("events_last_hour")
+    )
