@@ -23,8 +23,11 @@ TWO_48 = float(2**48)
 
 
 def hash_uniform(key: Column, seed: int | str) -> Column:
-    """U[0,1) derived from (key, seed): md5 → 48-bit int → /2^48."""
-    return md5_hash48(F.concat_ws("|", F.lit(str(seed)), key.cast("string"))) / F.lit(TWO_48)
+    """U[0,1) derived from (key, seed): md5 → 48-bit int → /2^48.
+    NULL keys hash via an explicit sentinel (concat_ws would silently skip
+    the NULL and hash the seed alone — every NULL-key row identical)."""
+    key_s = F.coalesce(key.cast("string"), F.lit("__NULL_KEY__"))
+    return md5_hash48(F.concat_ws("|", F.lit(str(seed)), key_s)) / F.lit(TWO_48)
 
 
 def hash_uniform_int(key: Column, seed: int | str, lo: int, hi: int) -> Column:

@@ -75,44 +75,47 @@ def asof_join(
     blow-up.
 
     Tie contract: when several right rows share (key, time), the one with
-    the greatest ``right_vals`` tuple wins (they are the final sort keys) —
+    the greatest ``right_vals`` struct wins (it is the final sort key) —
     deterministic across runs, but an arbitrary-tie engine (e.g. DuckDB
     ASOF) may pick differently; for cross-engine parity keep (key, time)
     unique on the right side."""
-    lcols = [F.col(c) for c in left.columns]
-    l_tag = left.select(
-        F.col(key).alias("__k"),
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
-        F.struct(*lcols).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_vals],
-    )
     r_tag = right.select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__rv_{c}") for c in right_vals],
+        F.struct(*[F.col(c) for c in right_vals]).alias("__rrow"),
     )
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(dict(r_tag.dtypes)["__rrow"]).alias("__rrow"),
+    )
+    r_tag = r_tag.withColumn(
+        "__lrow", F.lit(None).cast(dict(l_tag.dtypes)["__lrow"])
+    ).select("__k", "__t", "__side", "__lrow", "__rrow")
+    l_tag = l_tag.select("__k", "__t", "__side", "__lrow", "__rrow")
+
     from pyspark.sql import Window
 
     unioned = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side", *[F.col(f"__rv_{c}") for c in right_vals])
+        .orderBy("__t", "__side", F.col("__rrow"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the whole right ROW (one struct): a NULL field inside the latest
+    # right row stays NULL, and value columns can never stitch together
+    # fields from different right rows.
     carried = unioned.select(
         "__side",
         "__lrow",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__last_{c}")
-            for c in right_vals
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__last_r"),
     )
     out = carried.filter(F.col("__side") == 1).select(
         F.col("__lrow.*"),
-        *[F.col(f"__last_{c}").alias(c) for c in right_vals],
+        *[F.col(f"__last_r.{c}").alias(c) for c in right_vals],
     )
     return out
 

@@ -131,12 +131,20 @@ def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
     index. Pure expressions (sequence + explode) — the decode of each kept
     frame happens later in the codec stage, so planning stays JVM-side."""
     decoded = media.filter(F.col("kind") == "video")
-    return decoded.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") / 1000, F.lit(0)).cast("int"))
-        ).alias("second"),
-    ).filter(F.col("second") % every_n == 0)
+    return (
+        decoded.select(
+            "media_id",
+            "duration_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("duration_ms") / 1000, F.lit(0)).cast("int")
+                )
+            ).alias("second"),
+        )
+        # strictly inside the video: second N exists only if N*1000 < duration
+        .filter((F.col("second") % every_n == 0) & (F.col("second") * 1000 < F.col("duration_ms")))
+        .select("media_id", "second")
+    )
 
 
 RESIZED_SCHEMA = StructType(

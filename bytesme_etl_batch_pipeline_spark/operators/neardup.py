@@ -30,7 +30,10 @@ from .textops import md5_hash48, words
 def exact_dedup_by_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact content dedup: keep the lowest-id row per normalized-content
     digest. One shuffle on the digest; survivors keep their full row."""
-    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    # NULL text would make the equality join drop BOTH rows (NULL digest
+    # never equals NULL); give NULLs their own content class (sentinel can't
+    # collide with 32-hex md5 output).
+    digest = F.coalesce(F.md5(F.lower(F.trim(F.col(text_col)))), F.lit("__NULL__"))
     keyed = df.withColumn("__digest", digest)
     keep = keyed.groupBy("__digest").agg(F.min(id_col).alias(id_col))
     return keyed.join(keep, on=["__digest", id_col], how="inner").drop("__digest")
@@ -169,12 +172,28 @@ def minhash_lsh_pairs(
     Returns distinct (doc_a, doc_b) candidates — feed into
     ``ngram_jaccard_pairs``-style verification for the final decision.
     """
+    assert num_hashes % bands == 0, "bands must divide num_hashes evenly"
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # Band hash over SEED-ordered minhashes: sorting by value would make
+    # permuted signatures collide (false candidates beyond the (1-s^r)^b
+    # LSH model). sort_array on struct(seed, minhash) restores seed order.
     banded = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                        ),
+                        lambda s: s.minhash.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
     )
     left = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")

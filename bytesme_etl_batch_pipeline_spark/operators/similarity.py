@@ -185,17 +185,17 @@ def ivf_assign(
     Centroids are a driver-side constant list (trained offline / sampled);
     assignment is map-side only. At scale, write the table partitioned by
     ``cell`` so probes prune at the scan."""
-    best_cell, best_dist = None, None
-    for idx, c in enumerate(centroids):
-        carr = F.array(*[F.lit(x) for x in c])
-        d = l2_distance(F.col(vec_col), carr)
-        if best_cell is None:
-            best_cell, best_dist = F.lit(idx), d
-        else:
-            cond = d < best_dist
-            best_cell = F.when(cond, F.lit(idx)).otherwise(best_cell)
-            best_dist = F.when(cond, d).otherwise(best_dist)
-    return vectors.withColumn(out_col, best_cell)
+    # Linear expression tree: one distances array + argmin. (A chained
+    # when(d < best).otherwise(best) fold embeds the running best twice per
+    # step — O(2^k) Catalyst nodes, which hangs analysis for k ≳ 20.)
+    dists = F.array(
+        *[
+            l2_distance(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return vectors.withColumn(out_col, cell)
 
 
 def topk_ivf(
@@ -211,7 +211,7 @@ def topk_ivf(
     """IVF top-k: score only vectors in the ``n_probe`` cells nearest to the
     query. Exact within probed cells; recall grows with n_probe."""
     assigned = ivf_assign(vectors, centroids, vec_col)
-    qrow = query.collect()[0][0]
+    qrow = query.select(query_col).collect()[0][0]
     import math
 
     def dist(c):

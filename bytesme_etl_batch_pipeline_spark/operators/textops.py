@@ -30,9 +30,11 @@ TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
 def words(col: Column | str) -> Column:
-    """Non-empty whitespace tokens."""
+    r"""Non-empty whitespace tokens (``\s+`` — tabs/newlines are separators
+    too; splitting on a literal space would glue line-wrapped words together
+    and break near-dup matching on multi-line corpora)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), " "), lambda w: w != "")
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
 
 
 def token_count_ws(col: Column | str) -> Column:
@@ -82,7 +84,7 @@ def quality_features(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFr
     n_words = F.size(ws)
     en_stop = _stopword_hits(ws, LANG_STOPWORDS[0][1])
     punct = F.length(F.regexp_replace(c, "[^.!?,;]", ""))
-    avg_word_len = F.round(F.length(F.regexp_replace(c, " ", "")) / n_words, 6)
+    avg_word_len = F.round(F.length(F.regexp_replace(c, r"\s", "")) / n_words, 6)
     punct_ratio = F.round(punct / n_chars, 6)
     stop_ratio = F.round(en_stop / n_words, 6)
     score = F.round(
@@ -175,8 +177,6 @@ def winnow_fingerprints(
     Robust to local edits: a change only perturbs fingerprints whose window
     touches it. Pure expressions — per-row array ops, one explode; no
     shuffle until the caller aggregates."""
-    from .textops import md5_hash48, words  # self-import safe under module exec
-
     ws = F.col("__ws")
 
     def _starts(arr, width):

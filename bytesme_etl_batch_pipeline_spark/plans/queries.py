@@ -509,7 +509,7 @@ def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wordcount",
     oracle="""
     SELECT word, COUNT(*) AS n
-    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents) t
     WHERE word <> ''
     GROUP BY word
     """,
@@ -519,7 +519,7 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode ``seperate_tables.py:81-106``, as the canonical split+explode)."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -627,7 +627,7 @@ def _duck_hash48(expr: str) -> str:
     )
 
 
-_DUCK_WORDS = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+_DUCK_WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
 
 
 @register(
@@ -702,7 +702,7 @@ _DUCK_EN_STOP = _duck_en_stop()
       SELECT doc_id,
              length(text) AS n_chars,
              len({_DUCK_WORDS}) AS n_words,
-             round(length(regexp_replace(text, ' ', '', 'g'))
+             round(length(regexp_replace(text, '\\s', '', 'g'))
                    / len({_DUCK_WORDS}), 6) AS avg_word_len,
              round(length(regexp_replace(text, '[^.!?,;]', '', 'g'))
                    / length(text), 6) AS punct_ratio,
@@ -876,7 +876,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS ({_DUCK_MINHASH_SIG}),
     banded AS (
       SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-             md5(array_to_string(list_sort(list(minhash)), ',')) AS band_hash
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
       FROM sig GROUP BY doc_id, band
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1909,11 +1909,11 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_ops_battery",
     oracle=f"""
     SELECT doc_id,
-           list_sort(list_distinct(list_filter(string_split(lower(text), ' '),
+           list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
                                                w -> w <> ''))) AS vocab,
-           len(list_distinct(list_filter(string_split(lower(text), ' '),
+           len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
                                          w -> w <> ''))) AS vocab_size,
-           list_sort(list_filter(list_distinct(list_filter(string_split(lower(text), ' '),
+           list_sort(list_filter(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
                                                            w -> w <> '')),
                      w -> list_contains({_DUCK_EN_STOP}, w)))
              AS stop_hits

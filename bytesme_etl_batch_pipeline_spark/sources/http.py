@@ -32,7 +32,7 @@ FetchFn = Callable[[str], tuple[int, str]]
 
 FETCH_RESULT = StructType(
     [
-        StructField("url", StringType(), False),
+        StructField("url", StringType(), True),
         StructField("status", IntegerType(), True),
         StructField("body", StringType(), True),
         StructField("error", StringType(), True),

@@ -37,6 +37,11 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC reads require lower_bound and upper_bound "
+                "(run SELECT min(col), max(col) first)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

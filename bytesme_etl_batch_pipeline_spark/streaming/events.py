@@ -81,15 +81,20 @@ def sessionized_counts(
 
 
 def run_stream_to_memory(
-    df: DataFrame, query_name: str, checkpoint_dir: str
+    df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ) -> None:
     """Run a streaming aggregation to completion with availableNow into an
-    in-memory table (test/bench harness; a real deployment writes to
-    parquet/Delta/Kafka with the same writer API)."""
+    in-memory table — the BOUNDED test/bench harness.
+
+    Mode caveat: ``complete`` retains all windows and disables
+    watermark-based state eviction, which is fine for a drained bounded
+    input but must NOT be copied to a continuous deployment — production
+    sinks (parquet/Delta/Kafka) use ``append`` (or ``update``), where the
+    watermark actually bounds state as the aggregation docstrings promise."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
