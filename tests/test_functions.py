@@ -145,3 +145,60 @@ def test_asof_join_tie_is_deterministic(spark):
             right_vals=["purchase_value"],
         ).collect()
         assert len(out) == 1 and out[0]["purchase_value"] == 99.0
+
+
+def test_asof_join_null_in_latest_right_row_stays_null(spark):
+    """Review regression: the latest right row wins WHOLESALE — a NULL field
+    in it must not resurrect an older row's value, and multi-column results
+    must never stitch fields from different right rows."""
+    import datetime
+
+    from bytesme_etl_batch_pipeline_spark.operators.joins import asof_join
+
+    t1 = datetime.datetime(2024, 1, 1, 10, 0)
+    t2 = datetime.datetime(2024, 1, 1, 11, 0)
+    t3 = datetime.datetime(2024, 1, 1, 12, 0)
+    left = spark.createDataFrame([(1, t3, "e")], "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, t1, 5.0, "a"), (1, t2, None, "b")],
+        "user_id long, ts timestamp, v double, w string",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_time="ts", right_time="ts",
+        right_vals=["v", "w"],
+    ).collect()[0]
+    assert out["v"] is None     # latest row's NULL, not the stale 5.0
+    assert out["w"] == "b"      # both fields from the SAME (latest) row
+
+
+def test_minhash_band_permutation_no_false_candidate(spark):
+    """Review regression: band hashes are seed-ordered, so signatures that
+    are value-permutations of each other must not collide."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import minhash_lsh_pairs
+
+    # Two docs with disjoint content: their per-seed minhashes differ, and
+    # value-sorting must not accidentally align them. Use num_hashes=2 with
+    # one band of 2 rows so the whole signature is one band hash.
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", num_hashes=2, bands=1, shingle_n=1)
+    assert pairs.count() == 0
+
+    # sanity: identical docs DO collide
+    df2 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    assert minhash_lsh_pairs(df2, "doc_id", "text", num_hashes=2, bands=1, shingle_n=1).count() == 1
+
+
+def test_minhash_bands_must_divide():
+    import pytest as _pytest
+
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import minhash_lsh_pairs
+
+    with _pytest.raises(AssertionError):
+        minhash_lsh_pairs(None, "id", "text", num_hashes=10, bands=4)
