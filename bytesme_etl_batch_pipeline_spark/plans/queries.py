@@ -2427,3 +2427,64 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("events_last_hour")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+      SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS step_click,
+      SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS step_purchase
+    FROM steps
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users progressing view → click → purchase IN ORDER
+    (first-occurrence timestamps per step, strict ordering between steps).
+    One shuffle on user_id; conditional-min aggregates do the sequencing —
+    no self-joins, no window sorts."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    steps = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & (F.col("t_click") > F.col("t_view"))
+    did_purchase = did_click & (F.col("t_purchase") > F.col("t_click"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(did_view).alias("step_view"),
+        cnt(did_click).alias("step_click"),
+        cnt(did_purchase).alias("step_purchase"),
+    )
+
+
+@register("approx_percentiles")  # no oracle: t-digest sketches are engine-specific
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) — the 100 TB path where
+    exact per-group percentiles would gather whole groups (pytest bounds the
+    error vs the exact quantity_percentiles query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.approx_percentile("l_quantity", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
+    )

@@ -202,3 +202,17 @@ def test_minhash_bands_must_divide():
 
     with _pytest.raises(AssertionError):
         minhash_lsh_pairs(None, "id", "text", num_hashes=10, bands=4)
+
+
+def test_approx_percentiles_error_bound(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p99"])
+        for r in catalog.SPARK_QUERIES["quantity_percentiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p99_approx"])
+        for r in catalog.SPARK_QUERIES["approx_percentiles"](spark, sf_dir).collect()
+    }
+    for k, (p50, p99) in exact.items():
+        assert abs(approx[k][0] - p50) / max(p50, 1) < 0.05
+        assert abs(approx[k][1] - p99) / max(p99, 1) < 0.05
