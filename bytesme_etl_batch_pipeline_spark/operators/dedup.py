@@ -66,3 +66,33 @@ def anti_join(df: DataFrame, exclude: DataFrame, on: list[str]) -> DataFrame:
     analogue of the reference's in-memory set difference.
     """
     return df.join(exclude, on=on, how="left_anti")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_digests: DataFrame | None,
+    text_col: str,
+    digest_col: str = "digest",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup for a continuously-ingesting corpus: drop
+    new rows whose content digest was seen in ANY earlier batch, then
+    return (fresh_rows, updated_digest_set).
+
+    The digest set is the only state carried between runs — one slim column,
+    persisted as parquet, anti-joined against each new batch. The anti-join
+    broadcasts while the seen-set is small and degrades gracefully to a
+    shuffle join at billions of digests; either way new data never pairwise-
+    compares against old data."""
+    digest = F.coalesce(
+        F.md5(F.lower(F.trim(F.col(text_col)))), F.lit("__NULL__")
+    )
+    keyed = new_df.withColumn(digest_col, digest)
+    # batch-internal dedup first (keep an arbitrary-but-deterministic row)
+    keyed = dedup_keep_first(keyed, keys=[digest_col], order_by=new_df.columns)
+    if seen_digests is not None:
+        fresh = keyed.join(seen_digests, on=[digest_col], how="left_anti")
+        updated = seen_digests.unionByName(fresh.select(digest_col)).distinct()
+    else:
+        fresh = keyed
+        updated = fresh.select(digest_col).distinct()
+    return fresh.drop(digest_col), updated

@@ -135,3 +135,29 @@ def range_join(
     return fact.join(
         F.broadcast(ranges), on=[(v >= F.col(lo_col)) & (v < F.col(hi_col))], how="left"
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side's key, replicate the
+    other side once per salt bucket, join on (key, salt).
+
+    AQE's skew-join split handles most cases at runtime; manual salting is
+    the deterministic-plan fallback when a single key is so hot that even
+    split sub-partitions overflow, or when AQE is unavailable (streaming
+    joins). Salt is a stable hash of the whole row (determinism contract),
+    and the replicated side grows ×salt_buckets — use only with a small-to-
+    medium right side."""
+    salted = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)),
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted.join(replicated, on=[on, "__salt"], how=how).drop("__salt")

@@ -83,3 +83,34 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb``. Streaming sinks and fine-grained partition writes
+    accumulate tiny files whose per-file open/footer cost dominates scans at
+    scale; periodic compaction is standard hygiene. Returns the number of
+    output files. Uses the source's on-disk bytes to size the coalesce."""
+    import glob as _glob
+    import os as _os
+
+    files = [
+        f
+        for f in _glob.glob(_os.path.join(src_path, "**", "*"), recursive=True)
+        if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
+    ]
+    total_mb = sum(_os.path.getsize(f) for f in files) / (1024 * 1024)
+    n_out = max(1, int(total_mb // target_file_mb) + (1 if total_mb % target_file_mb else 0))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    out = [
+        f
+        for f in _glob.glob(_os.path.join(dst_path, "*.parquet"))
+        if _os.path.isfile(f)
+    ]
+    return len(out)

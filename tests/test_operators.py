@@ -244,3 +244,49 @@ def test_word_ngrams_short_text_empty(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["minhash"])
     assert 1 not in by_doc          # too short for trigrams → no signature
     assert len(by_doc[2]) == 2      # one minhash per seed
+
+
+# --- scale utilities: salted join, incremental dedup, compaction -------------
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from bytesme_etl_batch_pipeline_spark.operators.joins import salted_join
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = c.join(n, "c_nationkey").select("c_custkey", "n_name")
+    salted = salted_join(c, n, on="c_nationkey", salt_buckets=8).select("c_custkey", "n_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_incremental_dedup_across_batches(spark):
+    from bytesme_etl_batch_pipeline_spark.operators.dedup import incremental_dedup
+
+    b1 = spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "alpha")], ["id", "text"])
+    fresh1, seen1 = incremental_dedup(b1, None, "text")
+    assert sorted(r["text"] for r in fresh1.collect()) == ["alpha", "beta"]
+    assert seen1.count() == 2
+
+    b2 = spark.createDataFrame([(4, "beta"), (5, "gamma"), (6, None)], "id long, text string")
+    fresh2, seen2 = incremental_dedup(b2, seen1, "text")
+    got = sorted((r["id"], r["text"]) for r in fresh2.collect())
+    assert got == [(5, "gamma"), (6, None)]   # beta seen in batch 1; NULL is new content
+    assert seen2.count() == 4                  # alpha, beta, gamma, __NULL__
+
+    b3 = spark.createDataFrame([(7, None)], "id long, text string")
+    fresh3, _ = incremental_dedup(b3, seen2, "text")
+    assert fresh3.count() == 0                 # NULL content now seen
+
+
+def test_compact_parquet(spark, tmp_path):
+    from bytesme_etl_batch_pipeline_spark.sources.files import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    dst = str(tmp_path / "compacted")
+    n_files = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n_files == 1
+    assert spark.read.parquet(dst).count() == 10_000
