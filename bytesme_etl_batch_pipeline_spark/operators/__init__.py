@@ -19,6 +19,7 @@ from .dedup import (  # noqa: F401
     dedup_distinct,
     dedup_keep_first,
     duplicate_report,
+    incremental_dedup,
 )
 from .embed import HashEmbedder, embed_column  # noqa: F401
 from .enrich import enrich_products  # noqa: F401
@@ -27,10 +28,11 @@ from .joins import (  # noqa: F401
     lookup_map_join,
     range_join,
     resolve_key,
+    salted_join,
     zip_join,
 )
 from .llm import enrich_descriptions  # noqa: F401
-from .multimodal import decode_and_featurize, sample_frames  # noqa: F401
+from .multimodal import decode_and_featurize, resize_images, sample_frames  # noqa: F401
 from .neardup import (  # noqa: F401
     exact_dedup_by_content,
     minhash_lsh_pairs,
@@ -50,6 +52,11 @@ from .similarity import (  # noqa: F401
     train_ivf_centroids,
 )
 from .template import product_document, template_document  # noqa: F401
+from .sampling import (  # noqa: F401
+    deterministic_sample,
+    stratified_sample,
+    train_val_test_split,
+)
 from .textops import (  # noqa: F401
     fingerprint,
     lang_id,
@@ -57,4 +64,6 @@ from .textops import (  # noqa: F401
     simhash,
     token_count_regex,
     token_count_ws,
+    vi_tokenize_column,
+    winnow_fingerprints,
 )
