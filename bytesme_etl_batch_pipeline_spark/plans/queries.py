@@ -1893,15 +1893,17 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery once and broadcasts it as a literal predicate — map-side
     filter after a one-row agg."""
     c = load_table(spark, sf_dir, "customer")
-    c.createOrReplaceTempView("customer")
+    # DataFrame-arg SQL — no temp-view registration that could clobber
+    # same-named views on a shared (driver-owned) session
     return spark.sql(
         """
         SELECT c_custkey, c_acctbal
-        FROM customer
+        FROM {c}
         WHERE c_acctbal > (
-          SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) FROM customer
+          SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) FROM {c}
         )
-        """
+        """,
+        c=c,
     )
 
 
@@ -2057,13 +2059,13 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube)."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-        FROM lineitem
+        FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+        """,
+        li=li,
     )
 
 
