@@ -3,9 +3,10 @@
 Runs a catalog query on Spark AND its oracle SQL on DuckDB over the same
 parquet tables, then compares row count, column names, and an
 order-insensitive value fingerprint (columns sorted by name, rows sorted by
-their string form, floats rounded to 9 significant-ish decimals to absorb
-representation noise — the driver hashes raw values, so the engine's real
-defense is the decimal-exact aggregation contract in plans/queries.py).
+their string form, floats compared BIT-EXACTLY — the decimal-exact
+aggregation / ascending-fold / mirrored-rounding contracts in
+plans/queries.py make both engines agree to the last ulp, and the driver
+hashes raw values, so the harness demands the same).
 """
 
 from __future__ import annotations
@@ -43,7 +44,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # BIT-EXACT: the engine's decimal/fold-order/rounding contracts make
+        # Spark and DuckDB agree to the last ulp, so the harness demands it
+        # (the driver hashes raw values — a rounded compare would hide drift)
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
