@@ -2490,3 +2490,85 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
         F.approx_percentile("l_quantity", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    )
+    SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic text-relevance
+    pipeline: term frequencies (one shuffle), document frequencies (one
+    shuffle over the token dictionary), idf broadcast back, per-doc ranking
+    window. The df side is dictionary-sized, so the join back to tf is a
+    broadcast at any corpus scale."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.withColumn("__ws", words("text")).select(
+        "doc_id", F.explode("__ws").alias("word")
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar, driver-side (one tiny job)
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+    )
+
+
+@register(
+    "anomaly_events",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events beyond 3σ of their type's value
+    distribution (grouped stats broadcast back over the stream's batch
+    twin). 4-decimal rounding absorbs the ~1e-12 partial-M2 merge noise."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    joined = e.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return joined.filter(F.abs(z) > 3).select(
+        "event_id", "event_type", F.round(z, 4).alias("zscore")
+    )
