@@ -58,3 +58,38 @@ def test_enrichment_is_whole_stage_codegen(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "seeded_enrichment")
     assert "*(1) Project" in plan  # '*' = whole-stage-codegen stage marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# Queries allowed a BroadcastNestedLoopJoin: single-row broadcast query
+# vectors (top-k / ANN / semantic search) and the 4-tier range join.
+BNLJ_ALLOWED = {
+    "cosine_topk",
+    "l2_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "range_join_balance_tiers",
+    "semantic_search_pipeline",
+}
+# Streaming query starts a real stream — no static plan to lint.
+PLAN_LINT_SKIP = {"streaming_windowed_counts"}
+
+
+def test_catalog_plan_lint(spark, sf_dir):
+    """Whole-catalog physical-plan lint: no cartesian products ever, nested-
+    loop joins only where a broadcast single-row/tiny side justifies them,
+    and no query needs more than 8 exchanges (current max: the 7-stage
+    minhash-LSH pipeline). Guards future query additions against accidental
+    plan explosions."""
+    offenders = []
+    for name, fn in catalog.SPARK_QUERIES.items():
+        if name in PLAN_LINT_SKIP:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders.append((name, "unexpected BroadcastNestedLoopJoin"))
+        n_ex = plan.count("Exchange")
+        if n_ex > 8:
+            offenders.append((name, f"{n_ex} exchanges"))
+    assert not offenders, offenders
