@@ -74,3 +74,70 @@ def test_stateful_running_totals(spark, sf_dir):
     for uid, (n, t) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - t) < 0.05  # float fold vs sum tolerance
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Real watermark semantics: once the watermark passes a window's end,
+    the window is finalized (emitted in append mode) and its state evicted —
+    a late row for that window is DROPPED rather than re-aggregated or
+    re-emitted. (Note Spark's actual contract: a late row into a NEVER-seen
+    window may still create state and emit; dropping applies to evicted
+    windows, which is what this test pins.)"""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "late_events")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    on_time = [(i, t0 + datetime.timedelta(hours=h), 1.0) for i, h in enumerate([0, 1, 2, 3, 10])]
+    nudge = [(50, t0 + datetime.timedelta(hours=11), 1.0)]  # advances a batch boundary
+    late = [(99, t0 + datetime.timedelta(hours=3), 1.0)]    # into an evicted window
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(d + "/batch1")
+    spark.createDataFrame(nudge, schema).coalesce(1).write.parquet(d + "/batch2")
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(d + "/batch3")
+    # The file source orders micro-batches by file mtime — pin the order.
+    # Three batches because windows finalize at the END of the batch after
+    # the watermark advances: batch1 sets wm=8h, batch2 finalizes+evicts
+    # windows 0-3, batch3's late row then hits evicted state → dropped.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, b in enumerate(["batch1", "batch2", "batch3"]):
+        for f in _glob.glob(d + f"/{b}/*"):
+            _os.utime(f, (now - 3600 * (3 - i), now - 3600 * (3 - i)))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d + "/batch1").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_test")
+            .outputMode("append")  # append = only finalized windows, drops late
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    finalized = {}
+    for r in rows:
+        finalized.setdefault(r["ws"].hour, []).append(r["n"])
+    # windows 0-3 finalized once the watermark (10h - 2h = 8h) passed them
+    for h in (0, 1, 2, 3):
+        assert finalized.get(h) == [1], finalized
+    # the late duplicate into the finalized hour-3 window was dropped:
+    # emitted exactly once, count stayed 1 (no re-emission, no n=2)
+    assert len(finalized.get(3, [])) == 1
