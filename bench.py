@@ -1,8 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline catalog queries at
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}.
+"""Benchmark harness: runs the FULL catalog at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) and prints ONE compact JSON line on stdout:
+
+    {"metric": "catalog_total_runtime", "value": total_sec, "unit": "sec",
+     "queries": {<headline subset>}, "n_queries": N, "sf": ...}
+
+Round-1 lesson (BENCH_r01 ``parsed: null``): the driver keeps only a ~2 KB
+tail of stdout, so a JSON line carrying all ~90 per-query timings gets its
+head truncated and fails to parse. The stdout line therefore carries only
+the headline subset (one per operator family, <1.5 KB); the complete
+per-query map is written to ``BENCH_DETAIL.json`` next to this script.
+Everything else (Spark logs, progress) is kept off stdout entirely.
 
 Each query is executed to completion (count() action — no driver-side
 collect of big results) after a warm-up of the session.
@@ -17,20 +25,37 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Belt and braces: nothing but the final JSON line may reach fd-1 from
+# Python. Spark's log4j writes to stderr already; redirect our stdout too
+# and keep a handle for the single result line.
+_REAL_STDOUT = sys.stdout
+sys.stdout = sys.stderr
+
 from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
 from bytesme_etl_batch_pipeline_spark.session import get_spark
 
-# Headline set: one per operator family, ordered cheap → expensive.
+# Headline set: one per operator family, ordered cheap → expensive. Only
+# these appear on the stdout JSON line (the driver's tail window is small);
+# BENCH_DETAIL.json carries every query.
 HEADLINE = [
     "pricing_summary",
     "dedup_keep_first",
-    "dup_report",
     "dim_join_rollup",
-    "anti_join_customers_without_orders",
-    "topk_orders",
     "window_topk_per_customer",
-    "group_sequence_codes",
-    "union_all_entities",
+    "order_lineitem_revenue",
+    "asof_join_last_purchase",
+    "rule_cascade_classify",
+    "doc_template",
+    "exact_dedup_docs",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "tfidf_top_terms",
+    "sessionization",
+    "streaming_windowed_counts",
+    "llm_enrich_descriptions",
+    "semantic_search_pipeline",
 ]
 
 
@@ -44,29 +69,46 @@ def main() -> None:
     # plan, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    names = [n for n in HEADLINE if n in catalog.SPARK_QUERIES]
-    names += [n for n in catalog.SPARK_QUERIES if n not in names]
-
     timings: dict[str, float] = {}
-    for name in names:
-        fn = catalog.SPARK_QUERIES[name]
+    for name, fn in catalog.SPARK_QUERIES.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "catalog_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "n_queries": len(timings),
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
+
+    line = json.dumps(
+        {
+            "metric": "catalog_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in HEADLINE if n in timings},
+            "n_queries": len(timings),
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
     spark.stop()
+    print(line, file=_REAL_STDOUT, flush=True)
 
 
 if __name__ == "__main__":
