@@ -150,12 +150,19 @@ def salted_join(
     AQE's skew-join split handles most cases at runtime; manual salting is
     the deterministic-plan fallback when a single key is so hot that even
     split sub-partitions overflow, or when AQE is unavailable (streaming
-    joins). Salt is a stable hash of the whole row (determinism contract),
-    and the replicated side grows ×salt_buckets — use only with a small-to-
-    medium right side."""
+    joins). Salt mixes a row-content hash with a per-row position
+    disambiguator (``monotonically_increasing_id``): fully identical rows —
+    the duplicate-heavy hot-key case salting exists for — still spread
+    across buckets instead of re-colliding on one reducer. The join RESULT
+    is invariant to salt values (salt only picks the reducer), so the
+    position term costs nothing semantically. The replicated side grows
+    ×salt_buckets — use only with a small-to-medium right side."""
     salted = skewed.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns], F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        ),
     )
     replicated = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -76,7 +76,13 @@ def lang_id(
 def quality_features(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     """Quality scoring: length/punctuation/stopword features + a composite
     score in [0,1]. Ratios are rounded to 6 decimals so the values are
-    bit-identical across engines."""
+    bit-identical across engines.
+
+    Empty/junk-document contract (quality scoring exists precisely for junk
+    input; ANSI mode would otherwise raise DIVIDE_BY_ZERO): with zero words
+    the per-word ratios are NULL and the score is 0.0; with zero chars the
+    punct ratio is NULL too. ``when``-guarded divisions — CaseWhen only
+    evaluates the taken branch, so the divide never runs on empty docs."""
     df = df.withColumn("__ws", words(text_col))
     c = F.col(text_col)
     ws = F.col("__ws")  # materialized once — inline re-splits per use
@@ -84,14 +90,18 @@ def quality_features(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFr
     n_words = F.size(ws)
     en_stop = _stopword_hits(ws, LANG_STOPWORDS[0][1])
     punct = F.length(F.regexp_replace(c, "[^.!?,;]", ""))
-    avg_word_len = F.round(F.length(F.regexp_replace(c, r"\s", "")) / n_words, 6)
-    punct_ratio = F.round(punct / n_chars, 6)
-    stop_ratio = F.round(en_stop / n_words, 6)
-    score = F.round(
-        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + stop_ratio * 0.3,
-        6,
+    avg_word_len = F.when(
+        n_words > 0, F.round(F.length(F.regexp_replace(c, r"\s", "")) / n_words, 6)
+    )
+    punct_ratio = F.when(n_chars > 0, F.round(punct / n_chars, 6))
+    stop_ratio = F.when(n_words > 0, F.round(en_stop / n_words, 6))
+    score = F.when((n_words == 0) | (n_chars == 0), F.lit(0.0)).otherwise(
+        F.round(
+            F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
+            + (F.lit(1.0) - punct_ratio) * 0.3
+            + stop_ratio * 0.3,
+            6,
+        )
     )
     return df.select(
         *id_cols,

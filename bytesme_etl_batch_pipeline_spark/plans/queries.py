@@ -399,7 +399,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        # try_cast: NULL-on-malformed, matching the oracle's TRY_CAST —
+        # plain cast would throw CAST_INVALID_INPUT under ANSI on dirty props
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
     )
 
 
@@ -425,7 +427,7 @@ def q_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired = S.normalize_quoted_json(sq)
     return e.select(
         "event_id",
-        F.get_json_object(repaired, "$.k").cast("int").alias("k"),
+        F.get_json_object(repaired, "$.k").try_cast("int").alias("k"),
     )
 
 
@@ -702,18 +704,22 @@ _DUCK_EN_STOP = _duck_en_stop()
       SELECT doc_id,
              length(text) AS n_chars,
              len({_DUCK_WORDS}) AS n_words,
-             round(length(regexp_replace(text, '\\s', '', 'g'))
-                   / len({_DUCK_WORDS}), 6) AS avg_word_len,
-             round(length(regexp_replace(text, '[^.!?,;]', '', 'g'))
-                   / length(text), 6) AS punct_ratio,
-             round(len(list_filter({_DUCK_WORDS}, w -> list_contains({_DUCK_EN_STOP}, w)))
-                   / len({_DUCK_WORDS}), 6) AS stop_ratio
+             CASE WHEN len({_DUCK_WORDS}) > 0 THEN
+               round(length(regexp_replace(text, '\\s', '', 'g'))
+                     / len({_DUCK_WORDS}), 6) END AS avg_word_len,
+             CASE WHEN length(text) > 0 THEN
+               round(length(regexp_replace(text, '[^.!?,;]', '', 'g'))
+                     / length(text), 6) END AS punct_ratio,
+             CASE WHEN len({_DUCK_WORDS}) > 0 THEN
+               round(len(list_filter({_DUCK_WORDS}, w -> list_contains({_DUCK_EN_STOP}, w)))
+                     / len({_DUCK_WORDS}), 6) END AS stop_ratio
       FROM documents
     )
     SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stop_ratio,
-           round(least(1.0, n_words / 100.0) * 0.4
-                 + (1.0 - punct_ratio) * 0.3
-                 + stop_ratio * 0.3, 6) AS quality_score
+           CASE WHEN n_words = 0 OR n_chars = 0 THEN 0.0 ELSE
+             round(least(1.0, n_words / 100.0) * 0.4
+                   + (1.0 - punct_ratio) * 0.3
+                   + stop_ratio * 0.3, 6) END AS quality_score
     FROM feats
     """,
 )

@@ -290,3 +290,31 @@ def test_compact_parquet(spark, tmp_path):
     n_files = compact_parquet(spark, src, dst, target_file_mb=128)
     assert n_files == 1
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_quality_features_empty_and_whitespace_docs(spark):
+    """ANSI-mode junk-input contract: empty/whitespace-only docs must not
+    raise DIVIDE_BY_ZERO; per-word ratios are NULL and score is 0.0."""
+    from bytesme_etl_batch_pipeline_spark.operators.textops import quality_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t\n "), (3, "the quick fox.")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df, "text", ["doc_id"]).collect()}
+
+    empty = rows[1]
+    assert empty["n_chars"] == 0 and empty["n_words"] == 0
+    assert empty["avg_word_len"] is None
+    assert empty["punct_ratio"] is None
+    assert empty["stop_ratio"] is None
+    assert empty["quality_score"] == 0.0
+
+    ws_only = rows[2]
+    assert ws_only["n_words"] == 0 and ws_only["n_chars"] > 0
+    assert ws_only["avg_word_len"] is None
+    assert ws_only["punct_ratio"] == 0.0  # chars exist, none are punctuation
+    assert ws_only["quality_score"] == 0.0
+
+    normal = rows[3]
+    assert normal["n_words"] == 3
+    assert normal["quality_score"] is not None and normal["quality_score"] > 0
