@@ -28,17 +28,27 @@ def build_rule_cascade(
     rules: list[tuple[str, list[str]]],
     special_cases: list[tuple[str, str]] | None = None,
     default: str = "Others",
+    special_multivalued_guard: bool = True,
 ) -> Column:
     """Compile the 3-tier cascade into one Column expression.
 
     ``rules``: ordered (canonical_category, [raw_variant, ...]).
     ``special_cases``: ordered (substring_of_raw, canonical_category) —
-    tier 1, checked before everything else.
+    tier 1, checked before everything else. With
+    ``special_multivalued_guard`` (the reference semantics,
+    ``standardize_categories.py:51``: ``'|' in cur_cat and needle in
+    cur_cat``) the special fires ONLY when the raw category is multi-valued
+    (pipe-joined); a single-valued raw containing the needle falls through
+    to the exact tier. Pass False for the relaxed bare-substring form on
+    taxonomies that never pipe-join.
     Tier 2 = exact lowercase match on ``raw_col`` variants.
     Tier 3 = case-insensitive regex of escaped variants against ``name_col``.
     """
     raw = F.lower(F.trim(F.col(raw_col)))
-    name = F.col(name_col)
+    # Reference lowercases the name before the regex search (:40). Lowering
+    # here (not just ``(?i)``) also gives full-Unicode folding — Java's
+    # bare CASE_INSENSITIVE is ASCII-only, and Vietnamese names are not.
+    name = F.lower(F.trim(F.col(name_col)))
 
     expr: Column | None = None
 
@@ -47,7 +57,10 @@ def build_rule_cascade(
         expr = F.when(cond, F.lit(value)) if expr is None else expr.when(cond, F.lit(value))
 
     for needle, cat in special_cases or []:
-        chain(raw.contains(needle.lower()), cat)
+        cond = raw.contains(needle.lower())
+        if special_multivalued_guard:
+            cond = raw.contains("|") & cond
+        chain(cond, cat)
     for cat, variants in rules:
         lowered = [v.lower() for v in variants]
         chain(raw.isin(lowered), cat)
@@ -66,29 +79,67 @@ def standardize_categories(
     special_cases: list[tuple[str, str]] | None = None,
     default: str = "Others",
     out_col: str = "category_name",
+    special_multivalued_guard: bool = True,
 ) -> DataFrame:
     """C1 as a DataFrame op: project the cascade, drop the raw column
     (reference drops ``original_category`` after mapping,
     ``scripts/pipeline.py:58-63``)."""
     return df.withColumn(
-        out_col, build_rule_cascade(name_col, raw_col, rules, special_cases, default)
+        out_col,
+        build_rule_cascade(
+            name_col, raw_col, rules, special_cases, default,
+            special_multivalued_guard=special_multivalued_guard,
+        ),
     ).drop(raw_col)
 
 
-# The reference's mapping dict re-expressed as ordered rules data
-# (``standardize_categories.py:10-36``; the missing-comma typo at :11-12 is
-# fixed to two entries per SURVEY §2.11 — intent, not typo, is replicated).
+# The reference's CATEGORIES_MAPPING verbatim (``standardize_categories.py:
+# 10-36``) — 13 categories, variant lists copied as published, in dict order
+# (order is semantic: first hit wins in both the exact and the name-regex
+# tier). Two documented intent fixes, each replicating what the reference
+# AUTHOR meant rather than a Python accident:
+#
+# 1. Missing comma (``:11-12``): ``'bánh flan gato' 'gato cắt
+#    miếng/cupcake'`` concatenates into one unmatched variant; split into
+#    the two intended variants.
+# 2. String-valued entries (``:34-35``): ``'Bingsu': 'Bingsu'`` and
+#    ``'Topping thêm': 'Topping thêm'`` iterate PER CHARACTER in the
+#    reference's list comprehensions — the exact tier degrades to matching
+#    single letters and the regex tier to the alternation ``B|i|n|g|s|u``
+#    (which classifies almost any name as Bingsu). List-wrapped here.
+#    Evidence that the wrap is the intent: the reference's own
+#    ``data/staging`` snapshots map raw 'bingsu'→'Bingsu' and 'topping
+#    thêm'→'Topping thêm' exactly as the wrapped rules do, while the
+#    published code's per-character behavior would mark 13/14 topping rows
+#    'Bingsu' (see tests/test_categorize.py golden test).
 BYTESME_RULES: list[tuple[str, list[str]]] = [
-    ("Cake", ["bánh kem", "bánh sinh nhật", "bánh flan gato", "gato cắt miếng/cupcake"]),
-    ("Bread", ["bánh mì", "bánh mặn"]),
-    ("Pastry", ["bánh ngọt", "bánh âu", "cookies"]),
-    ("Coffee", ["cà phê", "coffee"]),
-    ("Tea", ["trà", "trà sữa"]),
-    ("Chocolate & Cacao", ["chocolate", "cacao"]),
-    ("Frosty", ["đá xay", "frosty"]),
-    ("Season & Specialist", ["bánh tiệc - bánh sinh nhật", "seasonal"]),
+    ("Cakes", ["cakes", "dry cakes", "cake slices", "bánh kem bơ", "bánh flan gato",
+               "gato cắt miếng/cupcake", "bánh ngọt", "gato box - cake box",
+               "bánh bông lan", "bông lan"]),
+    ("Breads & Buns", ["sandwiches", "buns|savory", "buns|sweet", "sweet|buns",
+                       "bánh mì", "daily storing", "bánh tươi", "breads",
+                       "bánh nướng - bánh mì"]),
+    ("Pastries & Pies", ["pastries-and-pies", "donuts", "bánh nướng", "toasts",
+                         "chocolate"]),
+    ("Season & Specialist", ["xoài sấy", "tết", "bánh sinh nhật", "trung thu",
+                             "bánh tiệc - bánh sinh nhật"]),
+    ("Cookies & Biscuits", ["cookies", "cookie special", "bánh healthy"]),
+    ("Chilled & Cold", ["pudding", "bánh lạnh", "sữa chua", "bánh entremet",
+                        "bánh kem bắp", "bánh mousse"]),
+    ("Sets", ["set bánh tổng hợp", "sets", "set bánh", "sweetbox",
+              "sweetin - bánh hộp thiếc cao cấp"]),
+    ("Coffee", ["cold-brew", "ca-phe-highlight-2", "a-me", "ca-phe-viet-nam",
+                "ca-phe-may"]),
+    ("Tea", ["tra-xanh-tay-bac", "tra-trai-cay", "tra-sua", "hi-tea-tra"]),
+    ("Chocolate & Cacao", ["chocolate-1"]),
+    ("Frosty", ["trai-cay-xay-0-c", "da-xay-frosty-1"]),
+    ("Bingsu", ["bingsu"]),
+    ("Topping thêm", ["topping thêm"]),
 ]
 
+# Tier 1 (``standardize_categories.py:51``): fires only on MULTI-VALUED raw
+# categories — '|' in cur_cat and the needle in cur_cat (the guard is
+# applied by build_rule_cascade's special_multivalued_guard).
 BYTESME_SPECIAL_CASES: list[tuple[str, str]] = [
     ("bánh tiệc - bánh sinh nhật", "Season & Specialist"),
 ]

@@ -602,7 +602,10 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: the reference's 3-tier category cascade
     (``standardize_categories.py:38-72``) as rules-as-data compiled to one
     ordered when-chain — special-case substring, exact raw match, then
-    name-regex fallback, first hit wins in rule order."""
+    name-regex fallback, first hit wins in rule order. Uses the relaxed
+    bare-substring tier-1 (TPC-H p_type is never pipe-joined); the
+    reference-faithful multi-valued guard is exercised by the Vietnamese
+    golden tests (tests/test_categorize.py)."""
     from ..operators.categorize import build_rule_cascade
 
     p = load_table(spark, sf_dir, "part")
@@ -611,6 +614,7 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_col="p_type",
         rules=_PART_RULES,
         special_cases=_PART_SPECIALS,
+        special_multivalued_guard=False,
     )
     return p.select("p_partkey", "p_name", "p_type", cascade.alias("category_name"))
 

@@ -18,12 +18,12 @@ from bytesme_etl_batch_pipeline_spark.operators.normalize import snowflake_split
 
 RAW_ROWS = [
     # (name, url, brand, raw_category, images, image_names, price)
-    ("Bánh kem dâu", "http://a/1", "SiteA", "bánh kem",
+    ("Bánh kem dâu", "http://a/1", "SiteA", "bánh kem bơ",
      "http://img/1|http://img/2", "ảnh một|", "89000"),
-    ("Bánh kem dâu", "http://a/1", "SiteA", "bánh kem",       # exact dup (D1)
+    ("Bánh kem dâu", "http://a/1", "SiteA", "bánh kem bơ",    # exact dup (D1)
      "http://img/1|http://img/2", "ảnh một|", "89000"),
-    ("Trà đào", "http://a/2", "SiteA", "trà sữa", "http://img/3", None, "0"),
-    ("Cà phê sữa", "http://b/1", "SiteB", "khác", "http://img/4", "cf", "45000"),
+    ("Trà đào", "http://a/2", "SiteA", "tra-sua", "http://img/3", None, "0"),
+    ("Cold-Brew Sữa", "http://b/1", "SiteB", "khác", "http://img/4", "cf", "45000"),
     ("Nước lạ", "http://b/2", "SiteB", "không rõ", "http://img/5", None, ""),
 ]
 
@@ -68,7 +68,7 @@ def pipeline_outputs(spark):
 def test_dims_are_dense_and_deduped(pipeline_outputs):
     dims = pipeline_outputs.dims.collect()
     names = sorted(r["category_name"] for r in dims)
-    assert names == ["Cake", "Coffee", "Others", "Tea"]
+    assert names == ["Cakes", "Coffee", "Others", "Tea"]
     assert sorted(r["dim_id"] for r in dims) == [1, 2, 3, 4]
 
 
