@@ -1317,6 +1317,226 @@ def q_doc_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", doc.alias("document"))
 
 
+_DOC_VI_SENT = {
+    # the reference's exact strings (generate_embeddings.py:49-192); kept in
+    # one place so the Spark operator and this oracle can't drift apart
+    "drink_open": "ĐÂY LÀ THỨC UỐNG. Đây là một loại đồ uống, không phải loại bánh ăn được. Sản phẩm này thuộc nhóm đồ uống giải khát.",
+    "food_open": "ĐÂY LÀ MÓN ĂN hoặc BÁNH. Đây là đồ ăn, không phải đồ uống. Sản phẩm này thuộc nhóm thực phẩm ăn được.",
+    "tea": "Đây là đồ uống trà thơm ngon, thích hợp giải khát. Trà là thức uống, không phải bánh. Đây là thức uống giúp tỉnh táo, thư giãn.",
+    "coffee": "Đây là đồ uống cà phê đậm đà. Cà phê là thức uống, không phải bánh. Đây là thức uống giúp tỉnh táo, tăng năng lượng.",
+    "blended": "Đây là đồ uống đá xay mát lạnh, thích hợp giải nhiệt mùa hè. Đây là thức uống, không phải bánh.",
+    "sweet_cake": "Đây là bánh ngọt mềm mịn, thơm phức. Bánh ngọt là đồ ăn, không phải đồ uống. Bánh ngọt có vị ngọt, mềm và không dùng để uống.",
+    "baked_cake": "Đây là bánh giòn, nướng vàng thơm phức. Bánh nướng là đồ ăn, không phải đồ uống. Bánh có độ giòn, vị mặn hoặc ngọt và không dùng để uống.",
+    "cookie": "Đây là bánh quy giòn tan, thơm mùi bơ. Bánh quy là đồ ăn, không phải đồ uống. Bánh quy có độ giòn và không dùng để uống.",
+    "name_drink": "Đây là thức uống, không phải bánh ăn được.",
+    "name_food": "Đây là bánh ăn được, không phải thức uống.",
+    "drink_close": "Sản phẩm này là THỨC UỐNG. Dùng để giải khát, không phải để ăn. Đây là đồ UỐNG, không phải đồ ĂN.",
+    "food_close": "Sản phẩm này là BÁNH hoặc MÓN ĂN. Dùng để ăn, không phải để uống. Đây là đồ ĂN, không phải đồ UỐNG.",
+    "stock_high": "Sản phẩm này còn nhiều hàng và sẵn sàng để giao.",
+    "stock_mid": "Sản phẩm này hiện đang có sẵn trong kho.",
+    "stock_low": "Sản phẩm này chỉ còn lại một số lượng ít.",
+    "stock_out": "Sản phẩm này hiện đang hết hàng.",
+}
+
+_DOC_VI_ORACLE = """
+    WITH f AS (
+      SELECT
+        p_partkey AS pk,
+        CASE WHEN p_partkey % 29 = 0 THEN NULL ELSE p_partkey % 14 END AS cid,
+        CASE WHEN p_partkey % 23 = 0 THEN NULL ELSE p_name END AS name,
+        CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS brand,
+        CASE WHEN p_partkey % 11 = 0 THEN NULL
+             WHEN p_partkey % 11 = 1 THEN repeat(p_name || ' ', 60)
+             WHEN p_partkey % 11 = 2 THEN '   '
+             ELSE p_type END AS descr,
+        CASE
+          WHEN p_partkey % 10 = 0 THEN
+            '{{''product_sizes'': ''S|M|L'', ''product_prices'': '''
+            || CAST(p_partkey AS VARCHAR) || '|' || CAST(p_partkey*2 AS VARCHAR)
+            || '|' || CAST(p_partkey*3 AS VARCHAR) || ''''  || '}}'
+          WHEN p_partkey % 10 = 5 THEN
+            '{{''product_sizes'': ''S|M|L'', ''product_prices'': '''
+            || CAST(p_partkey AS VARCHAR) || '|' || CAST(p_partkey*2 AS VARCHAR)
+            || '''' || '}}'
+          WHEN p_partkey % 5 = 1 THEN CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR)
+          WHEN p_partkey % 5 = 2 THEN '{{''product_sizes'': ''S|M'''
+          WHEN p_partkey % 5 = 3 THEN '{{''note'': ''combo''}}'
+          ELSE NULL END AS up,
+        CASE WHEN p_partkey % 4 = 0 THEN NULL ELSE 'đ' END AS curr,
+        (p_partkey % 20) / 2.0 AS discount,
+        CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE (p_partkey % 50) / 10.0 END AS stars,
+        CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_partkey % 500 END AS ratings,
+        (p_partkey * 7) % 1500 AS orders,
+        CASE WHEN p_partkey % 19 = 0 THEN NULL ELSE (p_partkey % 30) * 10 END AS stock
+      FROM part
+    ), g AS (
+      SELECT *,
+        coalesce(cid IN (10, 11, 12, 13), false) AS is_drink,
+        coalesce(cid BETWEEN 1 AND 9, false) AS is_food,
+        CASE cid WHEN 1 THEN 'Bánh ngọt' WHEN 2 THEN 'Bánh kem Pháp'
+                 WHEN 3 THEN 'Bánh nướng giòn' WHEN 4 THEN 'Bánh quy bơ'
+                 WHEN 5 THEN 'Set quà' WHEN 10 THEN 'Trà trái cây'
+                 WHEN 11 THEN 'Cà phê máy' WHEN 12 THEN 'Đá xay frosty'
+                 WHEN 13 THEN 'Thức uống đá đặc biệt' END AS cat,
+        CASE cid WHEN 1 THEN 'Các loại bánh ngọt mềm, dùng cho tiệc.'
+                 WHEN 11 THEN 'Đồ uống cà phê pha máy đậm đà.' END AS catd,
+        replace(up, chr(39), '"') AS fx,
+        coalesce(curr, '') AS cur0,
+        'Giá bán của sản phẩm ' || up || ' ' || coalesce(curr, '') || '.' AS price_fallback
+      FROM f
+    ), h AS (
+      SELECT *,
+        lower(coalesce(cat, '')) AS catl,
+        lower(name) AS namel,
+        CASE WHEN up IS NOT NULL AND starts_with(up, '{{') AND json_valid(fx)
+             THEN string_split(json_extract_string(fx, '$.product_sizes'), '|') END AS sz,
+        CASE WHEN up IS NOT NULL AND starts_with(up, '{{') AND json_valid(fx)
+             THEN string_split(json_extract_string(fx, '$.product_prices'), '|') END AS pr
+      FROM g
+    )
+    SELECT pk AS p_partkey, concat_ws(' ',
+      CASE WHEN is_drink THEN '{drink_open}' END,
+      CASE WHEN NOT is_drink AND is_food THEN '{food_open}' END,
+      CASE WHEN cat IS NOT NULL THEN 'Sản phẩm thuộc danh mục ' || cat || '.' END,
+      CASE WHEN cat IS NOT NULL AND catd IS NOT NULL THEN 'Về danh mục này: ' || catd END,
+      CASE WHEN is_drink AND contains(catl, 'trà') THEN '{tea}' END,
+      CASE WHEN is_drink AND contains(catl, 'cà phê') THEN '{coffee}' END,
+      CASE WHEN is_drink AND (contains(catl, 'đá xay') OR contains(catl, 'thức uống đá'))
+           THEN '{blended}' END,
+      CASE WHEN is_food AND (contains(catl, 'bánh ngọt') OR contains(catl, 'bánh kem'))
+           THEN '{sweet_cake}' END,
+      CASE WHEN is_food AND (contains(catl, 'bánh giòn') OR contains(catl, 'bánh nướng')
+                             OR contains(catl, 'bánh ngàn lớp'))
+           THEN '{baked_cake}' END,
+      CASE WHEN is_food AND contains(catl, 'bánh quy') THEN '{cookie}' END,
+      CASE WHEN name IS NOT NULL THEN 'Sản phẩm có tên gọi ' || name || '.' END,
+      CASE WHEN name IS NOT NULL AND (is_drink OR contains(namel, 'cà phê')
+             OR contains(namel, 'coffee') OR contains(namel, 'trà')
+             OR contains(namel, 'tea') OR contains(namel, 'đá xay')
+             OR contains(namel, 'drink') OR contains(namel, 'nước'))
+           THEN '{name_drink}' END,
+      CASE WHEN name IS NOT NULL AND NOT (is_drink OR contains(namel, 'cà phê')
+             OR contains(namel, 'coffee') OR contains(namel, 'trà')
+             OR contains(namel, 'tea') OR contains(namel, 'đá xay')
+             OR contains(namel, 'drink') OR contains(namel, 'nước'))
+           AND (is_food OR contains(namel, 'bánh') OR contains(namel, 'cake')
+                OR contains(namel, 'pastry') OR contains(namel, 'cookie')
+                OR contains(namel, 'bread'))
+           THEN '{name_food}' END,
+      CASE WHEN brand IS NOT NULL THEN 'Thương hiệu của sản phẩm ' || brand || '.' END,
+      CASE WHEN descr IS NOT NULL AND trim(descr) <> '' THEN
+        'Mô tả sản phẩm: ' ||
+        CASE WHEN length(trim(descr)) > 1000 THEN substr(trim(descr), 1, 1000) || '...'
+             ELSE trim(descr) END END,
+      CASE WHEN up IS NULL THEN NULL
+           WHEN NOT starts_with(up, '{{') THEN price_fallback
+           WHEN NOT json_valid(fx) THEN price_fallback
+           WHEN json_extract_string(fx, '$.product_sizes') IS NOT NULL
+                AND json_extract_string(fx, '$.product_prices') IS NOT NULL THEN
+             'Sản phẩm có nhiều size với nhiều mức giá khác nhau: ' ||
+             array_to_string(list_transform(range(least(len(sz), len(pr))),
+                                            i -> sz[i+1] || ' for ' || cur0 || pr[i+1]),
+                             ', ')
+           END,
+      CASE WHEN discount > 0 THEN
+        'Sản phẩm đang được giảm giá ' || CAST(discount AS VARCHAR) || '%.' END,
+      CASE WHEN stars IS NOT NULL THEN
+        CASE WHEN stars > 4.5 THEN
+               'Sản phẩm này được đánh giá rất cao với ' || CAST(stars AS VARCHAR) || ' sao trên 5.'
+             WHEN stars > 3.5 THEN
+               'Sản phẩm này được đánh giá tốt với ' || CAST(stars AS VARCHAR) || ' sao trên 3.5.'
+             ELSE 'Sản phẩm này có số điểm đánh giá là ' || CAST(stars AS VARCHAR) || '.'
+        END END,
+      CASE WHEN ratings IS NOT NULL THEN
+        'Sản phẩm có tổng số lượt ' || CAST(ratings AS VARCHAR) || ' khách hàng đánh giá.' END,
+      CASE WHEN orders IS NOT NULL THEN
+        CASE WHEN orders > 1000 THEN
+               'Đây là sản phẩm bán chạy với hơn ' || CAST(orders AS VARCHAR) || ' lượt đặt hàng.'
+             ELSE 'Sản phẩm đã bán được ' || CAST(orders AS VARCHAR) || ' đơn hàng.'
+        END END,
+      CASE WHEN stock IS NOT NULL THEN
+        CASE WHEN stock > 100 THEN '{stock_high}'
+             WHEN stock > 20 THEN '{stock_mid}'
+             WHEN stock > 0 THEN '{stock_low}'
+             ELSE '{stock_out}' END END,
+      CASE WHEN is_drink THEN '{drink_close}' END,
+      CASE WHEN NOT is_drink AND is_food THEN '{food_close}' END
+    ) AS document
+    FROM h
+""".format(**_DOC_VI_SENT)
+
+
+@register("doc_template_vi", oracle=_DOC_VI_ORACLE)
+def q_doc_template_vi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 Vietnamese fidelity: the reference's exact ~25-sentence document
+    (``generate_embeddings.py:39-194``) over part-derived product fields that
+    exercise every branch — drink/food type gates, category sub-sentences,
+    the elif-shaped name reinforcement, single-quote JSON price parse with
+    fallback/skip/zip-truncation, 1000-char ellipsis, strict-> star/order
+    buckets and the stock ladder. Pure concat_ws/when expression tree — one
+    codegen'd projection, no shuffle, no Python. Character-level parity with
+    the reference renderer itself is pinned by tests/test_template_vi.py."""
+    from ..operators.template import product_document_vi
+
+    p = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    cid = (
+        F.when(pk % 29 == 0, F.lit(None)).otherwise(pk % 14).cast("int")
+    )
+    cat = (
+        F.when(cid == 1, "Bánh ngọt").when(cid == 2, "Bánh kem Pháp")
+        .when(cid == 3, "Bánh nướng giòn").when(cid == 4, "Bánh quy bơ")
+        .when(cid == 5, "Set quà").when(cid == 10, "Trà trái cây")
+        .when(cid == 11, "Cà phê máy").when(cid == 12, "Đá xay frosty")
+        .when(cid == 13, "Thức uống đá đặc biệt")
+    )
+    catd = (
+        F.when(cid == 1, "Các loại bánh ngọt mềm, dùng cho tiệc.")
+        .when(cid == 11, "Đồ uống cà phê pha máy đậm đà.")
+    )
+    up = (
+        F.when(
+            pk % 10 == 0,
+            F.concat(
+                F.lit("{'product_sizes': 'S|M|L', 'product_prices': '"),
+                pk.cast("string"), F.lit("|"), (pk * 2).cast("string"),
+                F.lit("|"), (pk * 3).cast("string"), F.lit("'}"),
+            ),
+        )
+        .when(
+            pk % 10 == 5,
+            F.concat(
+                F.lit("{'product_sizes': 'S|M|L', 'product_prices': '"),
+                pk.cast("string"), F.lit("|"), (pk * 2).cast("string"), F.lit("'}"),
+            ),
+        )
+        .when(pk % 5 == 1, F.floor(F.col("p_retailprice")).cast("long").cast("string"))
+        .when(pk % 5 == 2, F.lit("{'product_sizes': 'S|M'"))
+        .when(pk % 5 == 3, F.lit("{'note': 'combo'}"))
+    )
+    doc = product_document_vi(
+        category_id=cid,
+        category_name=cat,
+        name=F.when(pk % 23 == 0, F.lit(None)).otherwise(F.col("p_name")),
+        brand=F.when(pk % 7 == 0, F.lit(None)).otherwise(F.col("p_brand")),
+        description=(
+            F.when(pk % 11 == 0, F.lit(None))
+            .when(pk % 11 == 1, F.repeat(F.concat(F.col("p_name"), F.lit(" ")), 60))
+            .when(pk % 11 == 2, F.lit("   "))
+            .otherwise(F.col("p_type"))
+        ),
+        unit_price=up,
+        currency=F.when(pk % 4 == 0, F.lit(None)).otherwise(F.lit("đ")),
+        discount=(pk % 20) / F.lit(2.0),
+        stars=F.when(pk % 13 == 0, F.lit(None)).otherwise((pk % 50) / F.lit(10.0)),
+        ratings=F.when(pk % 17 == 0, F.lit(None)).otherwise((pk % 500).cast("long")),
+        orders=((pk * 7) % 1500).cast("long"),
+        stock=F.when(pk % 19 == 0, F.lit(None)).otherwise(((pk % 30) * 10).cast("long")),
+        category_description=catd,
+    )
+    return p.select("p_partkey", doc.alias("document"))
+
+
 @register(
     "llm_enrich_descriptions",
     oracle="""
