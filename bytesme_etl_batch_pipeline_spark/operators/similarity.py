@@ -20,6 +20,8 @@ equality contract.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -198,6 +200,44 @@ def ivf_assign(
     return vectors.withColumn(out_col, cell)
 
 
+# Above this many centroids the literal-expression assign embeds a multi-MB
+# array tree in the plan (k × dim literals) and Catalyst analysis time blows
+# up — switch to the Arrow-vectorized argmin, whose plan size is O(1).
+IVF_EXPRESSION_MAX_K = 16
+
+
+def ivf_assign_pandas(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Production-k coarse quantization: nearest-centroid assignment as an
+    Arrow-batched pandas UDF. The centroid matrix rides the closure (one
+    copy per executor, not per row or per plan node), and each batch is one
+    BLAS matmul: ``d² = |v|² - 2·V·Cᵀ + |c|²`` over (batch × k) — no n×k×dim
+    intermediate. Map-side only; at scale the output ``cell`` is the
+    partition key the corpus is written under, so probes prune at the scan.
+
+    Ties: argmin takes the first index, matching ``ivf_assign``'s
+    array_position-of-min. (The expanded-form distance can differ from the
+    direct form in the last ulp, so EXACT tie behavior across the two paths
+    is not contractual — quantizer cells are equivalent under ties.)
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(col: pd.Series) -> pd.Series:
+        V = np.vstack(col.to_numpy()).astype(np.float64, copy=False)
+        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return vectors.withColumn(out_col, _assign(F.col(vec_col)))
+
+
 def topk_ivf(
     vectors: DataFrame,
     query: DataFrame,
@@ -209,8 +249,14 @@ def topk_ivf(
     query_col: str = "q",
 ) -> DataFrame:
     """IVF top-k: score only vectors in the ``n_probe`` cells nearest to the
-    query. Exact within probed cells; recall grows with n_probe."""
-    assigned = ivf_assign(vectors, centroids, vec_col)
+    query. Exact within probed cells; recall grows with n_probe. Assignment
+    runs as pure expressions for small quantizers (oracle-replayable,
+    whole-stage codegen) and switches to the Arrow argmin above
+    ``IVF_EXPRESSION_MAX_K`` centroids (plan size stays O(1) at k=256+)."""
+    if len(centroids) <= IVF_EXPRESSION_MAX_K:
+        assigned = ivf_assign(vectors, centroids, vec_col)
+    else:
+        assigned = ivf_assign_pandas(vectors, centroids, vec_col)
     qrow = query.select(query_col).collect()[0][0]
     import math
 

@@ -991,7 +991,37 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # no SQL oracle: recall vs brute force is tested in pytest
+# Full ANN-LSH oracle: DuckDB independently re-derives the md5 hyperplanes
+# (same (seed|plane|i) → first-12-hex-digits/2^48*2-1 arithmetic — division
+# by a power of two and the affine map are exact in doubles), recomputes
+# every signature bit from its own dot products, prunes by XOR bit-count,
+# and exact-scores the survivors. Nothing is smuggled from the Spark side.
+_DUCK_ANN_LSH = f"""
+    WITH planes AS (
+      SELECT j, list_transform(range(64), ii ->
+        ({_duck_hash48("'7|' || CAST(j AS VARCHAR) || '|' || CAST(ii AS VARCHAR)")}
+         / 281474976710656.0) * 2.0 - 1.0) AS plane
+      FROM range(8) t(j)
+    ), sigs AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN {_duck_dot('e.embedding', 'p.plane')} > 0
+                           THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ), q AS (
+      SELECT e.embedding AS qv, s.sig AS qsig
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+      WHERE e.vec_id = 0
+    )
+    SELECT e.vec_id, e.label, {_duck_cosine('e.embedding', 'q.qv')} AS score
+    FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN q
+    WHERE bit_count(xor(s.sig, q.qsig)) <= 3
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@register("ann_lsh_topk", oracle=_DUCK_ANN_LSH)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH signature pruning (engine
     extension — the 100 TB path where brute force is infeasible; signature
@@ -1004,7 +1034,46 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", "score")
 
 
-@register("ann_ivf_topk")  # no SQL oracle: recall vs brute force is tested in pytest
+def _duck_l2(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(len({a})), i -> "
+        f"(CAST({a}[i + 1] AS DOUBLE) - CAST({b}[i + 1] AS DOUBLE)) "
+        f"* (CAST({a}[i + 1] AS DOUBLE) - CAST({b}[i + 1] AS DOUBLE)))))"
+    )
+
+
+# Full IVF oracle: DuckDB re-derives the 4 md5 centroids (seed 99), assigns
+# every vector to its nearest cell (first-index ties via ORDER BY dist,
+# cell), picks the 2 cells nearest the query exactly like the Python-side
+# probe sort (stable by cell index), and exact-scores the probed subset.
+_DUCK_ANN_IVF = f"""
+    WITH cents AS (
+      SELECT p AS cell, list_transform(range(64), ii ->
+        ({_duck_hash48("'99|' || CAST(p AS VARCHAR) || '|' || CAST(ii AS VARCHAR)")}
+         / 281474976710656.0) * 2.0 - 1.0) AS c
+      FROM range(4) t(p)
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT cell FROM cents CROSS JOIN q
+      ORDER BY {_duck_l2('q.qv', 'cents.c')}, cell LIMIT 2
+    ), assigned AS (
+      SELECT vec_id, label, embedding, cell FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_duck_l2('e.embedding', 'c.c')}, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) t WHERE rn = 1
+    )
+    SELECT a.vec_id, a.label, {_duck_cosine('a.embedding', 'q.qv')} AS score
+    FROM assigned a CROSS JOIN q
+    WHERE a.cell IN (SELECT cell FROM probe)
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+@register("ann_ivf_topk", oracle=_DUCK_ANN_IVF)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF coarse quantization (engine extension): probe the
     nearest cells only; cells become partition keys at scale."""

@@ -62,6 +62,51 @@ def test_lsh_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
     assert probe.count() == expected
 
 
+def test_ivf_pandas_assign_at_production_k(spark, sf_dir):
+    """VERDICT r1 'What's wrong' #6: literal-centroid expression arrays are
+    a plan-size/analysis blowup at real quantizer sizes. The Arrow argmin
+    path must (a) agree with the expression path on real data at small k,
+    and (b) build + run at k=256 × dim=64 in seconds, not minutes."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        _hyperplane,
+        ivf_assign,
+        ivf_assign_pandas,
+        topk_ivf,
+    )
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # (a) same cells as the expression path on the real table (ties are
+    # measure-zero on float embeddings)
+    small = [_hyperplane(64, p, seed=99) for p in range(4)]
+    expr_cells = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(e, small).select("vec_id", "cell").collect()
+    }
+    arrow_cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_pandas(e, small).select("vec_id", "cell").collect()
+    }
+    assert arrow_cells == expr_cells
+
+    # (b) production k: plan must stay O(1) — build+execute budget 30 s
+    # (the literal-expression path at this k hangs analysis for minutes)
+    big = [_hyperplane(64, p, seed=5) for p in range(256)]
+    t0 = time.perf_counter()
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    out = topk_ivf(e, query, big, k=10, n_probe=8)
+    rows = out.collect()
+    elapsed = time.perf_counter() - t0
+    assert len(rows) > 0
+    assert elapsed < 30, f"k=256 IVF took {elapsed:.1f}s — plan-size blowup?"
+    # auto-selection: big k must run through the Arrow argmin, not the
+    # literal-array expression tree
+    assert "ArrowEvalPython" in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_ivf_with_trained_centroids_beats_random(spark, sf_dir):
     """KMeans-trained quantizer must give ≥ recall of the pseudo-random
     centroids at the same n_probe (it adapts cells to the data)."""
