@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -105,23 +106,28 @@ def decode_and_featurize(
             state["c"] = codec_factory()
         codec = state["c"]
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
-                if isinstance(payload, str):
-                    payload = payload.encode()
-                w, h, nf = codec.probe(payload, r[kind_col])
-                rows.append(
-                    {
-                        "media_id": r[id_col],
-                        "kind": r[kind_col],
-                        "width": w,
-                        "height": h,
-                        "n_frames": nf,
-                        "features": codec.features(payload, r[kind_col], feature_dim),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            # Columnar batch construction (no per-row Series materialization —
+            # iterrows costs ~100× the zip for wide binary rows). The codec
+            # call itself is per-item Python by nature; everything around it
+            # stays vectorized.
+            payloads = [
+                p.encode() if isinstance(p, str) else p for p in pdf[payload_col]
+            ]
+            kinds = pdf[kind_col]
+            probes = [codec.probe(p, k) for p, k in zip(payloads, kinds)]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "kind": kinds.to_numpy(),
+                    "width": [w for w, _, _ in probes],
+                    "height": [h for _, h, _ in probes],
+                    "n_frames": [n for _, _, n in probes],
+                    "features": [
+                        codec.features(p, k, feature_dim)
+                        for p, k in zip(payloads, kinds)
+                    ],
+                }
+            )
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
@@ -174,24 +180,24 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if "c" not in state:
             state["c"] = codec_factory()
+        suffix = f"|{target_w}x{target_h}".encode()
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
-                if isinstance(payload, (bytes, bytearray)):
-                    payload = bytes(payload)
-                else:
-                    payload = str(payload).encode()
-                tag = hashlib.md5(payload + f"|{target_w}x{target_h}".encode()).hexdigest()
-                rows.append(
-                    {
-                        "media_id": r[id_col],
-                        "width": target_w,
-                        "height": target_h,
-                        "payload": f"resized:{tag}",
-                    }
-                )
-            yield pd.DataFrame(rows)
+            # zip-based columnar construction (see decode_and_featurize)
+            payloads = (
+                bytes(p) if isinstance(p, (bytes, bytearray)) else str(p).encode()
+                for p in pdf[payload_col]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "width": np.full(len(pdf), target_w, dtype="int32"),
+                    "height": np.full(len(pdf), target_h, dtype="int32"),
+                    "payload": [
+                        "resized:" + hashlib.md5(p + suffix).hexdigest()
+                        for p in payloads
+                    ],
+                }
+            )
 
     images = media.filter(F.col("kind") == "image")
     return images.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -5,9 +5,11 @@ The reference bulk-loads processed CSVs into PostgreSQL with ``\\copy``
 batches of 50 (``scripts/transform/generate_embeddings.py:274-357``). Spark's
 JDBC writer replaces both: distributed, batched, and restartable.
 
-No database ships in this container, so these are thin, tested-for-shape
-wrappers; the options mirror what a production deployment needs (partitioned
-reads, write batch size).
+Round-trip behavior (batched writes, append, partitioned range reads, the
+vector-sink row shape) is executed against embedded Derby — the JDBC engine
+Spark's JVM already ships — in ``tests/test_jdbc.py``; the options mirror
+what a production PostgreSQL deployment needs (partitioned reads, write
+batch size).
 """
 
 from __future__ import annotations

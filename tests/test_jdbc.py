@@ -1,0 +1,76 @@
+"""S10–S12 executed round-trips against embedded Derby (ships with Spark's
+JVM — no external database needed). Upgrades the JDBC wrappers from
+shape-only to behavior-tested: batched writes, append semantics, partitioned
+range reads, and the reference's vector-sink row shape
+(``generate_embeddings.py:274-357``: pgvector text-encoded embeddings,
+batch commits)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytesme_etl_batch_pipeline_spark.sources.jdbc import read_jdbc, write_jdbc
+
+DRIVER = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _url(tmp_path, name):
+    return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+
+def test_write_read_round_trip_partitioned(spark, tmp_path):
+    url = _url(tmp_path, "rt")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 3).alias("val"),
+        F.concat(F.lit("row-"), F.col("id").cast("string")).alias("tag"),
+    )
+    write_jdbc(df, url, "t_rt", mode="overwrite", batch_size=100, properties=DRIVER)
+
+    back = read_jdbc(
+        spark, url, "t_rt", properties=DRIVER,
+        partition_column="id", lower_bound=0, upper_bound=1000, num_partitions=8,
+    )
+    # S12 contract: the scan is split into parallel range reads
+    assert back.rdd.getNumPartitions() == 8
+    assert back.count() == 1000
+    got = {(r["id"], r["val"], r["tag"]) for r in back.collect()}
+    want = {(i, i * 3, f"row-{i}") for i in range(1000)}
+    assert got == want
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    url = _url(tmp_path, "ap")
+    df = spark.range(0, 10).select(F.col("id"))
+    write_jdbc(df, url, "t_ap", mode="overwrite", batch_size=5, properties=DRIVER)
+    write_jdbc(df.select((F.col("id") + 10).alias("id")), url, "t_ap",
+               mode="append", batch_size=5, properties=DRIVER)
+    back = read_jdbc(spark, url, "t_ap", properties=DRIVER)
+    assert sorted(r["id"] for r in back.collect()) == list(range(20))
+
+
+def test_partitioned_read_requires_bounds(spark, tmp_path):
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        read_jdbc(spark, _url(tmp_path, "x"), "t", partition_column="id")
+
+
+def test_vector_sink_shape(spark, sf_dir, tmp_path):
+    """E3 vector-store write, reference row shape: embeddings text-encoded
+    the way pgvector ingests them ('[x1,x2,...]'), committed in batches
+    (reference hardcodes 50; here it's the batchsize option)."""
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    url = _url(tmp_path, "vec")
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    rows = e.select(
+        "vec_id",
+        F.concat(
+            F.lit("["), F.array_join(F.col("embedding"), ","), F.lit("]")
+        ).alias("embedding_text"),
+    )
+    write_jdbc(rows, url, "t_vec", mode="overwrite", batch_size=50, properties=DRIVER)
+    back = read_jdbc(spark, url, "t_vec", properties=DRIVER)
+    assert back.count() == 100
+    sample = back.filter(F.col("vec_id") == 0).collect()[0]["embedding_text"]
+    assert sample.startswith("[") and sample.endswith("]")
+    assert len(sample.split(",")) == 64

@@ -1,0 +1,82 @@
+"""S7 landing-zone contract (VERDICT r1 'What's missing' #4).
+
+The reference's largest component is the Selenium extractor
+(``scripts/extract/products_scraping.py:139-314``), deliberately kept
+out-of-engine (SURVEY §3). This test pins the BOUNDARY instead: whatever
+produces the landing CSVs must emit the raw 16-column shape
+(``data/raw/bingsu_products.csv:1``), and the engine must ingest that shape
+through ``read_csv(with_lineage=True)`` — quoted multi-line Vietnamese
+descriptions, pipe-delimited image lists, the three unit-price shapes —
+straight into the category cascade without adapters."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import functions as F
+
+from bytesme_etl_batch_pipeline_spark.operators.categorize import (
+    BYTESME_RULES,
+    BYTESME_SPECIAL_CASES,
+    standardize_categories,
+)
+from bytesme_etl_batch_pipeline_spark.schemas import RAW_PRODUCTS
+from bytesme_etl_batch_pipeline_spark.sources.files import read_csv
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "raw_products_landing.csv"
+)
+REF_RAW = "/root/reference/data/raw/bingsu_products.csv"
+
+
+def test_contract_matches_reference_header():
+    """The schema, the fixture, and (when present) the reference's actual
+    landing file must agree on the exact 16-column header — this is the
+    contract the out-of-engine extractor is held to."""
+    with open(FIXTURE, newline="", encoding="utf-8") as f:
+        fixture_header = next(csv.reader(f))
+    assert fixture_header == [fld.name for fld in RAW_PRODUCTS.fields]
+    if os.path.exists(REF_RAW):
+        with open(REF_RAW, newline="", encoding="utf-8") as f:
+            ref_header = next(csv.reader(f))
+        assert ref_header == fixture_header
+
+
+def test_landing_csv_ingests_with_lineage(spark):
+    df = read_csv(spark, FIXTURE, schema=RAW_PRODUCTS, with_lineage=True)
+    rows = df.collect()
+    # the quoted multi-line description must stay ONE row
+    assert len(rows) == 3
+    assert dict(df.dtypes)["product_discount_percentage"] == "double"
+    assert dict(df.dtypes)["product_stock_quantity"] == "int"
+    assert "source_file" in df.columns and "row_pos" in df.columns
+    assert all(r["source_file"].endswith("raw_products_landing.csv") for r in rows)
+
+    by_name = {r["product_name"]: r for r in rows}
+    bingsu = by_name["Bingsu Dâu Tây"]
+    assert "\nThích hợp mùa hè." in bingsu["product_description"]
+    assert bingsu["product_image"].count("|") == 1  # pipe list survives
+    assert bingsu["product_overall_stars"] == 4.7
+    assert by_name["Bánh kem bơ nhỏ"]["product_unit_price"].startswith(
+        "{'product_sizes'"
+    )
+    assert by_name["Trà sữa trân châu"]["product_description"] is None
+
+
+def test_landing_feeds_cascade_without_adapters(spark):
+    """Boundary-to-engine: the raw frame flows directly into C1."""
+    df = read_csv(spark, FIXTURE, schema=RAW_PRODUCTS, with_lineage=True)
+    out = standardize_categories(
+        df.select("product_name", "original_category"),
+        "product_name",
+        "original_category",
+        BYTESME_RULES,
+        BYTESME_SPECIAL_CASES,
+    )
+    got = {r["product_name"]: r["category_name"] for r in out.collect()}
+    assert got == {
+        "Bingsu Dâu Tây": "Bingsu",
+        "Bánh kem bơ nhỏ": "Cakes",
+        "Trà sữa trân châu": "Tea",
+    }
