@@ -903,6 +903,220 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return N.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3)
 
 
+@register(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM sym) n
+      UNION
+      SELECT s.nbr, r.label FROM reach r JOIN sym s ON s.node = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: LSH candidate pairs → connected
+    components by iterative min-label propagation (one shuffle join + map-
+    side min per round; rounds = cluster diameter, shallow for dup graphs).
+    The oracle replays the closure with a recursive CTE. This is the step
+    between pairwise verification and keep-one-per-group dedup that the
+    reference's exact-key pandas dedup has no equivalent for."""
+    from ..operators import neardup as N
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = N.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3)
+    cc = connected_components(edges, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "pii_redact",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' Liên hệ user' || CAST(doc_id AS VARCHAR) || '@mail.example.vn nhé.'
+             WHEN doc_id % 3 = 1 THEN ' Gọi 0' || lpad(CAST((doc_id * 7) % 100000000 AS VARCHAR), 8, '0') || ' để đặt.'
+             ELSE ' Thẻ 4' || lpad(CAST((doc_id * 13) % 1000000000000000 AS VARCHAR), 15, '0') || ' đã lưu.'
+        END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{13,16}\\b', '<CARD>', 'g'),
+             '\\b0\\d{8,10}\\b', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over documents (training-data pipeline staple): email →
+    card → phone regex chain, global replace, pure JVM expressions. Inputs
+    are synthesized deterministically per doc so every pattern is exercised;
+    order matters (card before phone so digit runs are not half-eaten).
+    DuckDB twin needs the 'g' flag and RE2-safe patterns (no lookbehind)."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" Liên hệ user"), did.cast("string"), F.lit("@mail.example.vn nhé.")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" Gọi 0"),
+                F.lpad(((did * 7) % 100000000).cast("string"), 8, "0"),
+                F.lit(" để đặt."),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" Thẻ 4"),
+                F.lpad(((did * 13) % 1000000000000000).cast("string"), 15, "0"),
+                F.lit(" đã lưu."),
+            )
+        ),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                raw, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+            ),
+            r"\b\d{13,16}\b",
+            "<CARD>",
+        ),
+        r"\b0\d{8,10}\b",
+        "<PHONE>",
+    )
+    return d.select("doc_id", redacted.alias("redacted"))
+
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+    ), c AS (
+      SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS distinct_ratio,
+           round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_word_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals: type/token diversity and
+    top-term concentration per document — the standard screens for
+    template/boilerplate junk in pretraining corpora. explode → two-level
+    agg; both levels combine map-side (keys are (doc, word) then doc), so
+    the shuffle carries per-doc distinct words, not token occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    per_word = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("distinct_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_word_frac"),
+    )
+
+
+@register(
+    "domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, cap_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_duck_hash48("'cap|' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS cap_rank
+      FROM documents
+    ) t WHERE cap_rank <= 15
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain balancing): keep ≤15 docs per source,
+    chosen by seeded hash order — reproducible under any partitioning and
+    insensitive to ingest order, which rand()-based sampling is not. At
+    100 TB the window is per-source (bounded groups), not global."""
+    from pyspark.sql import Window
+
+    from ..operators.textops import md5_hash48
+
+    d = load_table(spark, sf_dir, "documents")
+    order_key = md5_hash48(F.concat(F.lit("cap|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("cap_rank"))
+        .filter(F.col("cap_rank") <= 15)
+    )
+
+
+@register(
+    "quality_filter_chain",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN n_chars < 60 THEN 'too_short'
+                WHEN n_chars > 1500 THEN 'too_long'
+                WHEN lang NOT IN ('en', 'vi') THEN 'lang_out_of_scope'
+                WHEN length(regexp_replace(text, '[a-zA-Zàáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ0-9\\s]', '', 'g'))
+                     > CAST(0.1 * length(text) AS DOUBLE) THEN 'too_much_symbol'
+                ELSE NULL END AS reject_reason,
+           CASE WHEN n_chars >= 60 AND n_chars <= 1500 AND lang IN ('en', 'vi')
+                 AND length(regexp_replace(text, '[a-zA-Zàáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ0-9\\s]', '', 'g'))
+                     <= CAST(0.1 * length(text) AS DOUBLE)
+                THEN true ELSE false END AS kept
+    FROM documents
+    """,
+)
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rules-as-data corpus filter chain with reject reasons (first failing
+    rule wins): length bounds → language scope → symbol-density screen. One
+    codegen'd projection; at scale the kept subset feeds dedup/mixing and
+    the reasons feed the data-quality report."""
+    d = load_table(spark, sf_dir, "documents")
+    viet = "àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ"
+    symbol_len = F.length(
+        F.regexp_replace(F.col("text"), f"[a-zA-Z{viet}0-9\\s]", "")
+    )
+    too_symbolic = symbol_len > (F.lit(0.1) * F.length("text")).cast("double")
+    reason = (
+        F.when(F.col("n_chars") < 60, "too_short")
+        .when(F.col("n_chars") > 1500, "too_long")
+        .when(~F.col("lang").isin("en", "vi"), "lang_out_of_scope")
+        .when(too_symbolic, "too_much_symbol")
+    )
+    return d.select(
+        "doc_id", reason.alias("reject_reason"), reason.isNull().alias("kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (SURVEY §2.12 E4 + engine extension)
 # ---------------------------------------------------------------------------

@@ -318,3 +318,40 @@ def test_quality_features_empty_and_whitespace_docs(spark):
     normal = rows[3]
     assert normal["n_words"] == 3
     assert normal["quality_score"] is not None and normal["quality_score"] > 0
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains + a triangle: labels must collapse to the min member of
+    each component, including multi-hop propagation (chain diameter 3)."""
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # component A: chain 1-2-3-4 (diameter 3); component B: triangle
+        # 10-11-12; component C: pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["src", "dst"],
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    reps = {
+        r["cluster_id"]: r["keep_node"]
+        for r in cluster_representatives(connected_components(edges)).collect()
+    }
+    assert reps == {1: 1, 10: 10, 20: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A long chain must exceed a tiny max_iter and raise, not mislabel."""
+    import pytest
+
+    from bytesme_etl_batch_pipeline_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
