@@ -80,6 +80,82 @@ def sessionized_counts(
     )
 
 
+def interval_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    left_ts: str = "ts_l",
+    right_ts: str = "ts_r",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition (attribution:
+    every right-event within ``horizon`` AFTER a same-user left-event).
+
+    Works identically on batch and streaming inputs — on streams BOTH sides
+    must be watermarked and the join condition must bound the time skew;
+    that pair of constraints is what lets the engine evict join state (a
+    left row can be dropped once the watermark passes ts_l + horizon). An
+    unbounded-condition stream-stream join would grow state forever at
+    100 TB/day."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (lw[user_col] == rw[user_col])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond).select(
+        lw[user_col].alias(user_col),
+        F.col(left_ts),
+        F.col(right_ts),
+        ((F.unix_timestamp(right_ts) - F.unix_timestamp(left_ts))).alias("lag_sec"),
+    )
+
+
+def run_foreach_batch_upsert(
+    stream: DataFrame,
+    key_cols: list[str],
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Keyed upsert sink via ``foreachBatch``: per micro-batch, new keys are
+    appended and existing keys are replaced (batch-wins). Plain-parquet
+    merge: read current target, anti-join away rows whose key re-arrived,
+    union the (deduped) batch, rewrite atomically via a temp dir.
+
+    This is the no-extra-dependency form; on a production lakehouse the
+    body becomes a Delta/Iceberg ``MERGE INTO`` with the same batch_df and
+    the rewrite disappears. foreachBatch re-delivers a batch after a crash
+    (at-least-once), so the body must stay idempotent — upsert by key is.
+    """
+    import shutil
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # within-batch dedup: last writer wins deterministically by key
+        fresh = batch_df.dropDuplicates(key_cols)
+        try:
+            current = spark.read.parquet(target_path)
+            merged = current.join(
+                fresh.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(fresh)
+        except Exception:  # first batch: nothing to merge yet
+            merged = fresh
+        tmp = target_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_path, ignore_errors=True)
+        shutil.move(tmp, target_path)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ) -> None:

@@ -141,3 +141,95 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the late duplicate into the finalized hour-3 window was dropped:
     # emitted exactly once, count stayed 1 (no re-emission, no n=2)
     assert len(finalized.get(3, [])) == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition must
+    equal the same join run in batch over the drained input (attribution:
+    purchases within 1 h after a same-user click)."""
+    import datetime
+    import tempfile
+
+    from bytesme_etl_batch_pipeline_spark.streaming.events import (
+        interval_attribution_join,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    clicks = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(hours=3)),
+        (2, t0 + datetime.timedelta(minutes=10)),
+        (3, t0),
+    ]
+    buys = [
+        (1, t0 + datetime.timedelta(minutes=30)),   # joins click@0h
+        (1, t0 + datetime.timedelta(hours=2)),      # outside 1h horizon
+        (1, t0 + datetime.timedelta(hours=3, minutes=59)),  # joins click@3h
+        (2, t0 + datetime.timedelta(minutes=20)),   # joins
+        (4, t0),                                    # no click user
+    ]
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks, "user_id long, ts_l timestamp").write.parquet(cdir)
+    spark.createDataFrame(buys, "user_id long, ts_r timestamp").write.parquet(bdir)
+
+    left_b = spark.read.parquet(cdir)
+    right_b = spark.read.parquet(bdir)
+    expected = _sorted_rows(interval_attribution_join(left_b, right_b).collect())
+    assert len(expected) == 3
+
+    left_s = spark.readStream.schema(left_b.schema).parquet(cdir)
+    right_s = spark.readStream.schema(right_b.schema).parquet(bdir)
+    joined = interval_attribution_join(left_s, right_s)
+    assert joined.isStreaming
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attrib")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = _sorted_rows(spark.sql("SELECT * FROM attrib").collect())
+    assert got == expected
+
+
+def test_foreach_batch_upsert_keyed_merge(spark, tmp_path):
+    """foreachBatch upsert: re-arriving keys replace, new keys append, and
+    the result is stable across the drain (idempotent by key)."""
+    import tempfile
+
+    from bytesme_etl_batch_pipeline_spark.streaming.events import (
+        run_foreach_batch_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    schema = "k long, v string"
+    # two files → (with maxFilesPerTrigger=1) two micro-batches; batch 2
+    # updates k=1 and adds k=3
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame([(1, "a2"), (3, "c")], schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, b in enumerate(["f1", "f2"]):
+        for f in _glob.glob(src + f"/{b}/*"):
+            _os.utime(f, (now - 600 * (2 - i), now - 600 * (2 - i)))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_foreach_batch_upsert(stream, ["k"], target, ckpt)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
