@@ -45,12 +45,14 @@ HEADLINE = [
     "order_lineitem_revenue",
     "asof_join_last_purchase",
     "rule_cascade_classify",
-    "doc_template",
+    "doc_template_vi",
     "exact_dedup_docs",
     "minhash_lsh_candidates",
+    "neardup_clusters",
     "ngram_jaccard_pairs",
     "cosine_topk",
     "ann_lsh_topk",
+    "pii_redact",
     "tfidf_top_terms",
     "sessionization",
     "streaming_windowed_counts",
