@@ -107,3 +107,34 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("__partial").cast("long").alias(out_col))
+
+
+def hll_partial_sketches(
+    df: DataFrame, key_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HyperLogLog sketches (Datasketches binary) — the
+    INCREMENTAL distinct-count primitive: persist one sketch per
+    (day/partition/source), then answer "distinct over any key subset"
+    by merging sketches instead of rescanning 100 TB of raw data.
+    Sketch size is KB-scale (2^lg_k registers) regardless of cardinality."""
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_merge_estimate(
+    sketches: DataFrame, group_cols: list[str], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Merge persisted sketches up to a coarser grouping and estimate.
+    Union of HLL sketches is lossless w.r.t. the sketch state, so rolling
+    day→month→total never compounds error beyond the base sketch's."""
+    grouped = (
+        sketches.groupBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else sketches.groupBy()
+    )
+    return grouped.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
+            "approx_distinct"
+        )
+    )

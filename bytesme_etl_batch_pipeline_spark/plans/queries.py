@@ -1078,6 +1078,83 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_terms(x: str, y: str, bits: int) -> str:
+    """DuckDB bit-interleave: sum of ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_key",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(o_custkey % 256 AS BIGINT) AS dim_x,
+           CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS BIGINT) AS dim_y,
+           CAST({_zorder_terms("(o_custkey % 256)",
+                               "(datediff('day', DATE '1992-01-01', o_orderdate) % 256)", 8)}
+                AS BIGINT) AS zkey
+    FROM orders
+    """,
+)
+def q_zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over two scan dimensions — the lakehouse
+    data-layout primitive Spark lacks natively: sort/partition the table by
+    the interleaved-bit key and range scans on EITHER dimension touch few
+    files (per-file min/max stay tight on both), where a lexicographic sort
+    only prunes the leading column. Pure bit arithmetic, codegen'd; at
+    100 TB this is the write-side `repartitionByRange(zkey)` before the
+    parquet sink."""
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) % 256).cast(
+        "long"
+    )
+    zkey = F.lit(0).cast("long")
+    for i in range(8):
+        zkey = zkey + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        zkey = zkey + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return o.select(
+        "o_orderkey", x.alias("dim_x"), y.alias("dim_y"), zkey.alias("zkey")
+    )
+
+
+@register(
+    "join_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_cnt FROM per_key
+    )
+    SELECT key, cnt, round(cnt / avg_cnt, 6) AS skew_factor
+    FROM per_key CROSS JOIN stats
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis for a join/agg key: top hot keys with their ratio to
+    the mean — the measurement that decides between plain shuffle, AQE skew
+    split, and explicit salting. One partial-agg shuffle + a broadcast of
+    the 1-row mean; TakeOrderedAndProject for the top slice."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select("key", "cnt", F.round(F.col("cnt") / F.col("avg_cnt"), 6).alias("skew_factor"))
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(10)
+    )
+
+
 @register(
     "quality_filter_chain",
     oracle="""

@@ -216,3 +216,33 @@ def test_approx_percentiles_error_bound(spark, sf_dir):
     for k, (p50, p99) in exact.items():
         assert abs(approx[k][0] - p50) / max(p50, 1) < 0.05
         assert abs(approx[k][1] - p99) / max(p99, 1) < 0.05
+
+
+def test_hll_sketch_persistence_and_merge(spark, sf_dir, tmp_path):
+    """Incremental distinct counts: per-day sketches persisted to parquet,
+    re-read, merged to a total — estimate must (a) match the estimate from
+    sketching the whole column directly (merge is state-lossless) and
+    (b) sit within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.aggregate import (
+        hll_merge_estimate,
+        hll_partial_sketches,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
+        "user_id",
+    )
+    daily = hll_partial_sketches(events, ["day"], "user_id")
+    out = str(tmp_path / "daily_sketches")
+    daily.write.parquet(out)  # the persistence step: KB per day, not raw data
+
+    merged = hll_merge_estimate(spark.read.parquet(out), [])
+    est = merged.collect()[0]["approx_distinct"]
+
+    direct = hll_merge_estimate(hll_partial_sketches(events, [], "user_id"), [])
+    assert est == direct.collect()[0]["approx_distinct"]
+
+    exact = events.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
