@@ -61,7 +61,8 @@ def test_enrichment_is_whole_stage_codegen(spark, sf_dir):
 
 
 # Queries allowed a BroadcastNestedLoopJoin: single-row broadcast query
-# vectors (top-k / ANN / semantic search) and the 4-tier range join.
+# vectors (top-k / ANN / semantic search), single-row broadcast aggregates
+# (skew report's mean), and the 4-tier range join.
 BNLJ_ALLOWED = {
     "cosine_topk",
     "l2_topk",
@@ -69,6 +70,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",
     "range_join_balance_tiers",
     "semantic_search_pipeline",
+    "join_skew_report",
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}

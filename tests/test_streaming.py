@@ -233,3 +233,55 @@ def test_foreach_batch_upsert_keyed_merge(spark, tmp_path):
         run_foreach_batch_upsert(stream, ["k"], target, ckpt)
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming twin of D1 exact dedup: dropDuplicatesWithinWatermark
+    removes re-arrivals of a key across micro-batches while the key is
+    inside the watermark horizon — the bounded-state form of streaming
+    dedup (a plain dropDuplicates on a stream would keep ALL keys
+    forever)."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "dup_events")
+    schema = "k long, ts timestamp, v string"
+    # batch 1: keys 1,2 ; batch 2: key 1 re-arrives (dup) + new key 3
+    spark.createDataFrame(
+        [(1, t0, "a"), (2, t0 + datetime.timedelta(minutes=1), "b")], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=2), "a-dup"),
+         (3, t0 + datetime.timedelta(minutes=3), "c")], schema
+    ).coalesce(1).write.parquet(src + "/b2")
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, b in enumerate(["b1", "b2"]):
+        for f in _glob.glob(src + f"/{b}/*"):
+            _os.utime(f, (now - 600 * (2 - i), now - 600 * (2 - i)))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("stream_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM stream_dedup").collect()}
+    # the re-arrival of k=1 was dropped; first-seen value survives
+    assert got == {1: "a", 2: "b", 3: "c"}
