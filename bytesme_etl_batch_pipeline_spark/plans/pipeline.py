@@ -125,3 +125,79 @@ def load_config(path: str) -> dict:
         import json
 
         return json.loads(text)
+
+
+def register_reference_stages() -> list[str]:
+    """Register the reference's YAML transform names
+    (``utils/etl_config.yml:6-10``: remove_duplicates,
+    standardize_categories, generate_mock_data, seperate_tables — sic) with
+    their engine compositions over the RAW_PRODUCTS frame, so a reference
+    user's config runs unchanged. Idempotent; returns the names.
+
+    Order dependencies mirror the reference: ``generate_mock_data`` expects
+    ``category_name`` (run after ``standardize_categories``);
+    ``seperate_tables`` is terminal and yields the facts frame (dims/children
+    come from ``operators.normalize.snowflake_split`` directly when all
+    three outputs are needed).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.categorize import (
+        BYTESME_RULES,
+        BYTESME_SPECIAL_CASES,
+        standardize_categories,
+    )
+    from ..operators.dedup import dedup_keep_first
+    from ..operators.enrich import enrich_products
+    from ..operators.normalize import snowflake_split
+
+    names = [
+        "remove_duplicates",
+        "standardize_categories",
+        "generate_mock_data",
+        "seperate_tables",
+    ]
+    if all(n in STAGES for n in names):
+        return names
+
+    @register_stage("remove_duplicates")
+    def _dedup(df: DataFrame) -> DataFrame:
+        # reference drop_duplicates keeps the first row in file order;
+        # url is the stable ordering key (SURVEY §7 hard part 2)
+        return dedup_keep_first(
+            df, keys=["product_name", "product_url"], order_by=["product_url"]
+        )
+
+    @register_stage("standardize_categories")
+    def _categorize(df: DataFrame) -> DataFrame:
+        return standardize_categories(
+            df,
+            "product_name",
+            "original_category",
+            BYTESME_RULES,
+            BYTESME_SPECIAL_CASES,
+        )
+
+    @register_stage("generate_mock_data")
+    def _enrich(df: DataFrame) -> DataFrame:
+        return enrich_products(
+            df.withColumn("price_num", F.col("product_unit_price").try_cast("long")),
+            key_col="product_url",
+            brand_col="product_brand",
+            category_col="category_name",
+            price_col="price_num",
+        )
+
+    @register_stage("seperate_tables")
+    def _split(df: DataFrame) -> DataFrame:
+        return snowflake_split(
+            df,
+            dim_key="category_name",
+            dim_attrs=["product_brand"],
+            fact_key="product_url",
+            child_url_col="product_image",
+            child_name_col="product_image_name",
+            order_by=["product_url"],
+        ).facts
+
+    return names

@@ -80,3 +80,47 @@ def test_landing_feeds_cascade_without_adapters(spark):
         "Bánh kem bơ nhỏ": "Cakes",
         "Trà sữa trân châu": "Tea",
     }
+
+
+def test_reference_yaml_config_runs_unchanged(spark, tmp_path):
+    """A reference user's etl_config.yml transform list (reference names,
+    reference order) must drive the engine end-to-end over a raw landing
+    file: categorize → dedup → enrich → split, with a per-input report."""
+    from bytesme_etl_batch_pipeline_spark.plans.pipeline import (
+        load_config,
+        register_reference_stages,
+        run_pipeline,
+    )
+
+    cfg_path = str(tmp_path / "etl_config.yml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            """
+input_directory: "data/raw"
+file_pattern: "*.csv"
+transforms:
+  - standardize_categories
+  - remove_duplicates
+  - generate_mock_data
+  - seperate_tables
+categories:
+  input_column: "original_category"
+  output_column: "category_name"
+"""
+        )
+    cfg = load_config(cfg_path)
+    assert cfg["transforms"] == [
+        "standardize_categories",
+        "remove_duplicates",
+        "generate_mock_data",
+        "seperate_tables",
+    ]
+    register_reference_stages()
+
+    raw = read_csv(spark, FIXTURE, schema=RAW_PRODUCTS, with_lineage=True)
+    outputs, report = run_pipeline({"landing": raw}, cfg["transforms"])
+    assert report.summary() == {"total": 1, "success": 1, "error": 0}
+    facts = outputs["landing"]
+    # facts resolved a dim FK and a surrogate id, raw category is gone
+    assert "dim_id" in facts.columns and "original_category" not in facts.columns
+    assert facts.count() == 3
