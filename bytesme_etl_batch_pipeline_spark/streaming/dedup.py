@@ -1,0 +1,79 @@
+"""Streaming exact dedup with persistent cross-run state.
+
+``dropDuplicatesWithinWatermark`` bounds dedup state by a time horizon; a
+training-data corpus needs the UNBOUNDED guarantee — a document seen in any
+earlier batch (or earlier run) never re-enters. That state is the digest
+set of ``operators.dedup.incremental_dedup``, persisted as parquet and
+versioned per micro-batch so the sink is idempotent under foreachBatch's
+at-least-once redelivery:
+
+* fresh rows land at ``corpus/batch_id=N`` with overwrite — a redelivered
+  batch rewrites its own directory, never duplicates;
+* the digest set lands at ``digests/v=N``, and batch N always reads the
+  newest version < N — so a redelivery recomputes the SAME fresh set even
+  if the crash happened after the digest write (reading one's own output
+  would instead drop the whole batch on retry).
+
+On a lakehouse the two writes collapse into one Delta/Iceberg transaction;
+this is the dependency-free form with the same guarantees.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+
+from ..operators.dedup import incremental_dedup
+
+
+def _latest_digest_version(digests_path: str, before: int) -> int | None:
+    if not os.path.isdir(digests_path):
+        return None
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(digests_path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    prior = [v for v in versions if v < before]
+    return max(prior) if prior else None
+
+
+def make_incremental_dedup_step(
+    text_col: str, corpus_path: str, digests_path: str
+):
+    """Build the foreachBatch body (exposed for direct idempotence tests)."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = _latest_digest_version(digests_path, before=batch_id)
+        seen = (
+            spark.read.parquet(f"{digests_path}/v={prior}")
+            if prior is not None
+            else None
+        )
+        fresh, updated = incremental_dedup(batch_df, seen, text_col)
+        fresh.write.mode("overwrite").parquet(f"{corpus_path}/batch_id={batch_id}")
+        updated.write.mode("overwrite").parquet(f"{digests_path}/v={batch_id}")
+
+    return step
+
+
+def run_incremental_dedup_stream(
+    stream: DataFrame,
+    text_col: str,
+    corpus_path: str,
+    digests_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a document stream into an exactly-once deduped corpus."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_incremental_dedup_step(text_col, corpus_path, digests_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -285,3 +285,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM stream_dedup").collect()}
     # the re-arrival of k=1 was dropped; first-seen value survives
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_incremental_dedup_stream_exactly_once(spark, tmp_path):
+    """Unbounded cross-batch dedup with versioned digest state: a document
+    re-arriving in a later batch is dropped; redelivering a batch (the
+    foreachBatch at-least-once case) reproduces the same corpus."""
+    import tempfile
+
+    from bytesme_etl_batch_pipeline_spark.streaming.dedup import (
+        make_incremental_dedup_step,
+        run_incremental_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    corpus = str(tmp_path / "corpus")
+    digests = str(tmp_path / "digests")
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")]  # in-batch dup
+    b2 = [(4, "beta doc"), (5, "gamma doc")]                     # cross-batch dup
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, b in enumerate(["b1", "b2"]):
+        for f in _glob.glob(src + f"/{b}/*"):
+            _os.utime(f, (now - 600 * (2 - i), now - 600 * (2 - i)))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_incremental_dedup_stream(stream, "text", corpus, digests, ckpt)
+
+    got = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
+    assert got == ["alpha doc", "beta doc", "gamma doc"]
+
+    # redelivery: re-run batch 1's step with the SAME batch_id — the corpus
+    # must not change (same fresh set recomputed against the v<1 state even
+    # though v=1 already exists)
+    step = make_incremental_dedup_step("text", corpus, digests)
+    step(spark.createDataFrame(b2, schema), 1)
+    got2 = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
+    assert got2 == got
