@@ -3179,6 +3179,10 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
+    # -- new in round 2 (8), cheapest first --
+    "quality_filter_chain", "pii_redact", "zorder_layout_key",
+    "join_skew_report", "repetition_signals", "domain_cap",
+    "doc_template_vi", "neardup_clusters",
     # -- no CORRECTNESS_r01 row yet (39), cheapest first --
     "trailing_hour_activity", "fill_forward_props", "train_val_test_split",
     "regex_extract_battery", "unpivot_part_metrics", "casts_battery",

@@ -14,6 +14,8 @@ from __future__ import annotations
 import csv
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bytesme_etl_batch_pipeline_spark.operators.categorize import (
@@ -124,3 +126,71 @@ categories:
     # facts resolved a dim FK and a surrogate id, raw category is gone
     assert "dim_id" in facts.columns and "original_category" not in facts.columns
     assert facts.count() == 3
+
+
+REF_RAW_GLOB = "/root/reference/data/raw/*.csv"
+REF_PROCESSED = "/root/reference/data/processed"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_RAW), reason="reference checkout absent"
+)
+def test_full_pipeline_over_reference_raw_zone(spark):
+    """The complete reference corpus (4 raw CSVs, 521 rows) through the
+    engine's reference-named stages: structural parity with the published
+    processed zone — 520 products after dedup (exactly the reference's
+    products.csv count: one duplicate removed), the 13 mapping categories
+    (+ Others for the documented staging-drift rows), and the image
+    explosion within the drift tolerance of product_images.csv."""
+    import csv as _csv
+
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.dedup import dedup_keep_first
+    from bytesme_etl_batch_pipeline_spark.operators.enrich import enrich_products
+    from bytesme_etl_batch_pipeline_spark.operators.normalize import snowflake_split
+
+    raw = read_csv(spark, REF_RAW_GLOB, schema=RAW_PRODUCTS, with_lineage=True)
+    assert raw.count() == 521
+
+    cat = standardize_categories(
+        raw, "product_name", "original_category", BYTESME_RULES, BYTESME_SPECIAL_CASES
+    )
+    ded = dedup_keep_first(
+        cat, keys=["product_name", "product_url"], order_by=["product_url"]
+    )
+    enr = enrich_products(
+        ded.withColumn("price_num", F.col("product_unit_price").try_cast("long")),
+        key_col="product_url",
+        brand_col="product_brand",
+        category_col="category_name",
+        price_col="price_num",
+    )
+    out = snowflake_split(
+        enr,
+        dim_key="category_name",
+        dim_attrs=["product_brand"],
+        fact_key="product_url",
+        child_url_col="product_image",
+        child_name_col="product_image_name",
+        order_by=["product_url"],
+    )
+
+    with open(f"{REF_PROCESSED}/products.csv", newline="", encoding="utf-8") as f:
+        ref_products = len(list(_csv.DictReader(f)))
+    assert out.facts.count() == ref_products == 520
+
+    dims = sorted(r["category_name"] for r in out.dims.collect())
+    mapping_categories = sorted({c for c, _ in BYTESME_RULES})
+    assert dims == sorted(mapping_categories + ["Others"])
+
+    with open(
+        f"{REF_PROCESSED}/product_images.csv", newline="", encoding="utf-8"
+    ) as f:
+        ref_images = len(list(_csv.DictReader(f)))
+    n_children = out.children.count()
+    # pinned engine value; the small gap vs the snapshot tracks the same
+    # mapping drift the categorize golden documents (snapshot predates the
+    # published code)
+    assert n_children == 1567
+    assert abs(n_children - ref_images) <= 10
