@@ -1156,6 +1156,147 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+    ), starts AS (
+      SELECT doc_id, words, unnest(range(1, greatest(len(words) - 10, 1) + 1, 30)) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 30 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(words, start, start + 39), ' ') AS chunk_text,
+           len(list_slice(words, start, start + 39)) AS n_tokens
+    FROM starts
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding chunker: 40-token windows with 10-token overlap (stride
+    30). The word array is materialized ONCE as a named column before the
+    per-chunk slices — higher-order-function lambdas re-evaluate outer
+    expressions per element, so slicing over an inline split() would
+    re-split the text per chunk (see minhash history). Explode fan-out is
+    ~n_tokens/30 rows per doc — linear, map-side, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    with_words = d.select("doc_id", words.alias("words"))
+    starts = with_words.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("words") - 10, F.lit(1)), F.lit(30)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("words"), F.col("start"), 40)
+    return starts.select(
+        "doc_id",
+        (((F.col("start") - 1) / 30).cast("long")).alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DUCK_WORDS}) AS n_tokens,
+             {_duck_hash48("'pack|' || CAST(doc_id AS VARCHAR)")} AS ord
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((CAST(cum - n_tokens AS DOUBLE)) / 512) AS BIGINT) AS bin,
+           CAST(cum - n_tokens AS BIGINT) - 512 * CAST(floor((CAST(cum - n_tokens AS DOUBLE)) / 512) AS BIGINT) AS bin_offset
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ) s
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed-capacity (512
+    token) bins by cumulative offset, per source — each doc starts at
+    (cum - its tokens), its bin is that offset div capacity. Deterministic
+    under any partitioning (seeded-hash order) and parallel per source; a
+    GLOBAL packing order would serialize on one window partition at 100 TB,
+    so the partition key IS the parallelism unit."""
+    from ..operators.textops import md5_hash48
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("long").alias("n_tokens"),
+        md5_hash48(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))).alias("ord"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    bin_ = F.floor(start.cast("double") / 512).cast("long")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        bin_.alias("bin"),
+        (start - F.lit(512) * bin_).alias("bin_offset"),
+    )
+
+
+@register(
+    "cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey % 5000 AS key,
+             o_orderkey AS change_id,
+             CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+                  WHEN o_orderkey % 10 >= 6 THEN 'U'
+                  ELSE 'I' END AS op,
+             o_totalprice AS payload
+      FROM orders
+    ), latest AS (
+      SELECT key, op, payload,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY change_id DESC) AS rn
+      FROM changes
+    )
+    SELECT key, op AS last_op, payload
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: collapse a change feed (insert/update/delete records with
+    a monotone change id) to current state — latest change per key wins,
+    deletes drop the key. One shuffle on the key; in production this is the
+    foreachBatch body over each CDC micro-batch (see
+    streaming/events.run_foreach_batch_upsert) — here the batch form with
+    an oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    changes = o.select(
+        (ok % 5000).alias("key"),
+        ok.alias("change_id"),
+        F.when(ok % 10 == 9, "D").when(ok % 10 >= 6, "U").otherwise("I").alias("op"),
+        F.col("o_totalprice").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("change_id").desc())
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", F.col("op").alias("last_op"), "payload")
+    )
+
+
+@register(
     "quality_filter_chain",
     oracle="""
     SELECT doc_id,
@@ -3179,9 +3320,10 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- new in round 2 (8), cheapest first --
+    # -- new in round 2 (11), cheapest first --
     "quality_filter_chain", "pii_redact", "zorder_layout_key",
-    "join_skew_report", "repetition_signals", "domain_cap",
+    "join_skew_report", "cdc_apply", "doc_chunking", "sequence_packing",
+    "repetition_signals", "domain_cap",
     "doc_template_vi", "neardup_clusters",
     # -- no CORRECTNESS_r01 row yet (39), cheapest first --
     "trailing_hour_activity", "fill_forward_props", "train_val_test_split",
