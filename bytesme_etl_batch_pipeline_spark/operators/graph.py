@@ -96,8 +96,10 @@ def connected_components(
 
 
 def cluster_representatives(components: DataFrame) -> DataFrame:
-    """→ (cluster_id, keep_node): the survivor (smallest id) per cluster —
-    the keep-lowest policy the near-dup decision stage uses."""
-    return components.groupBy("cluster_id").agg(
-        F.min("node").alias("keep_node")
-    )
+    """→ (cluster_id, keep_node): the survivor per cluster under the
+    keep-lowest policy. cluster_id already IS the smallest member (the
+    min-propagation fixpoint), so this is a distinct projection — no
+    aggregation shuffle needed."""
+    return components.select(
+        "cluster_id", F.col("cluster_id").alias("keep_node")
+    ).distinct()

@@ -184,14 +184,21 @@ def product_document_vi(
         )
     )
     orders_s = orders.cast("long").cast("string")
+    # Python str.strip() twin: F.trim strips SPACES only, but the reference
+    # strips all whitespace (multi-line scraped descriptions are real —
+    # trailing \n/\t shift the 1000-char window and a "\t\n" description
+    # must vanish entirely). Explicit ASCII class so Spark, DuckDB (RE2)
+    # and Python agree.
+    _ws = "[ \\t\\n\\r\\f\\x0B]+"
+    desc_stripped = F.regexp_replace(
+        F.regexp_replace(description, "^" + _ws, ""), _ws + "$", ""
+    )
     orders_sentence = F.when(
         orders > 1000,
         F.concat(
             F.lit("Đây là sản phẩm bán chạy với hơn "), orders_s, F.lit(" lượt đặt hàng.")
         ),
     ).otherwise(F.concat(F.lit("Sản phẩm đã bán được "), orders_s, F.lit(" đơn hàng.")))
-
-    desc_stripped = F.trim(description)
 
     return template_document(
         [

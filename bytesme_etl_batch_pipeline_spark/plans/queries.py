@@ -1162,7 +1162,7 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
     ), starts AS (
       SELECT doc_id, words, unnest(range(1, greatest(len(words) - 10, 1) + 1, 30)) AS start
-      FROM w
+      FROM w WHERE len(words) > 0
     )
     SELECT doc_id,
            CAST((start - 1) / 30 AS BIGINT) AS chunk_idx,
@@ -1180,7 +1180,9 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n_tokens/30 rows per doc — linear, map-side, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
-    with_words = d.select("doc_id", words.alias("words"))
+    with_words = d.select("doc_id", words.alias("words")).filter(
+        F.size("words") > 0  # wordless/NULL docs emit no chunks (both engines)
+    )
     starts = with_words.select(
         "doc_id",
         "words",
@@ -1299,25 +1301,29 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_filter_chain",
     oracle="""
-    SELECT doc_id,
-           CASE WHEN n_chars < 60 THEN 'too_short'
-                WHEN n_chars > 1500 THEN 'too_long'
-                WHEN lang NOT IN ('en', 'vi') THEN 'lang_out_of_scope'
-                WHEN length(regexp_replace(text, '[a-zA-Zàáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ0-9\\s]', '', 'g'))
-                     > CAST(0.1 * length(text) AS DOUBLE) THEN 'too_much_symbol'
-                ELSE NULL END AS reject_reason,
-           CASE WHEN n_chars >= 60 AND n_chars <= 1500 AND lang IN ('en', 'vi')
-                 AND length(regexp_replace(text, '[a-zA-Zàáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ0-9\\s]', '', 'g'))
-                     <= CAST(0.1 * length(text) AS DOUBLE)
-                THEN true ELSE false END AS kept
-    FROM documents
+    SELECT doc_id, reject_reason, reject_reason IS NULL AS kept
+    FROM (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR n_chars IS NULL OR lang IS NULL
+                    THEN 'missing_metadata'
+                  WHEN n_chars < 60 THEN 'too_short'
+                  WHEN n_chars > 1500 THEN 'too_long'
+                  WHEN lang NOT IN ('en', 'vi') THEN 'lang_out_of_scope'
+                  WHEN length(regexp_replace(text, '[a-zA-Zàáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ0-9\\s]', '', 'g'))
+                       > CAST(0.1 * length(text) AS DOUBLE) THEN 'too_much_symbol'
+                  ELSE NULL END AS reject_reason
+      FROM documents
+    ) t
     """,
 )
 def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rules-as-data corpus filter chain with reject reasons (first failing
-    rule wins): length bounds → language scope → symbol-density screen. One
-    codegen'd projection; at scale the kept subset feeds dedup/mixing and
-    the reasons feed the data-quality report."""
+    rule wins): metadata presence → length bounds → language scope →
+    symbol-density screen. The leading missing_metadata rule keeps every
+    later comparison two-valued, so ``kept = reason IS NULL`` means the
+    same thing in Spark and the oracle (a NULL-metadata row is rejected,
+    not silently kept). One codegen'd projection; at scale the kept subset
+    feeds dedup/mixing and the reasons feed the data-quality report."""
     d = load_table(spark, sf_dir, "documents")
     viet = "àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ"
     symbol_len = F.length(
@@ -1325,7 +1331,11 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     too_symbolic = symbol_len > (F.lit(0.1) * F.length("text")).cast("double")
     reason = (
-        F.when(F.col("n_chars") < 60, "too_short")
+        F.when(
+            F.col("text").isNull() | F.col("n_chars").isNull() | F.col("lang").isNull(),
+            "missing_metadata",
+        )
+        .when(F.col("n_chars") < 60, "too_short")
         .when(F.col("n_chars") > 1500, "too_long")
         .when(~F.col("lang").isin("en", "vi"), "lang_out_of_scope")
         .when(too_symbolic, "too_much_symbol")
@@ -1818,26 +1828,10 @@ def q_doc_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", doc.alias("document"))
 
 
-_DOC_VI_SENT = {
-    # the reference's exact strings (generate_embeddings.py:49-192); kept in
-    # one place so the Spark operator and this oracle can't drift apart
-    "drink_open": "ĐÂY LÀ THỨC UỐNG. Đây là một loại đồ uống, không phải loại bánh ăn được. Sản phẩm này thuộc nhóm đồ uống giải khát.",
-    "food_open": "ĐÂY LÀ MÓN ĂN hoặc BÁNH. Đây là đồ ăn, không phải đồ uống. Sản phẩm này thuộc nhóm thực phẩm ăn được.",
-    "tea": "Đây là đồ uống trà thơm ngon, thích hợp giải khát. Trà là thức uống, không phải bánh. Đây là thức uống giúp tỉnh táo, thư giãn.",
-    "coffee": "Đây là đồ uống cà phê đậm đà. Cà phê là thức uống, không phải bánh. Đây là thức uống giúp tỉnh táo, tăng năng lượng.",
-    "blended": "Đây là đồ uống đá xay mát lạnh, thích hợp giải nhiệt mùa hè. Đây là thức uống, không phải bánh.",
-    "sweet_cake": "Đây là bánh ngọt mềm mịn, thơm phức. Bánh ngọt là đồ ăn, không phải đồ uống. Bánh ngọt có vị ngọt, mềm và không dùng để uống.",
-    "baked_cake": "Đây là bánh giòn, nướng vàng thơm phức. Bánh nướng là đồ ăn, không phải đồ uống. Bánh có độ giòn, vị mặn hoặc ngọt và không dùng để uống.",
-    "cookie": "Đây là bánh quy giòn tan, thơm mùi bơ. Bánh quy là đồ ăn, không phải đồ uống. Bánh quy có độ giòn và không dùng để uống.",
-    "name_drink": "Đây là thức uống, không phải bánh ăn được.",
-    "name_food": "Đây là bánh ăn được, không phải thức uống.",
-    "drink_close": "Sản phẩm này là THỨC UỐNG. Dùng để giải khát, không phải để ăn. Đây là đồ UỐNG, không phải đồ ĂN.",
-    "food_close": "Sản phẩm này là BÁNH hoặc MÓN ĂN. Dùng để ăn, không phải để uống. Đây là đồ ĂN, không phải đồ UỐNG.",
-    "stock_high": "Sản phẩm này còn nhiều hàng và sẵn sàng để giao.",
-    "stock_mid": "Sản phẩm này hiện đang có sẵn trong kho.",
-    "stock_low": "Sản phẩm này chỉ còn lại một số lượng ít.",
-    "stock_out": "Sản phẩm này hiện đang hết hàng.",
-}
+# The oracle interpolates the OPERATOR'S own sentence strings (operators/
+# template.VI) — one source of truth, so the Spark side and this SQL cannot
+# drift apart.
+from ..operators.template import VI as _DOC_VI_SENT  # noqa: E402
 
 _DOC_VI_ORACLE = """
     WITH f AS (
@@ -1882,6 +1876,8 @@ _DOC_VI_ORACLE = """
         CASE cid WHEN 1 THEN 'Các loại bánh ngọt mềm, dùng cho tiệc.'
                  WHEN 11 THEN 'Đồ uống cà phê pha máy đậm đà.' END AS catd,
         replace(up, chr(39), '"') AS fx,
+        regexp_replace(regexp_replace(descr, '^[ \t\n\r\f\x0B]+', ''),
+                       '[ \t\n\r\f\x0B]+$', '') AS descr_s,
         coalesce(curr, '') AS cur0,
         'Giá bán của sản phẩm ' || up || ' ' || coalesce(curr, '') || '.' AS price_fallback
       FROM f
@@ -1925,10 +1921,10 @@ _DOC_VI_ORACLE = """
                 OR contains(namel, 'bread'))
            THEN '{name_food}' END,
       CASE WHEN brand IS NOT NULL THEN 'Thương hiệu của sản phẩm ' || brand || '.' END,
-      CASE WHEN descr IS NOT NULL AND trim(descr) <> '' THEN
+      CASE WHEN descr IS NOT NULL AND descr_s <> '' THEN
         'Mô tả sản phẩm: ' ||
-        CASE WHEN length(trim(descr)) > 1000 THEN substr(trim(descr), 1, 1000) || '...'
-             ELSE trim(descr) END END,
+        CASE WHEN length(descr_s) > 1000 THEN substr(descr_s, 1, 1000) || '...'
+             ELSE descr_s END END,
       CASE WHEN up IS NULL THEN NULL
            WHEN NOT starts_with(up, '{{') THEN price_fallback
            WHEN NOT json_valid(fx) THEN price_fallback

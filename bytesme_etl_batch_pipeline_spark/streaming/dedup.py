@@ -47,6 +47,23 @@ def make_incremental_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if os.path.isdir(digests_path):
+            # A version NEWER than this batch means the stream restarted with
+            # a fresh checkpoint (batch ids reset) against existing state —
+            # proceeding would ignore later digests and overwrite corpus
+            # batch dirs. (v == batch_id is the legitimate redelivery case.)
+            newer = [
+                int(m.group(1))
+                for d in os.listdir(digests_path)
+                if (m := re.fullmatch(r"v=(\d+)", d)) and int(m.group(1)) > batch_id
+            ]
+            if newer:
+                raise RuntimeError(
+                    f"digest state at {digests_path} has versions {sorted(newer)} "
+                    f"newer than batch {batch_id}: the stream checkpoint was "
+                    "reset against existing state. Resume with the original "
+                    "checkpoint, or point the sink at fresh corpus/digest paths."
+                )
         prior = _latest_digest_version(digests_path, before=batch_id)
         seen = (
             spark.read.parquet(f"{digests_path}/v={prior}")

@@ -118,34 +118,69 @@ def run_foreach_batch_upsert(
     key_cols: list[str],
     target_path: str,
     checkpoint_dir: str,
+    order_col: str | None = None,
 ) -> None:
     """Keyed upsert sink via ``foreachBatch``: per micro-batch, new keys are
     appended and existing keys are replaced (batch-wins). Plain-parquet
     merge: read current target, anti-join away rows whose key re-arrived,
-    union the (deduped) batch, rewrite atomically via a temp dir.
+    union the (deduped) batch, swap in crash-safely.
 
-    This is the no-extra-dependency form; on a production lakehouse the
-    body becomes a Delta/Iceberg ``MERGE INTO`` with the same batch_df and
-    the rewrite disappears. foreachBatch re-delivers a batch after a crash
-    (at-least-once), so the body must stay idempotent — upsert by key is.
+    ``order_col``: with a key re-arriving WITHIN one micro-batch, the row
+    with the greatest ``order_col`` wins deterministically (max_by). Without
+    it, within-batch duplicates collapse to an arbitrary row
+    (``dropDuplicates``) — acceptable only when the source can't emit the
+    same key twice per batch.
+
+    Crash safety: the target is swapped via rename-aside (target → .old,
+    tmp → target, drop .old), and the read path falls back to ``.old`` if a
+    crash landed between the renames — so at-least-once redelivery rebuilds
+    from the pre-batch state instead of clobbering it. A read failure with
+    the target PRESENT propagates (fails the batch for retry) rather than
+    silently restarting the store from one batch. On a production lakehouse
+    the whole body becomes a Delta/Iceberg ``MERGE INTO``.
     """
+    import os
     import shutil
+
+    old_path = target_path + ".old"
+    tmp_path = target_path + ".tmp"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # within-batch dedup: last writer wins deterministically by key
-        fresh = batch_df.dropDuplicates(key_cols)
-        try:
-            current = spark.read.parquet(target_path)
+        if order_col is not None:
+            fresh = (
+                batch_df.groupBy(*[F.col(c) for c in key_cols])
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in batch_df.columns]), F.col(order_col)
+                    ).alias("__row")
+                )
+                .select("__row.*")
+            )
+        else:
+            fresh = batch_df.dropDuplicates(key_cols)
+
+        read_path = None
+        if os.path.isdir(target_path):
+            read_path = target_path
+        elif os.path.isdir(old_path):  # crash between the two renames
+            read_path = old_path
+        if read_path is not None:
+            # a genuine read error here must FAIL the batch (retryable),
+            # never silently rebuild the store from one micro-batch
+            current = spark.read.parquet(read_path)
             merged = current.join(
                 fresh.select(*key_cols), key_cols, "left_anti"
             ).unionByName(fresh)
-        except Exception:  # first batch: nothing to merge yet
+        else:
             merged = fresh
-        tmp = target_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_path, ignore_errors=True)
-        shutil.move(tmp, target_path)
+
+        merged.write.mode("overwrite").parquet(tmp_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+        if os.path.isdir(target_path):
+            shutil.move(target_path, old_path)
+        shutil.move(tmp_path, target_path)
+        shutil.rmtree(old_path, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(upsert)

@@ -34,6 +34,10 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):  # Spark-written directory layout
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):  # partial dirs (junk fixtures) are fine
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 

@@ -1,75 +1,103 @@
-"""Junk-input robustness for the round-2 corpus operators (the round-1
-ADVICE lesson: ANSI mode is on, so empty/NULL junk — exactly what corpus
-operators exist to screen — must produce defined results, not
-DIVIDE_BY_ZERO/CAST errors)."""
+"""Junk-input robustness for the round-2 corpus operators, exercised through
+the REGISTERED catalog queries over a junk-laden documents table (the
+round-1 ADVICE lesson: ANSI mode is on, so empty/NULL junk — exactly what
+corpus operators exist to screen — must produce defined results, not
+DIVIDE_BY_ZERO/CAST errors; and re-implemented expression copies in tests
+would let the shipped queries regress unnoticed)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import os
+
+import pytest
+
+from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
 
 JUNK = [
     (1, None, None, "src0", None),
     (2, "", "en", "src0", 0),
     (3, "   \t  ", "vi", "src1", 6),
-    (4, "chỉ một từ", "vi", "src1", 10),
-    (5, "!!! ??? ###", "en", "src1", 11),
+    (4, "chỉ một từ nữa đây rồi nhé bạn ơi thật là dài quá đi mà thôi kệ nó "
+        "vậy nha bạn hiền ơi đồng ý không nào", "vi", "src1", 104),
+    (5, "!!! ??? ###", "de", "src1", 11),
 ]
 SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
-def _df(spark):
-    return spark.createDataFrame(JUNK, SCHEMA)
+@pytest.fixture(scope="module")
+def junk_sf_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("junk_sf"))
+    spark.createDataFrame(JUNK, SCHEMA).write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
 
 
-def test_repetition_signals_skip_wordless_docs(spark):
-    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
-    per_word = (
-        _df(spark)
-        .select("doc_id", F.explode(words).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    out = per_word.groupBy("doc_id").agg(
-        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("distinct_ratio")
-    )
-    got = {r["doc_id"]: r["distinct_ratio"] for r in out.collect()}
+def test_repetition_signals_on_junk(spark, junk_sf_dir):
+    out = catalog.SPARK_QUERIES["repetition_signals"](spark, junk_sf_dir)
+    got = {r["doc_id"]: r for r in out.collect()}
     # NULL/empty/whitespace docs have no words → no row, no division error
     assert set(got) == {4, 5}
-    assert got[4] == 1.0
+    assert got[4]["n_words"] == 27
 
 
-def test_pii_redact_null_text_stays_null(spark):
-    redacted = F.regexp_replace(
-        F.concat(F.col("text"), F.lit(" user1@x.vn")),
-        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-        "<EMAIL>",
-    )
-    rows = {r["doc_id"]: r["r"] for r in _df(spark).select("doc_id", redacted.alias("r")).collect()}
-    assert rows[1] is None  # NULL propagates, no crash
-    assert rows[2] == " <EMAIL>"
+def test_pii_redact_on_junk(spark, junk_sf_dir):
+    out = catalog.SPARK_QUERIES["pii_redact"](spark, junk_sf_dir)
+    got = {r["doc_id"]: r["redacted"] for r in out.collect()}
+    assert len(got) == 5
+    assert got[1] is None  # NULL text propagates, no crash
+    # synthesized PII is injected and masked even on the empty doc
+    assert "<PHONE>" in got[4]
+    assert "@" not in got[3] or "<EMAIL>" in got[3]
 
 
-def test_quality_filter_chain_reasons_on_junk(spark):
-    viet = "àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ"
-    symbol_len = F.length(F.regexp_replace(F.col("text"), f"[a-zA-Z{viet}0-9\\s]", ""))
-    reason = (
-        F.when(F.col("n_chars") < 60, "too_short")
-        .when(F.col("n_chars") > 1500, "too_long")
-        .when(~F.col("lang").isin("en", "vi"), "lang_out_of_scope")
-        .when(symbol_len > (F.lit(0.1) * F.length("text")).cast("double"), "too_much_symbol")
-    )
-    got = {
-        r["doc_id"]: (r["reason"], r["kept"])
-        for r in _df(spark)
-        .select("doc_id", reason.alias("reason"), reason.isNull().alias("kept"))
-        .collect()
-    }
-    # every junk row is rejected with a defined reason; NULL metadata passes
-    # through as kept (NULL-tolerant gates — consistent with the oracle)
+def test_quality_filter_chain_on_junk(spark, junk_sf_dir):
+    out = catalog.SPARK_QUERIES["quality_filter_chain"](spark, junk_sf_dir)
+    got = {r["doc_id"]: (r["reject_reason"], r["kept"]) for r in out.collect()}
+    # every junk row rejected with a defined, two-valued reason —
+    # including the NULL-metadata row (missing_metadata, not kept=true)
+    assert got[1] == ("missing_metadata", False)
     assert got[2] == ("too_short", False)
     assert got[3] == ("too_short", False)
     assert got[5] == ("too_short", False)
-    assert got[1] == (None, True)
+
+
+def test_doc_chunking_and_packing_on_junk(spark, junk_sf_dir):
+    chunks = catalog.SPARK_QUERIES["doc_chunking"](spark, junk_sf_dir)
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # wordless/NULL docs emit NO chunks (consistent both engines)
+    assert set(by_doc) == {4, 5}
+    assert by_doc[4][0]["n_tokens"] == 27
+
+    packed = catalog.SPARK_QUERIES["sequence_packing"](spark, junk_sf_dir)
+    got = {r["doc_id"]: r for r in packed.collect()}
+    assert len(got) == 5
+    # NULL text → NULL token count/bin (propagates, same in the oracle)
+    assert got[1]["n_tokens"] is None and got[2]["n_tokens"] == 0
+
+
+def test_junk_oracle_parity(spark, junk_sf_dir):
+    """The junk table must ALSO hash-match the DuckDB oracles — the same
+    NULL/empty rows the driver's testdata lacks."""
+    from tests.oracle import compare, duckdb_con
+
+    con = duckdb_con(junk_sf_dir)
+    for name in [
+        "repetition_signals",
+        "pii_redact",
+        "quality_filter_chain",
+        "doc_chunking",
+        "sequence_packing",
+        "domain_cap",
+    ]:
+        r = compare(
+            catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
+            con,
+            catalog.ORACLE_SQL[name],
+        )
+        assert r["values_match"], (name, r)
 
 
 def test_connected_components_empty_edges(spark):

@@ -133,6 +133,20 @@ ROWS: list[dict] = [
          product_currency=None, product_discount_percentage=None,
          product_overall_stars=0.0, product_total_ratings=None,
          product_total_orders=None, product_stock_quantity=None),
+    # multi-line scraped description: str.strip() semantics (trailing
+    # \n/\t removed before the 1000-char window), interior newline kept
+    dict(category_id=2, product_name="Bánh cuộn kem", product_brand=None,
+         product_description="\n  Dòng 1.\nDòng 2.\t\n",
+         product_unit_price=None, product_currency=None,
+         product_discount_percentage=None, product_overall_stars=None,
+         product_total_ratings=None, product_total_orders=None,
+         product_stock_quantity=None),
+    # tab/newline-only description must vanish entirely (strip -> empty)
+    dict(category_id=2, product_name="Bánh trống", product_brand=None,
+         product_description="\t\n", product_unit_price=None,
+         product_currency=None, product_discount_percentage=None,
+         product_overall_stars=None, product_total_ratings=None,
+         product_total_orders=None, product_stock_quantity=None),
 ]
 
 SCHEMA = StructType(
