@@ -333,3 +333,25 @@ def test_incremental_dedup_stream_exactly_once(spark, tmp_path):
     step(spark.createDataFrame(b2, schema), 1)
     got2 = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
     assert got2 == got
+
+
+def test_foreach_batch_upsert_order_col_last_writer_wins(spark, tmp_path):
+    """With order_col, a key updated twice within ONE micro-batch keeps the
+    row with the greatest order value, deterministically."""
+    import tempfile
+
+    from bytesme_etl_batch_pipeline_spark.streaming.events import (
+        run_foreach_batch_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    schema = "k long, v string, seq long"
+    spark.createDataFrame(
+        [(1, "stale", 1), (1, "fresh", 2), (2, "only", 1)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_foreach_batch_upsert(stream, ["k"], target, ckpt, order_col="seq")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "fresh", 2: "only"}
