@@ -3,6 +3,8 @@ sf0.001 (the driver runs the same gate at sf0.01)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
@@ -24,3 +26,24 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     df = catalog.SPARK_QUERIES[name](spark, sf_dir)
     result = compare(df, con, catalog.ORACLE_SQL[name])
     assert result["values_match"], result
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_SF") != "1",
+    reason="slow full-catalog sweep at sf0.1; set SPARK_GRAFT_FULL_SF=1",
+)
+def test_oracle_parity_at_sf01_catches_scale_divergence(spark):
+    """10× the driver's SF: catches magnitude-dependent divergence the
+    sf0.01 gate can't (e.g. DuckDB's DECIMAL→DOUBLE double-rounding above
+    2^53 unscaled, found in pricing_summary at sf0.1)."""
+    from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
+
+    con = duckdb_con("/root/testdata/sf0.1")
+    bad = []
+    for name, sql in catalog.ORACLE_SQL.items():
+        r = compare(
+            catalog.SPARK_QUERIES[name](spark, "/root/testdata/sf0.1"), con, sql
+        )
+        if not r["values_match"]:
+            bad.append((name, r))
+    assert not bad, bad
