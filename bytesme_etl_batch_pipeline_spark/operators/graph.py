@@ -53,13 +53,36 @@ def connected_components(
         e.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
     labels = sym.select("node").distinct().withColumn("label", F.col("node")).cache()
-    # decimal sum: overflow-proof convergence metric even at 1e9+ node ids
-    _sum = lambda df: df.agg(  # noqa: E731
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    prev_sum = _sum(labels)  # also materializes the cache
 
-    cached = [e, labels]
+    # Convergence metric: labels only ever decrease, so for NUMERIC ids a
+    # monotone decimal sum detects change with one scalar agg per round.
+    # For non-numeric ids (string doc keys/URLs are legal — min/least
+    # compare lexicographically) a sum would crash under ANSI or, worse,
+    # silently read None==None as instant convergence — fall back to the
+    # exact diff-join check there.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+
+    def _sum(df):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    def _diff_changed(new, old) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    prev_sum = _sum(labels) if numeric_ids else None
+    if not numeric_ids:
+        labels.count()  # materialize the cache
+
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -78,10 +101,16 @@ def connected_components(
                 )
                 .cache()
             )
-            cached.append(new_labels)
-            new_sum = _sum(new_labels)  # materializes; labels only decrease
-            converged = new_sum == prev_sum
-            labels, prev_sum = new_labels, new_sum
+            if numeric_ids:
+                new_sum = _sum(new_labels)  # materializes
+                converged = new_sum == prev_sum
+                prev_sum = new_sum
+            else:
+                new_labels.count()  # materialize before the diff join
+                converged = not _diff_changed(new_labels, labels)
+            # the superseded round is no longer referenced — bound cache at 2
+            labels.unpersist()
+            labels = new_labels
             if converged:
                 # break lineage through the cached chain before unpersisting
                 final = labels.localCheckpoint(eager=True)
@@ -91,8 +120,8 @@ def connected_components(
             "candidate graph diameter is unexpectedly large"
         )
     finally:
-        for df in cached:
-            df.unpersist()
+        e.unpersist()
+        labels.unpersist()
 
 
 def cluster_representatives(components: DataFrame) -> DataFrame:

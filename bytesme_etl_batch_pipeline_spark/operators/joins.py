@@ -157,6 +157,11 @@ def salted_join(
     is invariant to salt values (salt only picks the reducer), so the
     position term costs nothing semantically. The replicated side grows
     ×salt_buckets — use only with a small-to-medium right side."""
+    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        # the replicated side carries salt_buckets copies of every row;
+        # right/full outer joins would emit each UNMATCHED right row once
+        # per bucket (multiplicity x salt_buckets)
+        raise ValueError(f"salted_join supports left-preserving joins only, got {how!r}")
     salted = skewed.withColumn(
         "__salt",
         F.pmod(

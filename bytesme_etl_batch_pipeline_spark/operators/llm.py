@@ -75,7 +75,9 @@ def enrich_descriptions(
 
     def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            prompts = pdf[prompt_cols].astype(str).agg(" ".join, axis=1)
+            # fillna first: astype(str) would render pandas nulls as the
+            # literal strings 'None'/'nan' inside the LLM prompt
+            prompts = pdf[prompt_cols].fillna("").astype(str).agg(" ".join, axis=1)
             pdf[text_col] = [generate(prompt_template.format(p)) for p in prompts]
             yield pdf[names]
 

@@ -87,7 +87,10 @@ def snowflake_split(
         dim_id_col,
         order_by=[dim_key],
     )
-    facts = resolve_key(wide, dims.select(dim_key, dim_id_col), on=dim_key)
+    # left join: a NULL dim_key row would otherwise VANISH from facts (the
+    # dim has a NULL-key group, but NULL never equals NULL in a join) — an
+    # uncategorized wide row must survive with a NULL FK, not be dropped.
+    facts = resolve_key(wide, dims.select(dim_key, dim_id_col), on=dim_key, how="left")
     facts = hash_ids(facts, fact_id_col, [fact_key], hash_fn=fact_id_hash)
     children = explode_piped_pairs(
         facts.select(fact_id_col, fact_key, child_url_col, child_name_col),

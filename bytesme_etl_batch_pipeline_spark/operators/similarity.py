@@ -39,7 +39,14 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dots(a, b) / (_norm(a) * _norm(b))
+    """NULL (not NaN) for zero-norm vectors: the embedder emits zero vectors
+    for empty text (embed.py), and double 0.0/0.0 is IEEE NaN even under
+    ANSI — which Spark sorts ABOVE every number in descending order and
+    passes through ``>= threshold`` filters, so junk would fill top-k and
+    near-dup pair lists. NULL instead drops out of filters and sorts last
+    (desc default), and matches DuckDB's x/0 → NULL oracle behavior."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0, _dots(a, b) / denom)
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -103,8 +110,14 @@ def pairs_above_threshold(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
+            # NULL for zero-norm operands (see cosine_similarity) — a NaN
+            # here would pass the >= threshold filter below
             F.round(
-                _dots(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+                F.when(
+                    F.col("n_a") * F.col("n_b") != 0,
+                    _dots(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                ),
+                6,
             ),
         )
         .filter(F.col("cosine") >= threshold)

@@ -162,11 +162,18 @@ def register_reference_stages() -> list[str]:
 
     @register_stage("remove_duplicates")
     def _dedup(df: DataFrame) -> DataFrame:
-        # reference drop_duplicates keeps the first row in file order;
-        # url is the stable ordering key (SURVEY §7 hard part 2)
-        return dedup_keep_first(
-            df, keys=["product_name", "product_url"], order_by=["product_url"]
-        )
+        # reference drop_duplicates keeps the first row in FILE order.
+        # dedup_keep_first needs an order that is unique WITHIN each key
+        # group (SURVEY §7 hard part 2) — the dedup keys themselves are
+        # constant there, so use the reader's lineage columns when present
+        # (true file order), else every non-key column (deterministic
+        # lexicographic winner).
+        keys = ["product_name", "product_url"]
+        if {"source_file", "row_pos"} <= set(df.columns):
+            order = ["source_file", "row_pos"]
+        else:
+            order = sorted(c for c in df.columns if c not in keys)
+        return dedup_keep_first(df, keys=keys, order_by=order)
 
     @register_stage("standardize_categories")
     def _categorize(df: DataFrame) -> DataFrame:

@@ -28,30 +28,54 @@ def read_csv(
     header: bool = True,
     permissive: bool = True,
     with_lineage: bool = False,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """S1/S2/S3: distributed CSV scan over a file, directory, or glob.
 
     ``permissive`` maps the reference's per-file try/except tolerance
-    (``scripts/pipeline.py:94-111``) to row-level tolerance: malformed rows are
-    captured in ``_corrupt_record`` instead of failing the file.
+    (``scripts/pipeline.py:94-111``) to row-level tolerance: a malformed row
+    becomes NULL fields instead of failing the file. To QUARANTINE malformed
+    rows for inspection, pass ``corrupt_col`` (requires an explicit
+    ``schema``): the raw line of each bad row lands in that column and good
+    rows have it NULL.
+
     ``with_lineage`` adds ``source_file`` + ``row_pos`` — the stable ordering
     key that keep-first dedup and surrogate-key assignment need (SURVEY §7
     hard part 2); pandas got this ordering for free, Spark must capture it.
+    ``row_pos`` is the 0-based position WITHIN its file (multiLine forces one
+    split per file, so in-partition order IS file order), which is stable
+    across runs/parallelism — a raw ``monotonically_increasing_id`` embeds
+    the partition index and is not.
     """
+    from pyspark.sql.types import StringType
+
     reader = (
         spark.read.option("header", header)
         .option("multiLine", True)
         .option("escape", '"')
         .option("mode", "PERMISSIVE" if permissive else "FAILFAST")
     )
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col capture requires an explicit schema")
+        schema = schema.add(corrupt_col, StringType())
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
     df = reader.csv(path)
     if with_lineage:
+        from pyspark.sql import Window
+
         df = df.withColumn("source_file", F.input_file_name()).withColumn(
-            "row_pos", F.monotonically_increasing_id()
+            "row_pos",
+            F.row_number().over(
+                Window.partitionBy("source_file").orderBy(
+                    F.monotonically_increasing_id()
+                )
+            )
+            - 1,
         )
     return df
 
@@ -66,8 +90,11 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S8: CSV sink (reference: ``df.to_csv(path, index=False)`` and DictWriter
-    appends). Distributed, header on, overwrite/append via ``mode``."""
-    df.write.mode(mode).option("header", True).csv(path)
+    appends). Distributed, header on, overwrite/append via ``mode``.
+    Escape matches ``read_csv`` (RFC doubled-quote) so the engine's own
+    output round-trips — the writer's default backslash escape would be
+    misparsed by the reader for any field containing a quote."""
+    df.write.mode(mode).option("header", True).option("escape", '"').csv(path)
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:

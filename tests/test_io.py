@@ -139,3 +139,38 @@ def test_load_pipeline_config(tmpdir):
         f.write("pipeline:\n  stages: [standardize_categories, remove_duplicates]\n")
     cfg = load_config(cfg_path)
     assert cfg["pipeline"]["stages"] == ["standardize_categories", "remove_duplicates"]
+
+
+def test_write_csv_quote_round_trip(spark, tmp_path):
+    """The engine's own CSV output must round-trip fields containing
+    quotes/newlines (writer escape matches the reader's doubled-quote)."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, 'He said "hi", twice'), (2, "line1\nline2")], "id long, txt string"
+    )
+    out = str(tmp_path / "rt_csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, schema=df.schema)
+    got = {r["id"]: r["txt"] for r in back.collect()}
+    assert got == {1: 'He said "hi", twice', 2: "line1\nline2"}
+
+
+def test_read_csv_corrupt_capture_and_stable_row_pos(spark, tmp_path):
+    """corrupt_col quarantines malformed rows (raw line preserved) and
+    row_pos is the 0-based per-file position."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text('id,n\n1,10\nnot_a_number,x\n3,30\n', encoding="utf-8")
+    schema = StructType([StructField("id", LongType()), StructField("n", LongType())])
+    df = read_csv(
+        spark, str(p), schema=schema, with_lineage=True, corrupt_col="_bad"
+    )
+    rows = sorted(df.collect(), key=lambda r: r["row_pos"])
+    assert [r["row_pos"] for r in rows] == [0, 1, 2]
+    assert rows[0]["_bad"] is None and rows[0]["id"] == 1
+    assert rows[1]["id"] is None and "not_a_number" in rows[1]["_bad"]
+    assert rows[2]["n"] == 30

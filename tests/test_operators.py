@@ -355,3 +355,78 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_cosine_zero_vector_is_null_not_nan(spark):
+    """Zero-norm vectors (the embedder's empty-text output) must yield NULL
+    cosine — NaN would pass >= filters and sort FIRST in descending top-k,
+    filling near-dup pair lists and search results with junk."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        pairs_above_threshold,
+        topk_brute_force,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 0.0], 0),  # zero vector, same block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = pairs_above_threshold(df, "vec_id", "embedding", "label", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}  # no pair involving the zero vector
+
+    query = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    top = topk_brute_force(df, query, k=3, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in top][:2] == [0, 1]  # zero vector not first
+    assert top[-1]["score"] is None
+
+
+def test_connected_components_string_node_ids(spark):
+    """Non-numeric ids (doc URLs/keys) must converge via the diff-join
+    path — a decimal-sum metric would crash under ANSI or silently stop
+    after one round with wrong clusters."""
+    from bytesme_etl_batch_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from bytesme_etl_batch_pipeline_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_snowflake_split_keeps_null_dim_key_rows(spark):
+    """An uncategorized (NULL dim_key) wide row must survive into facts
+    with a NULL FK, not silently vanish through an inner join."""
+    from bytesme_etl_batch_pipeline_spark.operators.normalize import snowflake_split
+
+    wide = spark.createDataFrame(
+        [("Cake", "b1", "u1", "http://i/1", "n1"),
+         (None, "b2", "u2", "http://i/2", "n2")],
+        "category_name string, product_brand string, product_url string, "
+        "product_image string, product_image_name string",
+    )
+    out = snowflake_split(
+        wide,
+        dim_key="category_name",
+        dim_attrs=["product_brand"],
+        fact_key="product_url",
+        child_url_col="product_image",
+        child_name_col="product_image_name",
+        order_by=["product_url"],
+    )
+    facts = {r["product_url"]: r["category_name"] for r in out.facts.collect()}
+    assert set(facts) == {"u1", "u2"}
+    assert facts["u2"] is None

@@ -43,7 +43,10 @@ def pipeline_outputs(spark):
     deduped = dedup_keep_first(
         categorized,
         keys=["product_name", "product_url"],
-        order_by=["product_url"],
+        # order must be unique WITHIN each key group (the keys themselves
+        # are constant there) — use the non-key columns
+        order_by=sorted(c for c in categorized.columns
+                        if c not in ("product_name", "product_url")),
     )
     enriched = enrich_products(
         deduped.withColumn(
