@@ -239,3 +239,45 @@ def neardup_filter(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     set: one broadcast-able join, no pairwise work on the corpus side."""
     removals = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(removals, on=id_col, how="left_anti")
+
+
+def decontaminate_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct word n-grams it shares with ANY evaluation document (the
+    GPT-3/PaLM-style n-gram overlap screen — a training corpus must be
+    scrubbed of benchmark text before the benchmark means anything).
+
+    Scale shape: the eval side is benchmark-sized (MBs, not TBs) — its
+    distinct n-gram set is broadcast, so the corpus-side scan never
+    shuffles on shingles; the only shuffle is the per-doc hit count
+    (groupBy id), ~|contaminated docs| rows. Train docs with no overlap
+    keep n_overlap = 0 via the left join back to the id spine.
+
+    Returns (id, n_overlap, contaminated).
+    """
+    tr = _shingle_rows(train, id_col, text_col, n)
+    ev = (
+        eval_df.withColumn("__ws", words(text_col))
+        .select(F.explode(word_ngrams(F.col("__ws"), n)).alias("__shingle"))
+        .distinct()
+    )
+    # shingles are per-doc distinct already (word_ngrams → array_distinct),
+    # so a plain count is the distinct-overlap count
+    hits = tr.join(F.broadcast(ev), "__shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

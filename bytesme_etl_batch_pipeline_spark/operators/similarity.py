@@ -299,3 +299,51 @@ def train_ivf_centroids(
     feats = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
     return [c.tolist() for c in model.clusterCenters()]
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: the storage-scale path for
+    embedding columns (4× smaller than float32, 8× than float64; the usual
+    first step before IVF/PQ indexes). Each vector is min/max-normalized to
+    [0, 255] and shifted to [-128, 127]; the (vmin, vmax) pair rides along
+    so dequantization is local to the row — no global codebook, map-side
+    only, zero shuffles at any corpus size.
+
+    Returns (id, vmin, vmax, codes array<int>, max_abs_err) where
+    max_abs_err is the per-vector max |dequantize(code) - x| reconstruction
+    error (≤ half a quantization step by construction — property-tested).
+
+    Float contract (oracle-exact): all arithmetic in double with the same
+    association both engines — code = round((x - vmin) * 255 / (vmax -
+    vmin)) - 128, dequant = vmin + (code + 128) * (vmax - vmin) / 255 —
+    and round() is half-away-from-zero on non-negative inputs in both Spark
+    (HALF_UP) and DuckDB (C round). Constant vectors (vmax == vmin) quantize
+    to all-zero codes with zero error rather than dividing by zero.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = vectors.select(F.col(id_col), e.alias("__e"))
+    vmin, vmax = F.array_min("__e"), F.array_max("__e")
+    df = df.withColumn("__vmin", vmin).withColumn("__vmax", vmax)
+    lo, hi = F.col("__vmin"), F.col("__vmax")
+    spread = hi != lo
+
+    def _code(x):
+        return F.when(
+            spread,
+            F.round((x - lo) * F.lit(255.0) / (hi - lo)).cast("int") - F.lit(128),
+        ).otherwise(F.lit(0))
+
+    def _dequant(c):
+        return lo + (c + F.lit(128)).cast("double") * (hi - lo) / F.lit(255.0)
+
+    codes = F.transform(F.col("__e"), _code)
+    errs = F.zip_with(F.col("__e"), codes, lambda x, c: F.abs(_dequant(c) - x))
+    return df.select(
+        F.col(id_col),
+        lo.alias("vmin"),
+        hi.alias("vmax"),
+        codes.alias("codes"),
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+    )

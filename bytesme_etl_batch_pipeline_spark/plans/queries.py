@@ -3306,6 +3306,180 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 additions, second wave: decontamination, heavy hitters, VARIANT
+# JSON, embedding quantization (engine extensions — training-data pipeline
+# staples with full DuckDB oracles).
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of neardup.word_ngrams(n=5): starts 1..len-4 (range end is
+# exclusive and an end < start yields an empty list, mirroring the Spark
+# sequence guard), 1-based inclusive slice of 5 words, per-doc distinct.
+_DUCK_5GRAMS = (
+    "list_distinct(list_transform(range(1, len(ws) - 3), "
+    "i -> array_to_string(ws[i:i+4], ' ')))"
+)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    ev AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest({_DUCK_5GRAMS}) AS gram
+        FROM w WHERE doc_id % 53 = 0
+      )
+    ),
+    tr AS (
+      SELECT doc_id, unnest({_DUCK_5GRAMS}) AS gram
+      FROM w WHERE doc_id % 53 <> 0
+    ),
+    hits AS (
+      SELECT tr.doc_id, count(*) AS n_overlap
+      FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 53 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (engine extension): 5-gram overlap between
+    the training corpus and a held-out eval set (here the deterministic
+    ``doc_id % 53`` slice standing in for a benchmark). Eval n-grams are
+    broadcast — the corpus side never shuffles on shingles; see
+    ``neardup.decontaminate_overlap``."""
+    from ..operators.neardup import decontaminate_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 53 == 0
+    return decontaminate_overlap(
+        d.filter(~is_eval), d.filter(is_eval), "doc_id", "text", n=5
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_WORDS}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts)
+    SELECT token, cnt, round(cnt / n, 6) AS share
+    FROM counts, tot WHERE cnt * 200 > n
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: tokens exceeding 1/200 of total token mass
+    (stopword/boilerplate screen ahead of dedup and quality scoring). Two
+    aggregations, but the second pass runs over the vocab-sized count
+    table, not the corpus; the single-row total is broadcast. Exact — at
+    100 TB the same shape holds because vocab ≪ corpus; for truly unbounded
+    key domains switch the first agg to count-min + the same threshold."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 200 > F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "variant_json_events",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(v AS INT) AS k,
+           TRY_CAST(v AS VARCHAR) AS k_str,
+           props IS NOT NULL AND json_valid(props) AS is_valid
+    FROM (
+      -- DuckDB's json_extract_string RAISES on malformed JSON (no try_
+      -- variant), so the validity gate must wrap the extraction itself
+      SELECT event_id, props,
+             CASE WHEN json_valid(props)
+               THEN json_extract_string(props, '$.k') END AS v
+      FROM events
+    )
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4 VARIANT: ``try_parse_json`` once,
+    then typed ``try_variant_get`` extractions — the open-schema path for
+    event property bags (parse once, binary-encoded, no per-access
+    re-parse, unlike repeated ``get_json_object`` calls). NULL-on-malformed
+    end to end: junk props → NULL variant → NULL fields, is_valid false."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        v.isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_aggregate(e, 'min') AS vmin,
+             list_aggregate(e, 'max') AS vmax
+      FROM v
+    ),
+    c AS (
+      SELECT vec_id, vmin, vmax,
+             list_transform(e, x -> CASE WHEN vmax <> vmin
+               THEN CAST(round((x - vmin) * 255.0 / (vmax - vmin)) AS INT) - 128
+               ELSE 0 END) AS codes,
+             round(list_aggregate(list_transform(e, x -> abs(
+               CASE WHEN vmax <> vmin
+                 THEN vmin + CAST(CAST(round((x - vmin) * 255.0 / (vmax - vmin)) AS INT) - 128 + 128 AS DOUBLE) * (vmax - vmin) / 255.0
+                 ELSE vmin END - x)), 'max'), 6) AS max_abs_err
+      FROM s
+    )
+    SELECT vec_id, vmin, vmax, max_abs_err,
+           i AS pos, codes[CAST(i AS INT) + 1] AS code
+    FROM c CROSS JOIN unnest(range(len(codes))) AS t(i)
+    """,
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 scalar quantization (storage-scale op — see
+    ``similarity.quantize_int8``), exploded to one row per (vector,
+    position) so the driver hash checks every code and the per-vector
+    reconstruction error."""
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        "max_abs_err",
+        F.posexplode("codes").alias("pos", "code"),
+    ).select(
+        "vec_id", "vmin", "vmax", "max_abs_err", F.col("pos").cast("long").alias("pos"), "code"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Catalog iteration order.
 #
 # The driver's correctness gate walks ``queries()`` in dict order and (round 1)

@@ -91,6 +91,10 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "doc_chunking",
         "sequence_packing",
         "domain_cap",
+        # empty eval slice (no junk doc_id % 53 == 0): every doc must come
+        # back n_overlap=0 in both engines, broadcast of an empty set included
+        "decontaminate_ngram_overlap",
+        "heavy_hitter_tokens",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
@@ -105,3 +109,38 @@ def test_connected_components_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components(empty).count() == 0
+
+
+def test_variant_json_on_junk_props(spark, tmp_path):
+    """Malformed / non-object / NULL props through the VARIANT path: NULL
+    fields + is_valid=false, never a parse error — and hash-parity with the
+    DuckDB twin on the same junk."""
+    import os
+
+    from tests.oracle import compare, duckdb_con
+
+    rows = [
+        (1, '{"k": 7}'),
+        (2, "not json at all"),
+        (3, None),
+        (4, '{"k": "not-an-int"}'),
+        (5, "[1, 2, 3]"),
+        (6, '{"other": 1}'),
+    ]
+    d = str(tmp_path / "junk_events_sf")
+    spark.createDataFrame(rows, "event_id long, props string").write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = catalog.SPARK_QUERIES["variant_json_events"](spark, d)
+    got = {r["event_id"]: r for r in out.collect()}
+    assert got[1]["k"] == 7 and got[1]["is_valid"]
+    assert got[2]["k"] is None and not got[2]["is_valid"]
+    assert got[3]["k"] is None and not got[3]["is_valid"]
+    assert got[4]["k"] is None and got[4]["k_str"] == "not-an-int"
+    assert got[5]["k"] is None and got[5]["is_valid"]  # valid JSON, no $.k
+    assert got[6]["k"] is None and got[6]["is_valid"]
+
+    con = duckdb_con(d)
+    r = compare(out, con, catalog.ORACLE_SQL["variant_json_events"])
+    assert r["values_match"], r
+    con.close()

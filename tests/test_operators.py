@@ -430,3 +430,33 @@ def test_snowflake_split_keeps_null_dim_key_rows(spark):
     facts = {r["product_url"]: r["category_name"] for r in out.facts.collect()}
     assert set(facts) == {"u1", "u2"}
     assert facts["u2"] is None
+
+
+def test_decontaminate_overlap_planted(spark):
+    """A train doc containing a verbatim eval passage is flagged with the
+    exact distinct-5-gram overlap count; clean docs and sub-n docs are not.
+    The eval side must reach the shingle join as a broadcast (benchmark
+    data is tiny — the corpus side must never shuffle on shingles)."""
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import (
+        decontaminate_overlap,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the full eval text → every eval 5-gram (5 of them)
+            (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+            (2, "completely unrelated text about bánh mì and coffee beans here"),
+            (3, "quick brown fox"),  # < 5 words → no shingles at all
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate_overlap(train, eval_df, "doc_id", "text", n=5)
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in out.collect()}
+    assert got == {1: (5, True), 2: (0, False), 3: (0, False), 4: (0, False)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -71,6 +71,7 @@ BNLJ_ALLOWED = {
     "range_join_balance_tiers",
     "semantic_search_pipeline",
     "join_skew_report",
+    "heavy_hitter_tokens",  # single-row broadcast corpus total
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}

@@ -136,3 +136,57 @@ def test_ivf_with_trained_centroids_beats_random(spark, sf_dir):
     assert r_trained >= 0.5
     retrained = train_ivf_centroids(e, k=4, seed=42)
     assert retrained == trained  # seeded training is reproducible
+
+
+def test_quantize_int8_error_bound_and_recall(spark, sf_dir):
+    """Reconstruction error ≤ half a quantization step per vector, and
+    cosine top-k over DEQUANTIZED vectors agrees with full-precision top-k
+    on ≥ 8/10 neighbors (int8 storage keeps ANN-grade fidelity)."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        quantize_int8,
+        topk_brute_force,
+    )
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e, "vec_id", "embedding")
+    # |err| <= (vmax - vmin)/255/2, with slack for the 6-decimal rounding
+    # of max_abs_err (round-half-up can exceed the exact bound by <5e-7)
+    bad = q.filter(
+        F.col("max_abs_err") > (F.col("vmax") - F.col("vmin")) / 255 / 2 + 5e-7
+    ).count()
+    assert bad == 0
+
+    dequant = q.select(
+        "vec_id",
+        F.transform(
+            "codes",
+            lambda c: F.col("vmin")
+            + (c + F.lit(128)).cast("double")
+            * (F.col("vmax") - F.col("vmin"))
+            / F.lit(255.0),
+        ).alias("embedding"),
+    )
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = {r["vec_id"] for r in topk_brute_force(e, query, k=10).collect()}
+    approx = {r["vec_id"] for r in topk_brute_force(dequant, query, k=10).collect()}
+    assert len(exact & approx) >= 8
+
+
+def test_quantize_int8_constant_and_null_vectors(spark):
+    """Constant vectors → all-zero codes, zero error (no divide-by-zero);
+    NULL vectors propagate NULL instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5]), (2, None), (3, [0.0, 1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    assert rows[1]["codes"] == [0, 0, 0] and rows[1]["max_abs_err"] == 0.0
+    assert rows[2]["codes"] is None
+    assert rows[3]["codes"] == [-128, 0, 127]
