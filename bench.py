@@ -70,6 +70,22 @@ def main() -> None:
     # Warm up JVM + parquet footer caches so per-query numbers measure the
     # plan, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Also spawn the Arrow Python workers once — the first pandas-UDF stage
+    # otherwise pays ~3-4 s of daemon/worker startup inside whichever query
+    # happens to hit Python first (it landed on semantic_search_pipeline).
+    import pandas as pd  # noqa: F401  (workers import it anyway)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    warm_df = spark.range(32).withColumn("x", F.col("id").cast("double"))
+    warm_df.select(_warm("x")).count()
+    warm_df.groupBy((F.col("id") % 2).alias("g")).applyInPandas(
+        lambda pdf: pdf, schema="id long, x double, g long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in catalog.SPARK_QUERIES.items():

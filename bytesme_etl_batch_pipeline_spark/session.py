@@ -54,6 +54,14 @@ def get_spark(
         # represent natively; read it as raw nanos (sources/tables.py converts
         # to TimestampType losslessly via integer division).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Let AQE re-plan (coalesce/skew-split) the subtree that feeds a
+        # .cache() — off by default, which made materializing the cached
+        # LSH edge list 3× slower than the identical uncached plan (every
+        # tiny shuffle fanned out to the static partition count). The
+        # iterative consumers (connected components, incremental dedup)
+        # re-shuffle per round anyway, so the cached partitioning is not a
+        # co-location contract anywhere in this engine.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
