@@ -63,3 +63,31 @@ def train_val_test_split(
         .when(u < train_cut + val_fraction, "val")
         .otherwise("test"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    coefficient: float = 4.0,
+    seed: int | str = "mix",
+) -> DataFrame:
+    """Temperature-flattened source mixing: keep each source at rate
+    ``min(1, coefficient / sqrt(n_source))`` — i.e. rate ∝ n^(α-1) with
+    α = 1/2, the standard flattening that downweights giant sources and
+    keeps small ones whole (the multinomial-mixing trick from the GPT-3 /
+    multilingual-corpora lineage, expressed as a deterministic per-row
+    filter instead of a sampler).
+
+    Two-pass but cheap: pass 1 is a count per source (map-side partial →
+    tiny result), broadcast back; pass 2 is a map-side hash filter — no
+    corpus shuffle at any scale. sqrt (IEEE-exact, unlike pow) keeps the
+    rate bit-identical across engines, so the whole mix is oracle-checkable.
+    Returns kept rows with ``n_source`` and the applied ``rate``.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    rates = counts.withColumn(
+        "rate", F.least(F.lit(1.0), F.lit(float(coefficient)) / F.sqrt("n_source"))
+    )
+    u = hash_uniform(F.col(key_col), seed)
+    return df.join(F.broadcast(rates), source_col).filter(u < F.col("rate"))

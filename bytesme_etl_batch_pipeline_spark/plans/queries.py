@@ -3431,6 +3431,35 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_sample_mix",
+    oracle=f"""
+    WITH n AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+    r AS (
+      SELECT source, n_source,
+             least(1.0, 4.0 / sqrt(n_source)) AS rate
+      FROM n
+    )
+    SELECT d.doc_id, d.source, r.n_source, round(r.rate, 6) AS rate
+    FROM documents d JOIN r USING (source)
+    WHERE {_duck_uniform("mix", "CAST(doc_id AS VARCHAR)")} < r.rate
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened data mixing (α = 1/2): big sources downsampled
+    ∝ 1/sqrt(n), small sources kept whole — see
+    ``sampling.temperature_mix``. sqrt is IEEE-correctly-rounded (pow is
+    not), which is what makes the rate — and therefore the kept set —
+    bit-identical across engines."""
+    from ..operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    out = temperature_mix(d, "doc_id", "source", coefficient=4.0, seed="mix")
+    return out.select(
+        "doc_id", "source", "n_source", F.round("rate", 6).alias("rate")
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     WITH v AS (

@@ -95,6 +95,7 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         # back n_overlap=0 in both engines, broadcast of an empty set included
         "decontaminate_ngram_overlap",
         "heavy_hitter_tokens",
+        "temperature_sample_mix",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),

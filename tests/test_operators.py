@@ -460,3 +460,27 @@ def test_decontaminate_overlap_planted(spark):
     assert got == {1: (5, True), 2: (0, False), 3: (0, False), 4: (0, False)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_flattens_sources(spark):
+    """A giant source is downsampled at coefficient/sqrt(n) while a small
+    source is kept whole, and the same rows survive on every run (hash-of-
+    key, not a sampler)."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "tiny") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "doc_id", "source", coefficient=2.0, seed="mix")
+    got = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"), F.first("rate").alias("rate")
+    )
+    by_src = {r["source"]: r for r in got.collect()}
+    assert by_src["tiny"]["kept"] == 4 and by_src["tiny"]["rate"] == 1.0
+    assert by_src["big"]["rate"] == 2.0 / 20.0
+    assert 0 < by_src["big"]["kept"] < 400
+    rerun = temperature_mix(df, "doc_id", "source", coefficient=2.0, seed="mix")
+    assert sorted(r["doc_id"] for r in rerun.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
