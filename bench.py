@@ -73,17 +73,20 @@ def main() -> None:
     # Also spawn the Arrow Python workers once — the first pandas-UDF stage
     # otherwise pays ~3-4 s of daemon/worker startup inside whichever query
     # happens to hit Python first (it landed on semantic_search_pipeline).
-    import pandas as pd  # noqa: F401  (workers import it anyway)
+    # NB: returnType= keyword + explicit functionType, because this module
+    # has ``from __future__ import annotations`` (string hints would make
+    # pandas_udf's type-hint inference fail for a locally-imported pandas).
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("double")
-    def _warm(v: pd.Series) -> pd.Series:
-        return v * 1.0
-
-    warm_df = spark.range(32).withColumn("x", F.col("id").cast("double"))
+    _warm = pandas_udf(lambda v: v * 1.0, "double", PandasUDFType.SCALAR)
+    warm_df = (
+        spark.range(32)
+        .withColumn("x", F.col("id").cast("double"))
+        .withColumn("g", F.col("id") % 2)
+    )
     warm_df.select(_warm("x")).count()
-    warm_df.groupBy((F.col("id") % 2).alias("g")).applyInPandas(
+    warm_df.groupBy("g").applyInPandas(
         lambda pdf: pdf, schema="id long, x double, g long"
     ).count()
 
