@@ -58,7 +58,15 @@ def connected_components(
         .repartition("nbr")
         .cache()
     )
-    labels = sym.select("node").distinct().withColumn("label", F.col("node")).cache()
+    # Round 0 fused into initialization: label(node) = min(node, min(nbrs))
+    # comes straight off one aggregation over the symmetric edges — the
+    # separate distinct-nodes shuffle (plus a whole propagation round) that
+    # a label=node start would need collapses into this single groupBy.
+    labels = (
+        sym.groupBy("node")
+        .agg(F.min(F.least(F.col("node"), F.col("nbr"))).alias("label"))
+        .cache()
+    )
 
     # Convergence metric: labels only ever decrease, so for NUMERIC ids a
     # monotone decimal sum detects change with one scalar agg per round.

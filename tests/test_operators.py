@@ -484,3 +484,46 @@ def test_temperature_mix_flattens_sources(spark):
     assert sorted(r["doc_id"] for r in rerun.collect()) == sorted(
         r["doc_id"] for r in out.collect()
     )
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """CC on seeded random graphs must equal a driver-side union-find
+    ground truth (min-member labeling), including singleton-free node sets
+    and multi-component shapes the tiny fixtures miss."""
+    import random
+
+    from bytesme_etl_batch_pipeline_spark.operators.graph import connected_components
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = rng.randint(8, 28)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(4, 2 * n))
+        ]
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        nodes = {x for e in edges for x in e}
+        expected = {}
+        for x in nodes:
+            root = find(x)
+            expected.setdefault(root, []).append(x)
+        want = {
+            x: min(members)
+            for members in expected.values()
+            for x in members
+        }
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, f"seed={seed}"
