@@ -68,3 +68,50 @@ def pipe_join(col: Column | str) -> Column:
     """``'|'.join(list)`` (reference ``generate_mock_data.py:77-78``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(c, "|")
+
+
+class ParseUnitPriceUDTF:
+    """Python UDTF (Spark 4 table-function surface, SURVEY §2.13): explode
+    the reference's single-quoted size/price struct
+    (``{'product_sizes': 'S|M|L', 'product_prices': '89000|94000|99000'}``,
+    built at ``seperate_tables.py:41-44``) into one (size, price) row per
+    pair — the row-generating twin of the ``zip_explode_pairs`` expression
+    plan.
+
+    ``ast.literal_eval`` IS the tolerant parser here: Python-repr dicts are
+    exactly what the reference writes, and apostrophes inside properly
+    quoted values survive where a blanket quote swap corrupts them.
+    Malformed input yields no rows (same contract as the expression path's
+    NULL). UDTFs are the Python slow path — production plans should prefer
+    ``zip_explode_pairs``; this class is the escape hatch for parse logic
+    expressions can't express.
+
+    Register per-session:  ``spark.udtf.register("parse_unit_price", ...)``.
+    """
+
+    def eval(self, unit_price: str):  # noqa: D401 — UDTF contract method
+        import ast
+
+        if unit_price is None:
+            return
+        try:
+            d = ast.literal_eval(unit_price)
+            sizes = str(d["product_sizes"]).split("|")
+            prices = str(d["product_prices"]).split("|")
+        except (ValueError, SyntaxError, KeyError, TypeError):
+            return
+        for s, p in zip(sizes, prices):
+            try:
+                yield s, int(p)
+            except ValueError:
+                yield s, None
+
+
+def register_parse_unit_price_udtf(spark) -> None:
+    """Idempotently register the UDTF under ``parse_unit_price_udtf``."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "parse_unit_price_udtf",
+        udtf(ParseUnitPriceUDTF, returnType="size string, price bigint"),
+    )

@@ -3431,6 +3431,47 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_unit_price_explode",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, CAST(floor(p_retailprice) AS BIGINT) AS base
+      FROM part
+    )
+    SELECT p_partkey,
+           unnest(['S', 'M', 'L']) AS size,
+           unnest([base, base + 5000, base + 10000]) AS price
+    FROM t
+    """,
+)
+def q_udtf_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.13 — the reference needs no UDTF, so
+    this is the beyond-parity demo): build the reference-shaped
+    single-quoted size/price struct per part row, then LATERAL-explode it
+    with ``ParseUnitPriceUDTF``. The DuckDB twin zips the same S/M/L price
+    ladder with positional unnest. The expression-plan twin of this query
+    is ``zip_explode_pairs`` — UDTFs stay the slow-path escape hatch."""
+    from ..functions.strings import register_parse_unit_price_udtf
+
+    register_parse_unit_price_udtf(spark)
+    p = load_table(spark, sf_dir, "part")
+    base = F.floor("p_retailprice").cast("long")
+    t = p.select(
+        "p_partkey",
+        F.format_string(
+            "{'product_sizes': 'S|M|L', 'product_prices': '%d|%d|%d'}",
+            base,
+            base + F.lit(5000),
+            base + F.lit(10000),
+        ).alias("unit_price"),
+    )
+    return spark.sql(
+        "SELECT t.p_partkey, u.size, u.price "
+        "FROM {t} t, LATERAL parse_unit_price_udtf(t.unit_price) u",
+        t=t,
+    )
+
+
+@register(
     "temperature_sample_mix",
     oracle=f"""
     WITH n AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),

@@ -246,3 +246,34 @@ def test_hll_sketch_persistence_and_merge(spark, sf_dir, tmp_path):
 
     exact = events.select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.05
+
+
+def test_parse_unit_price_udtf_tolerant(spark):
+    """The UDTF parses the reference's single-quoted struct (apostrophes in
+    values included), emits NULL price for non-numeric entries, and emits
+    no rows for malformed/NULL input instead of raising."""
+    from bytesme_etl_batch_pipeline_spark.functions.strings import (
+        register_parse_unit_price_udtf,
+    )
+
+    register_parse_unit_price_udtf(spark)
+    rows = [
+        (1, "{'product_sizes': 'S|M', 'product_prices': '1000|2000'}"),
+        (2, "{'product_sizes': \"D'or|L\", 'product_prices': '5|x'}"),
+        (3, "not a struct"),
+        (4, None),
+        (5, "{'product_sizes': 'S'}"),  # missing prices key → no rows
+    ]
+    df = spark.createDataFrame(rows, "id long, unit_price string")
+    out = spark.sql(
+        "SELECT t.id, u.size, u.price "
+        "FROM {t} t, LATERAL parse_unit_price_udtf(t.unit_price) u",
+        t=df,
+    )
+    got = sorted((r["id"], r["size"], r["price"]) for r in out.collect())
+    assert got == [
+        (1, "M", 2000),
+        (1, "S", 1000),
+        (2, "D'or", 5),
+        (2, "L", None),
+    ]
