@@ -73,8 +73,8 @@ def main() -> None:
     # Also spawn the Arrow Python workers once — the first pandas-UDF stage
     # otherwise pays ~3-4 s of daemon/worker startup inside whichever query
     # happens to hit Python first (it landed on semantic_search_pipeline).
-    # NB: returnType= keyword + explicit functionType, because this module
-    # has ``from __future__ import annotations`` (string hints would make
+    # NB: explicit returnType/functionType args, because this module has
+    # ``from __future__ import annotations`` (string hints would make
     # pandas_udf's type-hint inference fail for a locally-imported pandas).
     from pyspark.sql import functions as F
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -85,7 +85,10 @@ def main() -> None:
         .withColumn("x", F.col("id").cast("double"))
         .withColumn("g", F.col("id") % 2)
     )
-    warm_df.select(_warm("x")).count()
+    # agg over the UDF output so the optimizer cannot column-prune the UDF
+    # away (select(udf).count() compiles to Project+Range — no Python ever
+    # runs, verified on the physical plan)
+    warm_df.select(_warm("x").alias("y")).agg(F.sum("y")).collect()
     warm_df.groupBy("g").applyInPandas(
         lambda pdf: pdf, schema="id long, x double, g long"
     ).count()

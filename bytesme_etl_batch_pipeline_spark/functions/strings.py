@@ -100,10 +100,15 @@ class ParseUnitPriceUDTF:
             prices = str(d["product_prices"]).split("|")
         except (ValueError, SyntaxError, KeyError, TypeError):
             return
-        for s, p in zip(sizes, prices):
+        # zip_longest, not zip: the expression twin (zip_explode_pairs /
+        # arrays_zip) NULL-pads a ragged ladder to the longer side — a
+        # truncating zip would silently drop rows when switching paths
+        from itertools import zip_longest
+
+        for s, p in zip_longest(sizes, prices):
             try:
                 yield s, int(p)
-            except ValueError:
+            except (ValueError, TypeError):
                 yield s, None
 
 

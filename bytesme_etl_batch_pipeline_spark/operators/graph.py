@@ -133,6 +133,7 @@ def connected_components(
         )
     finally:
         e.unpersist()
+        sym.unpersist()
         labels.unpersist()
 
 

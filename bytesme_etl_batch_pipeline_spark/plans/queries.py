@@ -3401,7 +3401,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_json_events",
     oracle="""
     SELECT event_id,
-           TRY_CAST(v AS INT) AS k,
+           -- integer-pattern gate instead of a bare TRY_CAST: DuckDB
+           -- TRY_CAST('7.5' AS INT) ROUNDS to 8 where Spark's variant int
+           -- extraction does not — gating both engines on ^-?[0-9]+$ over
+           -- the string form makes non-integer k NULL identically
+           TRY_CAST(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN v END AS INT) AS k,
            TRY_CAST(v AS VARCHAR) AS k_str,
            props IS NOT NULL AND json_valid(props) AS is_valid
     FROM (
@@ -3422,10 +3426,15 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end: junk props → NULL variant → NULL fields, is_valid false."""
     e = load_table(spark, sf_dir, "events")
     v = F.try_parse_json("props")
+    k_str = F.try_variant_get(v, "$.k", "string")
     return e.select(
         "event_id",
-        F.try_variant_get(v, "$.k", "int").alias("k"),
-        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        # int via the string form behind an integer-pattern gate — the
+        # cross-engine contract for non-integer k (floats, booleans):
+        # NULL in both, where typed variant-get vs TRY_CAST would diverge
+        # (DuckDB rounds '7.5'→8, Spark does not)
+        F.when(k_str.rlike("^-?[0-9]+$"), k_str).try_cast("int").alias("k"),
+        k_str.alias("k_str"),
         v.isNotNull().alias("is_valid"),
     )
 

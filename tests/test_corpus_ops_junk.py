@@ -127,6 +127,11 @@ def test_variant_json_on_junk_props(spark, tmp_path):
         (4, '{"k": "not-an-int"}'),
         (5, "[1, 2, 3]"),
         (6, '{"other": 1}'),
+        # non-integer k: DuckDB TRY_CAST('7.5' AS INT) would round to 8 —
+        # the integer-pattern gate must make both engines yield NULL
+        (7, '{"k": 7.5}'),
+        (8, '{"k": true}'),
+        (9, '{"k": -12}'),
     ]
     d = str(tmp_path / "junk_events_sf")
     spark.createDataFrame(rows, "event_id long, props string").write.parquet(
@@ -140,6 +145,9 @@ def test_variant_json_on_junk_props(spark, tmp_path):
     assert got[4]["k"] is None and got[4]["k_str"] == "not-an-int"
     assert got[5]["k"] is None and got[5]["is_valid"]  # valid JSON, no $.k
     assert got[6]["k"] is None and got[6]["is_valid"]
+    assert got[7]["k"] is None and got[7]["k_str"] == "7.5"
+    assert got[8]["k"] is None and got[8]["k_str"] == "true"
+    assert got[9]["k"] == -12
 
     con = duckdb_con(d)
     r = compare(out, con, catalog.ORACLE_SQL["variant_json_events"])

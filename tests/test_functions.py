@@ -263,6 +263,9 @@ def test_parse_unit_price_udtf_tolerant(spark):
         (3, "not a struct"),
         (4, None),
         (5, "{'product_sizes': 'S'}"),  # missing prices key → no rows
+        # ragged ladder: NULL-padded to the longer side like arrays_zip,
+        # never silently truncated
+        (6, "{'product_sizes': 'S|M|L', 'product_prices': '10|20'}"),
     ]
     df = spark.createDataFrame(rows, "id long, unit_price string")
     out = spark.sql(
@@ -270,10 +273,15 @@ def test_parse_unit_price_udtf_tolerant(spark):
         "FROM {t} t, LATERAL parse_unit_price_udtf(t.unit_price) u",
         t=df,
     )
-    got = sorted((r["id"], r["size"], r["price"]) for r in out.collect())
+    got = sorted(
+        (r["id"], r["size"], r["price"]) for r in out.collect()
+    )
     assert got == [
         (1, "M", 2000),
         (1, "S", 1000),
         (2, "D'or", 5),
         (2, "L", None),
+        (6, "L", None),
+        (6, "M", 20),
+        (6, "S", 10),
     ]
