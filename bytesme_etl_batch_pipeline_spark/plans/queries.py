@@ -3565,50 +3565,58 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recorded rows for exactly the first 50 registrations — everything after
 # ``snowflake_facts`` never got a driver-verified row. To convert the
 # remaining operators into hard evidence regardless of whether the gate is
-# capped by count or by wall-clock, the catalog is re-keyed so that
-# (a) queries with no driver row yet come first, (b) within each group the
-# cheapest queries (per BENCH_r01 sf0.1 timings) run first. Registration
-# order in this file is unchanged — only dict key order is rewritten.
-# Queries added later (absent from _CATALOG_ORDER) are newest → front.
+# capped by count or by wall-clock, the catalog is re-keyed so that the 51
+# oracle-bearing queries with no CORRECTNESS_r01 row occupy the first 51
+# slots (cheapest first, per BENCH_DETAIL sf0.01 timings), followed by the
+# 5 no-oracle queries (their driver row is rows-only — weaker signal),
+# then the 50 queries already driver-green in round 1. If the gate caps at
+# 50 again, the one oracle-bearing query sacrificed to slot 51 is
+# streaming_windowed_counts, whose batch-semantics twin
+# (events_tumbling_window) is already r01-green. Registration order in
+# this file is unchanged — only dict key order is rewritten. Queries added
+# later (absent from _CATALOG_ORDER) are newest → front.
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- new in round 2 (11), cheapest first --
-    "quality_filter_chain", "pii_redact", "zorder_layout_key",
-    "join_skew_report", "cdc_apply", "doc_chunking", "sequence_packing",
-    "repetition_signals", "domain_cap",
-    "doc_template_vi", "neardup_clusters",
-    # -- no CORRECTNESS_r01 row yet (39), cheapest first --
-    "trailing_hour_activity", "fill_forward_props", "train_val_test_split",
-    "regex_extract_battery", "unpivot_part_metrics", "casts_battery",
-    "ranking_battery", "funnel_conversion", "date_battery",
-    "grouped_string_agg", "corpus_stats", "doc_embeddings",
-    "stratified_sample_docs", "array_ops_battery", "distinct_counts",
-    "quantity_percentiles", "stats_moments", "data_quality_report",
-    "approx_percentiles", "approx_distinct_counts", "salted_counts",
-    "pivot_event_counts", "left_outer_order_counts", "asof_join_last_purchase",
-    "scalar_subquery_above_avg", "full_outer_nation_presence",
-    "grouping_sets_sales", "snowflake_children", "order_lineitem_revenue",
-    "anomaly_events", "grouped_robust_zscore", "winnow_fingerprints",
-    "tfidf_top_terms", "simhash_hamming_pairs", "range_join_balance_tiers",
-    "media_decode", "streaming_windowed_counts", "neardup_dedup_docs",
-    "semantic_search_pipeline",
-    # -- driver-green in round 1 (50), cheapest first --
-    "lag_lead_deltas", "running_total", "doc_fingerprint", "stars_beta",
-    "token_stats", "ratings_exponential", "rule_cascade_classify",
-    "doc_template", "doc_quality", "seeded_enrichment", "lang_id",
-    "nation_set_ops", "l2_topk", "snowflake_dims", "events_tumbling_window",
-    "snowflake_facts", "pricing_summary", "dedup_keep_first", "dup_report",
-    "distinct_projection", "dim_join_rollup",
-    "anti_join_customers_without_orders", "semi_join_active_customers",
-    "topk_orders", "window_topk_per_customer", "group_sequence_codes",
-    "dense_dim_ids", "union_all_entities", "string_normalize",
-    "truncate_preview", "json_extract_events", "tolerant_json_parse",
-    "month_rollup", "conditional_rewrite", "membership_filter", "wordcount",
-    "zip_explode_pairs", "cube_sales", "cosine_topk", "rollup_sales",
-    "exact_dedup_docs", "sessionization", "simhash16", "ann_ivf_topk",
-    "ann_lsh_topk", "llm_enrich_descriptions", "minhash_signatures",
-    "embedding_pairs_blocked", "minhash_lsh_candidates", "ngram_jaccard_pairs",
+    # -- no CORRECTNESS_r01 row, oracle-paired (51), cheapest first --
+    'regex_extract_battery', 'casts_battery', 'salted_counts',
+    'distinct_counts', 'train_val_test_split', 'ranking_battery',
+    'array_ops_battery', 'data_quality_report', 'fill_forward_props',
+    'quantity_percentiles', 'stratified_sample_docs', 'grouped_string_agg',
+    'date_battery', 'stats_moments', 'funnel_conversion',
+    'trailing_hour_activity', 'left_outer_order_counts', 'grouping_sets_sales',
+    'unpivot_part_metrics', 'pivot_event_counts', 'corpus_stats',
+    'scalar_subquery_above_avg', 'asof_join_last_purchase', 'snowflake_children',
+    'variant_json_events', 'anomaly_events', 'order_lineitem_revenue',
+    'full_outer_nation_presence', 'winnow_fingerprints', 'quality_filter_chain',
+    'pii_redact', 'temperature_sample_mix', 'sequence_packing',
+    'zorder_layout_key', 'grouped_robust_zscore', 'domain_cap',
+    'tfidf_top_terms', 'doc_chunking', 'udtf_unit_price_explode',
+    'repetition_signals', 'simhash_hamming_pairs', 'cdc_apply',
+    'join_skew_report', 'doc_template_vi', 'decontaminate_ngram_overlap',
+    'neardup_dedup_docs', 'heavy_hitter_tokens', 'embedding_quantize_int8',
+    'neardup_clusters', 'range_join_balance_tiers', 'streaming_windowed_counts',
+    # -- no CORRECTNESS_r01 row, declared no-oracle / rows-only (5) --
+    'doc_embeddings', 'approx_percentiles', 'approx_distinct_counts',
+    'media_decode', 'semantic_search_pipeline',
+    # -- driver-green in round 1 (50) --
+    'lag_lead_deltas', 'running_total', 'doc_fingerprint', 'stars_beta',
+    'token_stats', 'ratings_exponential', 'rule_cascade_classify',
+    'doc_template', 'doc_quality', 'seeded_enrichment',
+    'lang_id', 'nation_set_ops', 'l2_topk',
+    'snowflake_dims', 'events_tumbling_window', 'snowflake_facts',
+    'pricing_summary', 'dedup_keep_first', 'dup_report',
+    'distinct_projection', 'dim_join_rollup', 'anti_join_customers_without_orders',
+    'semi_join_active_customers', 'topk_orders', 'window_topk_per_customer',
+    'group_sequence_codes', 'dense_dim_ids', 'union_all_entities',
+    'string_normalize', 'truncate_preview', 'json_extract_events',
+    'tolerant_json_parse', 'month_rollup', 'conditional_rewrite',
+    'membership_filter', 'wordcount', 'zip_explode_pairs',
+    'cube_sales', 'cosine_topk', 'rollup_sales',
+    'exact_dedup_docs', 'sessionization', 'simhash16',
+    'ann_ivf_topk', 'ann_lsh_topk', 'llm_enrich_descriptions',
+    'minhash_signatures', 'embedding_pairs_blocked', 'minhash_lsh_candidates',
+    'ngram_jaccard_pairs',
 ]
 
 
