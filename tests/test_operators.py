@@ -527,3 +527,27 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, f"seed={seed}"
+
+def test_semantic_dedup_keeps_lowest_id_per_neardup_group(spark):
+    """SemDedup decision: within a block, every cosine-near-dup group
+    survives only through its lowest id; cross-block near-identical
+    vectors are untouched (blocking is the scale contract)."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import neardup_filter
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        pairs_above_threshold,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # keeper of group {0,1}
+        (1, [0.99, 0.01], 0),  # near-dup of 0 → removed
+        (2, [0.0, 1.0], 0),   # orthogonal → survives
+        (3, [1.0, 0.0], 1),   # identical to 0 but other block → survives
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = pairs_above_threshold(
+        df, "vec_id", "embedding", "label", threshold=0.95
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    survivors = {r["vec_id"] for r in neardup_filter(df, pairs, "vec_id").collect()}
+    assert survivors == {0, 2, 3}
