@@ -54,6 +54,10 @@ def get_spark(
         # represent natively; read it as raw nanos (sources/tables.py converts
         # to TimestampType losslessly via integer division).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is written with isAdjustedToUTC=false; surface it as a
+        # session-TZ (UTC-pinned) timestamp rather than TIMESTAMP_NTZ so
+        # unix_micros()/TIMESTAMP-typed operator paths resolve.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Let AQE re-plan (coalesce/skew-split) the subtree that feeds a
         # .cache() — off by default, which made materializing the cached
         # LSH edge list 3× slower than the identical uncached plan (every

@@ -35,16 +35,25 @@ def ensure_session_confs(spark: SparkSession) -> None:
     confs; setting them is idempotent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Driver testdata stores events.ts as Parquet TIMESTAMP with
+    # isAdjustedToUTC=false; Spark 4 would surface that as TIMESTAMP_NTZ,
+    # which unix_micros()/window() TIMESTAMP-typed code paths reject. Read it
+    # as a session-TZ timestamp instead — with the UTC pin above, the values
+    # are bit-identical and match the TZ-naive DuckDB oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure metadata op — no job is triggered.
 
-    ``events.ts`` is stored as Parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long, which we
-    convert to TimestampType via integer ns→µs division (``div``, not ``/`` —
-    float division would lose precision on epoch-nanos magnitudes). DuckDB
-    truncates nanos→micros the same way, so both engines see identical values.
+    ``events.ts`` has shipped in two physical forms across driver testdata
+    generations: Parquet TIMESTAMP(NANOS) (surfaced as a long under
+    ``nanosAsLong``, converted here via integer ns→µs division — ``div``, not
+    ``/``, which would lose precision at epoch-nanos magnitudes) and plain
+    Parquet TIMESTAMP with isAdjustedToUTC=false (surfaced as a session-TZ
+    timestamp under ``inferTimestampNTZ.enabled=false``). Both paths yield
+    identical micros values under the pinned UTC session timezone, matching
+    DuckDB's TZ-naive reading.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -230,9 +230,10 @@ def test_hll_sketch_persistence_and_merge(spark, sf_dir, tmp_path):
         hll_partial_sketches,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
-        "user_id",
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
     )
     daily = hll_partial_sketches(events, ["day"], "user_id")
     out = str(tmp_path / "daily_sketches")
