@@ -58,6 +58,9 @@ def get_spark(
         # session-TZ (UTC-pinned) timestamp rather than TIMESTAMP_NTZ so
         # unix_micros()/TIMESTAMP-typed operator paths resolve.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Python DataSource scans (sources/pysource.py) prune their input
+        # work-list via pushFilters(); off by default in Spark 4.1.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Let AQE re-plan (coalesce/skew-split) the subtree that feeds a
         # .cache() — off by default, which made materializing the cached
         # LSH edge list 3× slower than the identical uncached plan (every

@@ -1,0 +1,213 @@
+"""Spark-4 Python DataSource implementations (SURVEY §2.1 S6 landing).
+
+The reference ingests product pages with a single-process requests loop
+(``scripts/extract/products_scraping.py:82-91``).  ``sources/http.fetch_pages``
+already distributes that as a ``mapInPandas`` stage; this module goes one step
+further and exposes the same ingestion as a *first-class Spark data source*
+via the PySpark 4 Python DataSource API, so a user can write
+
+    spark.dataSource.register(PageFetchDataSource)
+    spark.read.format("bytesme_pages").option("urls", ...).load()
+
+and get a real scan node in the plan: the URL frontier is split into input
+partitions at planning time (each partition = one task on the cluster), and
+supported predicates on ``url`` are pushed INTO the scan so pruned pages are
+never fetched at all — the scan-time prune that matters at crawl scale.
+
+Scale notes (100 TB / large-crawl target):
+* one ``InputPartition`` per frontier slice → natural task parallelism; the
+  slice count is an option, not a repartition after the fact.
+* ``pushFilters`` prunes the frontier before any network I/O. Unsupported
+  filters are returned to Spark, which re-applies them post-scan — semantics
+  never change, pushdown is purely an optimization.
+* the streaming source tracks a monotonically increasing row index as its
+  offset — the same contract a Kafka offset range satisfies — so the
+  micro-batch planner gets exactly-once replay across restarts for free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    StringContains,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+# ---------------------------------------------------------------------------
+# Batch: page-fetch frontier as a data source
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = "url string, status int, body string, error string"
+
+
+def _resolve_fetcher(name: str):
+    """Options are strings (they cross the pickling boundary), so the fetcher
+    is chosen by registry name rather than passed as a callable."""
+    from .http import mock_fetcher, urllib_fetcher
+
+    if name == "mock":
+        return mock_fetcher
+    if name == "urllib":
+        return urllib_fetcher()
+    raise ValueError(f"unknown fetcher {name!r} (expected 'mock' or 'urllib')")
+
+
+@dataclass
+class _UrlSlice(InputPartition):
+    urls: list
+
+
+class PageFetchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        raw = options.get("urls", "")
+        self._urls = [u.strip() for u in raw.replace(",", "\n").splitlines() if u.strip()]
+        self._num_partitions = int(options.get("numpartitions", "4"))
+        self._fetcher_name = options.get("fetcher", "mock")
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: F821
+        """Prune the frontier on url predicates; everything else is handed
+        back to Spark to evaluate after the scan."""
+        unsupported = []
+        for f in filters:
+            if isinstance(f, StringStartsWith) and f.attribute == ("url",):
+                self._urls = [u for u in self._urls if u.startswith(f.value)]
+            elif isinstance(f, StringContains) and f.attribute == ("url",):
+                self._urls = [u for u in self._urls if f.value in u]
+            elif isinstance(f, EqualTo) and f.attribute == ("url",):
+                self._urls = [u for u in self._urls if u == f.value]
+            elif isinstance(f, In) and f.attribute == ("url",):
+                allowed = set(f.values)
+                self._urls = [u for u in self._urls if u in allowed]
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self) -> Sequence[InputPartition]:
+        n = max(1, min(self._num_partitions, len(self._urls)) or 1)
+        slices = [self._urls[i::n] for i in range(n)]
+        return [_UrlSlice(urls=s) for s in slices if s] or [_UrlSlice(urls=[])]
+
+    def read(self, partition: _UrlSlice) -> Iterator[tuple]:
+        fetch = _resolve_fetcher(self._fetcher_name)
+        for url in partition.urls:
+            try:
+                status, body = fetch(url)
+                yield (url, status, body, None)
+            except Exception as e:  # per-URL isolation, like the reference's per-file guard
+                yield (url, None, None, str(e))
+
+
+class PageFetchDataSource(DataSource):
+    """``spark.read.format("bytesme_pages")`` — distributed page fetch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bytesme_pages"
+
+    def schema(self) -> str:
+        return PAGES_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return PageFetchReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: deterministic event replay as a micro-batch stream source
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+_EVENT_TYPES = ["view", "cart", "purchase", "review", "search"]
+_BASE_EPOCH_S = 1_700_000_000  # fixed so replays are bit-identical
+
+
+def _event_row(i: int) -> tuple:
+    import datetime
+
+    h = hashlib.md5(str(i).encode()).digest()
+    ts = datetime.datetime.utcfromtimestamp(_BASE_EPOCH_S + i)
+    return (
+        i,
+        ts,
+        h[0] % 97,
+        _EVENT_TYPES[h[1] % len(_EVENT_TYPES)],
+        round((h[2] * 256 + h[3]) / 100.0, 2),
+    )
+
+
+@dataclass
+class _IndexRange(InputPartition):
+    start: int
+    end: int
+
+
+class EventReplayStreamReader(DataSourceStreamReader):
+    """Offset = next unread row index (monotone), the Kafka-shaped contract:
+    ``partitions(start, end)`` plans the half-open index range [start, end)
+    across N tasks and ``read`` regenerates rows deterministically, so a
+    restarted query re-reads an identical batch."""
+
+    def __init__(self, options: dict):
+        self._rows_per_batch = int(options.get("rowsperbatch", "100"))
+        self._max_rows = int(options.get("maxrows", "-1"))
+        self._num_partitions = int(options.get("numpartitions", "2"))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest += self._rows_per_batch
+        if self._max_rows >= 0:
+            self._latest = min(self._latest, self._max_rows)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["index"], end["index"]
+        if hi <= lo:
+            return [_IndexRange(lo, lo)]
+        n = max(1, self._num_partitions)
+        step = max(1, (hi - lo + n - 1) // n)
+        return [_IndexRange(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _IndexRange) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _event_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # stateless generator: nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+class EventReplayDataSource(DataSource):
+    """``spark.readStream.format("bytesme_event_replay")`` — deterministic
+    event stream for exercising watermarked/windowed sinks without Kafka."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bytesme_event_replay"
+
+    def schema(self) -> str:
+        return EVENTS_SCHEMA
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return EventReplayStreamReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotent registration of both sources on a session."""
+    spark.dataSource.register(PageFetchDataSource)
+    spark.dataSource.register(EventReplayDataSource)

@@ -1,0 +1,127 @@
+"""Python DataSource API sources (sources/pysource.py).
+
+Covers: batch scan partitioning, per-URL error isolation, frontier pruning
+via pushFilters (both the unit-level prune and the end-to-end query), and the
+deterministic replay stream source's exactly-once offset contract.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from bytesme_etl_batch_pipeline_spark.sources.pysource import (
+    EventReplayStreamReader,
+    PageFetchReader,
+    _event_row,
+    register_python_sources,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_python_sources(spark)
+
+
+def _urls(n: int) -> str:
+    return ",".join(f"https://site{i % 3}.example/p{i}" for i in range(n))
+
+
+def test_page_fetch_batch_scan(spark):
+    df = (
+        spark.read.format("bytesme_pages")
+        .option("urls", _urls(20))
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # one task per frontier slice
+    rows = df.collect()
+    assert len(rows) == 20
+    # mock fetcher yields a deterministic status per URL; every row has a body
+    # or an error, never an unhandled exception
+    assert all(r.status in (200, 404) for r in rows)
+    assert all(r.body is not None and r.error is None for r in rows)
+
+
+def test_page_fetch_pushdown_prunes_frontier_before_fetch():
+    """pushFilters must shrink the planned work-list itself (the point is to
+    never fetch pruned URLs), not rely on Spark's post-scan filter."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+    reader = PageFetchReader({"urls": _urls(20), "numpartitions": "4"})
+    rest = list(
+        reader.pushFilters(
+            [StringStartsWith(("url",), "https://site1."), GreaterThan(("status",), 100)]
+        )
+    )
+    # the url predicate is consumed, the status one is handed back to Spark
+    assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
+    planned = [u for p in reader.partitions() for u in p.urls]
+    expect = {f"https://site1.example/p{i}" for i in range(20) if i % 3 == 1}
+    assert len(planned) == len(expect) and set(planned) == expect
+
+    reader = PageFetchReader({"urls": _urls(20)})
+    reader.pushFilters([EqualTo(("url",), "https://site0.example/p0")])
+    assert [u for p in reader.partitions() for u in p.urls] == ["https://site0.example/p0"]
+
+
+def test_page_fetch_pushdown_end_to_end(spark):
+    df = (
+        spark.read.format("bytesme_pages")
+        .option("urls", _urls(20))
+        .option("numPartitions", "4")
+        .load()
+        .filter("url LIKE 'https://site1.example%'")
+    )
+    assert df.count() == 7
+
+
+def test_event_replay_offset_contract():
+    """Offset planning is a pure function of (start, end): ranges tile the
+    interval exactly and re-reading a partition regenerates identical rows."""
+    r = EventReplayStreamReader({"rowsperbatch": "50", "maxrows": "120", "numpartitions": "3"})
+    assert r.initialOffset() == {"index": 0}
+    assert r.latestOffset() == {"index": 50}
+    assert r.latestOffset() == {"index": 100}
+    assert r.latestOffset() == {"index": 120}  # capped by maxRows
+    assert r.latestOffset() == {"index": 120}  # stays capped
+
+    parts = r.partitions({"index": 0}, {"index": 50})
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == 50
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))  # no gap/overlap
+
+    batch1 = [row for p in parts for row in r.read(p)]
+    batch2 = [row for p in r.partitions({"index": 0}, {"index": 50}) for row in r.read(p)]
+    assert batch1 == batch2  # deterministic replay
+    assert _event_row(7) == _event_row(7)
+
+
+def test_event_replay_stream_exactly_once(spark):
+    q = (
+        spark.readStream.format("bytesme_event_replay")
+        .option("rowsPerBatch", "50")
+        .option("maxRows", "120")
+        .option("numPartitions", "3")
+        .load()
+        .writeStream.format("memory")
+        .queryName("replay_test")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("select count(*) n from replay_test").collect()[0].n
+            if n >= 120:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    row = spark.sql(
+        "select count(*) n, count(distinct event_id) d, min(event_id) lo, max(event_id) hi "
+        "from replay_test"
+    ).collect()[0]
+    assert (row.n, row.d, row.lo, row.hi) == (120, 120, 0, 119)
