@@ -47,6 +47,8 @@ HEADLINE = [
     "rule_cascade_classify",
     "doc_template_vi",
     "exact_dedup_docs",
+    "line_dedup_docs",
+    "bloom_decontaminate",
     "minhash_lsh_candidates",
     "neardup_clusters",
     "ngram_jaccard_pairs",

@@ -13,6 +13,12 @@ from .aggregate import (  # noqa: F401
     salted_count,
     sequence_code,
 )
+from .bloom import (  # noqa: F401
+    bloom_decontaminate,
+    bloom_might_contain,
+    bloom_prefiltered_anti_join,
+    build_bloom,
+)
 from .categorize import build_rule_cascade, standardize_categories  # noqa: F401
 from .dedup import (  # noqa: F401
     anti_join,
@@ -39,6 +45,7 @@ from .neardup import (  # noqa: F401
     minhash_signatures,
     neardup_filter,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_hamming_pairs,
 )
 from .normalize import explode_piped_pairs, snowflake_split  # noqa: F401

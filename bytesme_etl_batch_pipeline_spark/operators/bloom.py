@@ -1,0 +1,168 @@
+"""Distributed Bloom filter build + broadcast probe (engine extension).
+
+The 100 TB decontamination / anti-join pattern: when the "forbidden set"
+(benchmark n-grams, seen-URL digests, previously ingested keys) is too large
+to broadcast *exactly* but its Bloom filter is not, build the filter
+distributed (one bitset per partition, OR-merged on the driver via
+``treeReduce``) and probe it executor-side with an Arrow-vectorized pandas
+UDF. The probe cuts the big side of the subsequent *exact* join by the true
+hit rate (≈ overlap + fpp), which at scale converts a corpus-wide shuffle
+join into a shuffle over only the candidate rows. False positives are then
+removed by the exact join, so the end-to-end result is bit-identical to the
+plain join — the filter is pure optimization, never semantics.
+
+This mirrors the JVM ``BloomFilterAggregate`` Spark uses for runtime row-level
+filtering (not exposed to PySpark 4.1), with the same Kirsch–Mitzenmacher
+double hashing over a single ``xxhash64`` so build and probe agree exactly.
+
+The per-partition bitset build is genuinely per-partition imperative work —
+the documented last-resort case for dropping to ``mapPartitions``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@dataclass
+class BloomFilter:
+    """m-bit filter as packed uint64 words; k probes via double hashing."""
+
+    bits: np.ndarray  # uint64[m_words]
+    n_bits: int
+    n_hashes: int
+
+    def might_contain_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership test over xxhash64 values (int64 array)."""
+        hu = h.astype(np.int64).view(np.uint64)
+        h1 = hu & np.uint64(0xFFFFFFFF)
+        h2 = (hu >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+        out = np.ones(len(hu), dtype=bool)
+        m = np.uint64(self.n_bits)
+        for i in range(self.n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % m
+            word = (idx >> np.uint64(6)).astype(np.int64)
+            bit = np.uint64(1) << (idx & np.uint64(63))
+            out &= (self.bits[word] & bit) != 0
+        return out
+
+
+def _sizing(expected_items: int, fpp: float) -> tuple[int, int]:
+    n = max(1, expected_items)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 63) // 64 * 64  # whole words
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def build_bloom(
+    df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
+) -> BloomFilter:
+    """Build the filter over ``df[col]`` distributed: hash JVM-side
+    (``xxhash64``), set bits per partition, OR-merge bitsets driver-ward in a
+    tree. Result size is m/8 bytes regardless of row count."""
+    n_bits, n_hashes = _sizing(expected_items, fpp)
+    n_words = n_bits // 64
+    hashes = df.select(F.xxhash64(F.col(col)).alias("h"))
+
+    def set_bits(rows):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        h = np.fromiter((r.h for r in rows), dtype=np.int64).view(np.uint64)
+        if len(h):
+            h1 = h & np.uint64(0xFFFFFFFF)
+            h2 = (h >> np.uint64(32)) | np.uint64(1)
+            m = np.uint64(n_bits)
+            for i in range(n_hashes):
+                idx = (h1 + np.uint64(i) * h2) % m
+                np.bitwise_or.at(
+                    bits,
+                    (idx >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (idx & np.uint64(63)),
+                )
+        yield bits
+
+    # treeAggregate (not treeReduce): a zero bitset makes the empty-input
+    # filter well-defined instead of raising on an empty RDD
+    merged = hashes.rdd.mapPartitions(set_bits).treeAggregate(
+        np.zeros(n_words, dtype=np.uint64), np.bitwise_or, np.bitwise_or, depth=2
+    )
+    return BloomFilter(bits=merged, n_bits=n_bits, n_hashes=n_hashes)
+
+
+def bloom_might_contain(df_or_spark, bloom: BloomFilter, col: str | Column) -> Column:
+    """Boolean probe column. The bitset ships once per executor via a Spark
+    broadcast; the probe itself is Arrow-batched numpy, no per-row Python."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    bc = spark.sparkContext.broadcast((bloom.bits, bloom.n_bits, bloom.n_hashes))
+
+    @pandas_udf("boolean")
+    def probe(h):
+        import pandas as pd
+
+        bits, n_bits, n_hashes = bc.value
+        bf = BloomFilter(bits=bits, n_bits=n_bits, n_hashes=n_hashes)
+        return pd.Series(bf.might_contain_hashes(h.to_numpy(dtype=np.int64)))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return probe(F.xxhash64(c))
+
+
+def bloom_prefiltered_anti_join(
+    big: DataFrame,
+    forbidden: DataFrame,
+    key: str,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``big`` rows whose ``key`` is NOT in ``forbidden`` — exact. The Bloom
+    probe splits ``big`` into a definitely-clean part (filter says no → kept
+    outright, never shuffled) and a candidate part that goes through the
+    exact anti-join to shed false positives. Only |hits| + fpp·|big| rows
+    ever reach the join."""
+    bloom = build_bloom(forbidden, key, expected_items=expected_items, fpp=fpp)
+    maybe = bloom_might_contain(big, bloom, key)
+    flagged = big.withColumn("__bloom_maybe", maybe)
+    clean = flagged.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
+    candidates = flagged.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
+    verified = candidates.join(forbidden.select(key).distinct(), key, "left_anti")
+    return clean.unionByName(verified)
+
+
+def bloom_decontaminate(
+    corpus_grams: DataFrame,
+    eval_grams: DataFrame,
+    gram_col: str = "gram",
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Contaminated-doc detection with a Bloom prefilter: probe every corpus
+    gram against the eval-set filter, then verify only the candidates with
+    the exact join. Returns distinct contaminated ``doc_id``s. Identical
+    output to the filter-less join; the filter bounds the exact join's input
+    to |true hits| + fpp·|corpus grams|."""
+    # The eval gram set is consumed twice (filter build, verification join)
+    # — cache it so the explode+distinct shuffle runs once. It is
+    # benchmark-sized by assumption, exactly what executor storage memory is
+    # for; at 100 TB you'd persist it to disk-backed storage the same way.
+    eval_grams = eval_grams.cache()
+    # Sizing: an upstream ESTIMATE is enough — oversizing only widens the
+    # bitset (still KBs/MBs), undersizing only raises fpp, never correctness
+    # (the exact join sheds every false positive). Passing one avoids a
+    # dedicated count job over the exploded gram set.
+    n_eval = expected_items if expected_items is not None else eval_grams.count()
+    bloom = build_bloom(eval_grams, gram_col, expected_items=n_eval, fpp=fpp)
+    candidates = corpus_grams.filter(
+        bloom_might_contain(corpus_grams, bloom, gram_col)
+    )
+    return (
+        candidates.join(eval_grams, gram_col)  # exact: sheds false positives
+        .select("doc_id")
+        .distinct()
+    )

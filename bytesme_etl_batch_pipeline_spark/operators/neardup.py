@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import md5_hash48, words
@@ -279,5 +279,67 @@ def decontaminate_overlap(
             F.col(id_col),
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+) -> DataFrame:
+    """C4-style cross-corpus span dedup: split every document into
+    consecutive ``seg_words``-word segments, keep only the globally FIRST
+    occurrence of each segment text (ordered by ``(id, position)``), and
+    reassemble the surviving segments per document.
+
+    The reference has no corpus-scale twin of this; it is the classic
+    training-data cleanup that removes boilerplate repeated across pages
+    (C4 did it with three-sentence spans — Raffel et al. 2020).
+
+    Scale shape: ONE shuffle on the segment text for the global keep-first
+    window (at 100 TB, hash the segment to a 64-bit key first if segment
+    strings are long — same plan, narrower exchange), then one groupBy(id)
+    to reassemble. No pairwise work anywhere. Docs whose text is empty (no
+    words) produce no segments and re-enter via the left join with
+    ``clean_text = ''``.
+
+    Returns ``(id, clean_text, n_kept, n_dropped)``.
+    """
+    ws = words(text_col)
+    n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
+    # sequence(0, -1) is DESCENDING, not empty (same guard as word_ngrams)
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(ws, i * seg_words + 1, seg_words), " "),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "pos")
+    marked = exploded.withColumn("keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "seg"))
+    agg = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
     )

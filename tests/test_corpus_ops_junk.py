@@ -96,6 +96,10 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "decontaminate_ngram_overlap",
         "heavy_hitter_tokens",
         "temperature_sample_mix",
+        # NULL/empty/whitespace docs must yield clean_text='' (not crash) and
+        # the empty eval slice must decontaminate nothing
+        "line_dedup_docs",
+        "bloom_decontaminate",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
