@@ -2242,20 +2242,56 @@ def q_snowflake_children(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E2 embeddings / multimodal plumbing (rows-only: Python-side operators)
 # ---------------------------------------------------------------------------
 
-@register("doc_embeddings")  # no SQL oracle: pandas-UDF op — pytest-verified
+@register(
+    "doc_embeddings",
+    # Full component-level oracle: DuckDB independently re-derives the
+    # HashEmbedder (md5 → ±1 at md5%dim, L2-normalize, float32 cast).
+    # idx = first 8 md5 hex digits as int (< 2^32, exact in double) % 64;
+    # sign = low bit of digest byte 4 = 10th hex digit % 2. Counts are exact
+    # integers, the norm/divide are IEEE-identical doubles, and the REAL
+    # cast reproduces the UDF's float32 — so values hash-match at 6 dp.
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(8), i ->
+               (strpos('0123456789abcdef', substr(md5(tok), i + 1, 1)) - 1)
+               * 16 ** (7 - i))) AS BIGINT) % 64 AS idx,
+             CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), 10, 1)) - 1) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sign
+      FROM tok
+    ),
+    comp AS (SELECT doc_id, idx, sum(sign) AS v FROM h GROUP BY doc_id, idx),
+    grid AS (
+      SELECT d.doc_id, p.pos
+      FROM documents d CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+    ),
+    vec AS (
+      SELECT g.doc_id, g.pos, coalesce(c.v, 0.0) AS v
+      FROM grid g LEFT JOIN comp c ON c.doc_id = g.doc_id AND c.idx = g.pos
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec GROUP BY doc_id)
+    SELECT vec.doc_id, vec.pos,
+           round(CAST(CAST(CASE WHEN n > 0 THEN vec.v / n ELSE 0.0 END
+                 AS REAL) AS DOUBLE), 6) AS val
+    FROM vec JOIN nrm USING (doc_id)
+    """,
+)
 def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: deterministic hash-embedder over documents (pluggable model
     interface; production swaps in a sentence-transformer via the same
-    pandas-UDF shape, reference ``generate_embeddings.py:245-272``)."""
+    pandas-UDF shape, reference ``generate_embeddings.py:245-272``).
+    Exploded to one row per (doc, component) so the driver hash checks
+    every value of every vector against the DuckDB re-derivation."""
     from ..operators.embed import embed_column
-    from ..operators.similarity import _norm
 
     d = load_table(spark, sf_dir, "documents")
-    out = d.select("doc_id", embed_column(F.col("text")).alias("embedding"))
-    return out.select(
+    out = d.select("doc_id", embed_column(F.col("text")).alias("e"))
+    return out.select("doc_id", F.posexplode("e").alias("pos", "c")).select(
         "doc_id",
-        F.size("embedding").alias("emb_dim"),
-        F.round(_norm(F.col("embedding")), 4).alias("emb_norm"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("c").cast("double"), 6).alias("val"),
     )
 
 
@@ -2881,7 +2917,78 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semantic_search_pipeline")  # no SQL oracle: embeds via pandas UDF; pytest-verified
+# DuckDB twin of the full HashEmbedder (embed.py): md5 → ±1 at md5 % dim,
+# L2-normalize, float32 (REAL) cast — same derivation the doc_embeddings
+# oracle proves component-exact. Returns a derived table (id, e list<REAL>).
+def _duck_hash_embed(src: str, id_col: str, text_col: str, dim: int = 64) -> str:
+    tokens = (
+        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), w -> w <> '')"
+    )
+    return f"""(
+      WITH __w AS (SELECT {id_col} AS __id, {tokens} AS ws FROM {src}),
+      __tok AS (SELECT __id, unnest(ws) AS tok FROM __w),
+      __h AS (
+        SELECT __id,
+               CAST(list_sum(list_transform(range(8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i + 1, 1)) - 1)
+                 * 16 ** (7 - i))) AS BIGINT) % {dim} AS idx,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), 10, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS sign
+        FROM __tok
+      ),
+      __c AS (SELECT __id, idx, sum(sign) AS v FROM __h GROUP BY __id, idx),
+      __g AS (SELECT w.__id, p.pos
+              FROM __w w CROSS JOIN (SELECT unnest(range({dim})) AS pos) p),
+      __v AS (SELECT g.__id, g.pos, coalesce(c.v, 0.0) AS v
+              FROM __g g LEFT JOIN __c c ON c.__id = g.__id AND c.idx = g.pos),
+      __n AS (SELECT __id, sqrt(sum(v * v)) AS n FROM __v GROUP BY __id)
+      SELECT v.__id AS {id_col},
+             array_agg(CAST(CASE WHEN n > 0 THEN v.v / n ELSE 0.0 END AS REAL)
+                       ORDER BY v.pos) AS e
+      FROM __v v JOIN __n USING (__id) GROUP BY v.__id
+    )"""
+
+
+@register(
+    "semantic_search_pipeline",
+    # End-to-end oracle by composition: the doc_template SQL twin renders
+    # the document (description='' and orders=0 → those sections vanish),
+    # _duck_hash_embed re-derives both document and query vectors, and
+    # _duck_cosine + ORDER BY/LIMIT replays the brute-force top-k.
+    oracle=f"""
+    WITH doc AS (
+      SELECT p_partkey,
+             concat_ws(' ',
+               'Product: ' || p_name || '.',
+               'Category: ' || p_type || '.',
+               CASE WHEN p_brand IS NOT NULL AND p_brand <> ''
+                    THEN 'Brand: ' || p_brand || '.' END,
+               CASE WHEN floor(p_retailprice) > 0
+                    THEN 'Price: ' || CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) || '.' END,
+               CASE WHEN p_size / 10.0 >= 4.5 THEN 'Rated excellent.'
+                    WHEN p_size / 10.0 >= 3.5 THEN 'Rated good.'
+                    ELSE 'Rated average.' END,
+               CASE WHEN p_size * 5 >= 100 THEN 'In stock.'
+                    WHEN p_size * 5 >= 21 THEN 'Limited stock.'
+                    WHEN p_size * 5 >= 1 THEN 'Almost sold out.'
+                    ELSE 'Out of stock.' END
+             ) AS document
+      FROM part
+    ),
+    emb AS (SELECT * FROM {_duck_hash_embed('doc', 'p_partkey', 'document')} t),
+    q AS (SELECT e AS qe FROM {_duck_hash_embed(
+        "(SELECT 0 AS qid, 'large economy widget' AS qtext)", 'qid', 'qtext'
+    )} t2),
+    top AS (
+      SELECT p_partkey, {_duck_cosine('e', 'qe')} AS score
+      FROM emb CROSS JOIN q
+      ORDER BY score DESC, p_partkey
+      LIMIT 5
+    )
+    SELECT t.p_partkey, p.p_name, p.p_brand, p.p_type, t.score
+    FROM top t JOIN part p USING (p_partkey)
+    """,
+)
 def q_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's §3.3 lifecycle end-to-end in Spark: template each
     product row into a document (E1) → embed (E2, hash-embedder) → top-k
@@ -3736,9 +3843,9 @@ _CATALOG_ORDER = [
     'neardup_dedup_docs', 'heavy_hitter_tokens', 'embedding_quantize_int8',
     'semantic_dedup_embeddings', 'neardup_clusters',
     'range_join_balance_tiers', 'streaming_windowed_counts',
-    # -- no CORRECTNESS_r01 row, declared no-oracle / rows-only (5) --
-    'doc_embeddings', 'approx_percentiles', 'approx_distinct_counts',
-    'media_decode', 'semantic_search_pipeline',
+    'doc_embeddings', 'semantic_search_pipeline',
+    # -- no CORRECTNESS_r01 row, declared no-oracle / rows-only (3) --
+    'approx_percentiles', 'approx_distinct_counts', 'media_decode',
     # -- driver-green in round 1 (50) --
     'lag_lead_deltas', 'running_total', 'doc_fingerprint', 'stars_beta',
     'token_stats', 'ratings_exponential', 'rule_cascade_classify',
