@@ -2295,7 +2295,33 @@ def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_decode")  # no SQL oracle: mapInPandas plumbing — pytest-verified
+@register(
+    "media_decode",
+    # Probe-level oracle: the FakeCodec's dimensions are md5-derived from
+    # the payload, which is exactly the utf-8 of p_name — so DuckDB's
+    # VARCHAR md5 replays them (byte k = hex chars 2k+1..2k+2). The feature
+    # vector needs md5 over raw digest BYTES (no BLOB md5 in DuckDB), so it
+    # stays pytest-verified (tests/test_multimodal.py); this oracle pins the
+    # mapInPandas batch plumbing + probe math the driver can check.
+    oracle="""
+    WITH h AS (
+      SELECT p_partkey AS media_id,
+             CASE WHEN p_partkey % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+             md5(p_name) AS dg
+      FROM part
+    )
+    SELECT media_id, kind,
+           CAST(64 + ((strpos('0123456789abcdef', substr(dg, 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(dg, 2, 1)) - 1)) % 192 AS INT) AS width,
+           CAST(64 + ((strpos('0123456789abcdef', substr(dg, 3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(dg, 4, 1)) - 1)) % 192 AS INT) AS height,
+           CAST(CASE WHEN kind = 'image' THEN 1
+                ELSE 1 + ((strpos('0123456789abcdef', substr(dg, 5, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(dg, 6, 1)) - 1)) % 32
+           END AS INT) AS n_frames
+    FROM h
+    """,
+)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: decode/feature plumbing over a synthesized media table
     (payload = opaque bytes; FakeCodec stands in for PIL/ffmpeg which are
@@ -3843,9 +3869,9 @@ _CATALOG_ORDER = [
     'neardup_dedup_docs', 'heavy_hitter_tokens', 'embedding_quantize_int8',
     'semantic_dedup_embeddings', 'neardup_clusters',
     'range_join_balance_tiers', 'streaming_windowed_counts',
-    'doc_embeddings', 'semantic_search_pipeline',
-    # -- no CORRECTNESS_r01 row, declared no-oracle / rows-only (3) --
-    'approx_percentiles', 'approx_distinct_counts', 'media_decode',
+    'doc_embeddings', 'semantic_search_pipeline', 'media_decode',
+    # -- no CORRECTNESS_r01 row, declared no-oracle / rows-only (2) --
+    'approx_percentiles', 'approx_distinct_counts',
     # -- driver-green in round 1 (50) --
     'lag_lead_deltas', 'running_total', 'doc_fingerprint', 'stars_beta',
     'token_stats', 'ratings_exponential', 'rule_cascade_classify',
