@@ -91,3 +91,38 @@ def temperature_mix(
     )
     u = hash_uniform(F.col(key_col), seed)
     return df.join(F.broadcast(rates), source_col).filter(u < F.col("rate"))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    seed: int | str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets a
+    hash-derived order key, a shard (key mod n_shards — hash-uniform, so
+    shards balance), and a position within its shard. Training loaders then
+    read shard files sequentially and still see a corpus-wide random order
+    that is identical on every rerun, any partitioning, any cluster size —
+    the property a ``DataFrame.orderBy(rand())`` shuffle lacks.
+
+    Scale shape: ONE shuffle (the per-shard window). n_shards at 100 TB is
+    thousands; each shard's window sorts only |rows|/n_shards rows. To
+    write, follow with ``.repartition(n_shards, "shard")`` +
+    ``.sortWithinPartitions("pos")`` + ``write.partitionBy("shard")`` — the
+    window's partitioning is reusable, so AQE elides the second exchange.
+
+    Returns the input columns + (ord48, shard, pos).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.textops import md5_hash48
+
+    ord_key = md5_hash48(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    with_key = df.withColumn("ord48", ord_key).withColumn(
+        "shard", (F.col("ord48") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("ord48", key_col)
+    return with_key.withColumn("pos", F.row_number().over(w).cast("long"))

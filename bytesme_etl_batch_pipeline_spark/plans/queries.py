@@ -3828,6 +3828,33 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(bad, "doc_id", "left_anti").select("doc_id", "text")
 
 
+@register(
+    "global_shuffle_shards",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             {_duck_hash48("concat('shuffle|', CAST(doc_id AS VARCHAR))")} AS ord48
+      FROM documents
+    )
+    SELECT doc_id, ord48, CAST(ord48 % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY ord48 % 8
+                                   ORDER BY ord48, doc_id) AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def q_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards (engine extension):
+    hash order key → shard → within-shard position, reproducible on any
+    partitioning — the write-side twin is partitionBy(shard) with
+    sortWithinPartitions(pos). See ``sampling.shuffle_shards``."""
+    from ..operators.sampling import shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(d, "doc_id", n_shards=8, seed="shuffle").select(
+        "doc_id", "ord48", "shard", "pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog iteration order.
 #
@@ -3841,12 +3868,13 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5 no-oracle queries (their driver row is rows-only — weaker signal),
 # then the 50 queries already driver-green in round 1. Queries added later
 # (absent from _CATALOG_ORDER) are newest → front, so with the third-wave
-# additions (line_dedup_docs, bloom_decontaminate) a 50-capped gate leaves
-# four oracle-paired queries past the window — semantic_dedup_embeddings,
-# neardup_clusters, range_join_balance_tiers, streaming_windowed_counts —
-# all locally oracle-green; they rotate to the front next round.
-# Registration order in this file is unchanged — only dict key order is
-# rewritten.
+# additions (line_dedup_docs, bloom_decontaminate, global_shuffle_shards)
+# a 50-capped gate leaves eight oracle-paired queries past the window
+# (embedding_quantize_int8, semantic_dedup_embeddings, neardup_clusters,
+# range_join_balance_tiers, streaming_windowed_counts, doc_embeddings,
+# semantic_search_pipeline, media_decode) — all locally oracle-green; they
+# rotate to the front next round. Registration order in this file is
+# unchanged — only dict key order is rewritten.
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [

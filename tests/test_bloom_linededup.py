@@ -103,3 +103,29 @@ def test_segment_dedup_junk_inputs(spark):
     for i in (1, 2, 3):
         assert out[i].clean_text == "" and out[i].n_kept == 0 and out[i].n_dropped == 0
     assert out[4].clean_text == "one two" and out[4].n_kept == 1
+
+
+def test_shuffle_shards_deterministic_and_partition_invariant(spark, tmp_path):
+    """Same (key, seed) → same (shard, pos) regardless of input partitioning;
+    positions are contiguous 1..n within each shard; the shard-partitioned
+    write round-trips in position order."""
+    from bytesme_etl_batch_pipeline_spark.operators.sampling import shuffle_shards
+
+    base = spark.range(0, 1000).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    a = shuffle_shards(base, "doc_id", n_shards=4).collect()
+    b = shuffle_shards(base.repartition(13), "doc_id", n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    out = str(tmp_path / "shards")
+    df = shuffle_shards(base, "doc_id", n_shards=4)
+    df.repartition(4, "shard").sortWithinPartitions("pos").write.partitionBy(
+        "shard"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000 and back.select("shard").distinct().count() == 4
