@@ -74,3 +74,65 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_jdbc_exactly_once(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    batch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+    staging_suffix: str = "_staging",
+) -> None:
+    """Publish-by-swap sink: plain JDBC ``append`` is at-least-once (a task
+    retry re-sends its batch, a job retry re-sends everything), which is how
+    duplicate rows land in warehouse tables. This variant writes the WHOLE
+    result to a staging table first (overwrite — restartable at any point,
+    retries only ever rewrite staging), then publishes it with a
+    rename-swap so readers switch from the old table to the new one in a
+    single catalog operation.
+
+    The rename step is one statement per table on a single driver-side
+    connection — effectively atomic for readers that open transactions
+    after the swap; engines with transactional DDL (PostgreSQL) can wrap
+    both renames in one transaction for full atomicity. Derby (the test
+    engine) supports RENAME TABLE but not transactional DDL, so the test
+    asserts the end state, not the intermediate.
+    """
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(f"unqualified simple table name required, got {table!r}")
+    staging = f"{table}{staging_suffix}"
+    retired = f"{table}_retired"
+
+    write_jdbc(
+        df, url, staging, mode="overwrite", batch_size=batch_size, properties=properties
+    )
+
+    # Driver-side publish via the JVM's DriverManager (the same classloader
+    # Spark's JDBC writer uses, so no extra client library is needed).
+    jvm = df.sparkSession._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        meta = conn.getMetaData()
+
+        def exists(name: str) -> bool:
+            rs = meta.getTables(None, None, name.upper(), None)
+            try:
+                return rs.next()
+            finally:
+                rs.close()
+
+        if exists(retired):
+            stmt.executeUpdate(f"DROP TABLE {retired}")
+        if exists(table):
+            stmt.executeUpdate(f"RENAME TABLE {table} TO {retired}")
+        stmt.executeUpdate(f"RENAME TABLE {staging} TO {table}")
+        if exists(retired):
+            stmt.executeUpdate(f"DROP TABLE {retired}")
+        stmt.close()
+    finally:
+        conn.close()

@@ -74,3 +74,35 @@ def test_vector_sink_shape(spark, sf_dir, tmp_path):
     sample = back.filter(F.col("vec_id") == 0).collect()[0]["embedding_text"]
     assert sample.startswith("[") and sample.endswith("]")
     assert len(sample.split(",")) == 64
+
+
+def test_exactly_once_publish_swap(spark, tmp_path):
+    """Repeated publishes replace (never duplicate) the table contents, and
+    a stale staging table from a dead run is simply overwritten — the
+    restartability plain append lacks."""
+    from bytesme_etl_batch_pipeline_spark.sources.jdbc import write_jdbc_exactly_once
+
+    url = _url(tmp_path, "eo")
+    v1 = spark.range(0, 100).select(F.col("id"), F.lit("v1").alias("ver"))
+    write_jdbc_exactly_once(v1, url, "t_eo", batch_size=10, properties=DRIVER)
+    back = read_jdbc(spark, url, "t_eo", properties=DRIVER)
+    assert back.count() == 100
+    assert {r["ver"] for r in back.select("ver").distinct().collect()} == {"v1"}
+
+    # simulate a dead run that left staging behind
+    junk = spark.range(0, 5).select(F.col("id"), F.lit("junk").alias("ver"))
+    write_jdbc(junk, url, "t_eo_staging", mode="overwrite", properties=DRIVER)
+
+    v2 = spark.range(0, 60).select(F.col("id"), F.lit("v2").alias("ver"))
+    write_jdbc_exactly_once(v2, url, "t_eo", batch_size=10, properties=DRIVER)
+    back = read_jdbc(spark, url, "t_eo", properties=DRIVER)
+    assert back.count() == 60  # replaced, not 100+60 appended
+    assert {r["ver"] for r in back.select("ver").distinct().collect()} == {"v2"}
+
+
+def test_exactly_once_rejects_qualified_names(spark, tmp_path):
+    from bytesme_etl_batch_pipeline_spark.sources.jdbc import write_jdbc_exactly_once
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        write_jdbc_exactly_once(df, _url(tmp_path, "x"), "bad.name", properties=DRIVER)
