@@ -66,16 +66,32 @@ def build_bloom(
     df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
 ) -> BloomFilter:
     """Build the filter over ``df[col]`` distributed: hash JVM-side
-    (``xxhash64``), set bits per partition, OR-merge bitsets driver-ward in a
-    tree. Result size is m/8 bytes regardless of row count."""
+    (``xxhash64``), set bits per partition in an Arrow-batched
+    ``mapInPandas`` stage (one packed bitset row per partition), OR-merge
+    the ≤``max_merge`` bitsets on the driver. Result size is m/8 bytes
+    regardless of row count.
+
+    The Arrow path (not an RDD ``mapPartitions``) matters twice: no
+    row-at-a-time pickle of the hash column, and it reuses the pandas-UDF
+    worker pool every other Python stage already warmed. ``coalesce`` caps
+    how many bitsets the driver collects — at m = 10M items / 1% fpp
+    (≈12 MB) and 64 merge partitions that is a ≤768 MB transient, the
+    documented ceiling; beyond that, raise fpp or shard the filter."""
     n_bits, n_hashes = _sizing(expected_items, fpp)
     n_words = n_bits // 64
+    max_merge = 64
     hashes = df.select(F.xxhash64(F.col(col)).alias("h"))
+    if hashes.rdd.getNumPartitions() > max_merge:
+        hashes = hashes.coalesce(max_merge)
 
-    def set_bits(rows):
+    def set_bits(batches):
         bits = np.zeros(n_words, dtype=np.uint64)
-        h = np.fromiter((r.h for r in rows), dtype=np.int64).view(np.uint64)
-        if len(h):
+        saw = False
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            if not len(h):
+                continue
+            saw = True
             h1 = h & np.uint64(0xFFFFFFFF)
             h2 = (h >> np.uint64(32)) | np.uint64(1)
             m = np.uint64(n_bits)
@@ -86,13 +102,14 @@ def build_bloom(
                     (idx >> np.uint64(6)).astype(np.int64),
                     np.uint64(1) << (idx & np.uint64(63)),
                 )
-        yield bits
+        if saw:
+            import pandas as pd
 
-    # treeAggregate (not treeReduce): a zero bitset makes the empty-input
-    # filter well-defined instead of raising on an empty RDD
-    merged = hashes.rdd.mapPartitions(set_bits).treeAggregate(
-        np.zeros(n_words, dtype=np.uint64), np.bitwise_or, np.bitwise_or, depth=2
-    )
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for row in hashes.mapInPandas(set_bits, schema="bits binary").collect():
+        merged |= np.frombuffer(row.bits, dtype=np.uint64)
     return BloomFilter(bits=merged, n_bits=n_bits, n_hashes=n_hashes)
 
 
