@@ -3829,6 +3829,59 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_logprob_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM counts),
+    scored AS (
+      SELECT tok.doc_id, ln(CAST(cnt AS DOUBLE) / n) AS lp
+      FROM tok JOIN counts USING (token) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(sum(lp) / count(*), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           a.avg_logprob,
+           coalesce(a.avg_logprob > -6.0, FALSE) AS kept
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (engine extension): per-doc mean token
+    log-probability under the corpus's own unigram distribution — the
+    CCNet-style cheap LM proxy that flags gibberish/outlier docs before
+    expensive filtering. Shape: one vocab-sized count aggregation, a
+    token→count join (vocab ≪ corpus → AQE broadcasts it at scale), one
+    per-doc aggregation. Empty docs keep a NULL score and are not kept."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("n"))
+    scored = tok.join(counts, "token").crossJoin(F.broadcast(total))
+    lp = F.log(F.col("cnt").cast("double") / F.col("n"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("avg_logprob"),
+            F.coalesce(F.col("avg_logprob") > -6.0, F.lit(False)).alias("kept"),
+        )
+    )
+
+
+@register(
     "global_shuffle_shards",
     oracle=f"""
     WITH k AS (

@@ -100,6 +100,8 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         # the empty eval slice must decontaminate nothing
         "line_dedup_docs",
         "bloom_decontaminate",
+        # NULL/empty docs: NULL avg_logprob, kept=false, no div-by-zero
+        "unigram_logprob_quality",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
