@@ -67,7 +67,9 @@ from .sampling import (  # noqa: F401
 )
 from .textops import (  # noqa: F401
     fingerprint,
+    fold_accents,
     lang_id,
+    normalize_unicode,
     quality_features,
     simhash,
     token_count_regex,

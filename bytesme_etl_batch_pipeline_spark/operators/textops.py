@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 # Distinctive stopwords per language, ordered — order is the deterministic
 # tie-break for argmax (first max wins).
@@ -207,3 +208,45 @@ def winnow_fingerprints(
         .withColumn("__mins", mins)
         .select(*id_cols, F.explode(F.array_distinct(F.col("__mins"))).alias("fingerprint"))
     )
+
+
+# Combining-mark blocks removed by accent folding (covers Latin/Vietnamese
+# diacritics: U+0300-036F is where all Vietnamese tone/vowel marks live).
+_COMBINING_BLOCKS = (
+    "\u0300-\u036f\u1ab0-\u1aff\u1dc0-\u1dff\u20d0-\u20ff\ufe20-\ufe2f"
+)
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the ingest hygiene step
+    for Vietnamese text, where composed vs decomposed diacritics make equal
+    strings compare unequal (and dedup digests diverge). Vectorized pandas
+    ``str.normalize`` (same unicodedata standard DuckDB's utf8proc
+    implements, so the oracle's ``nfc_normalize`` matches byte-for-byte).
+    NULL passes through."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = F.col(col) if isinstance(col, str) else col
+    # explicit returnType/functionType: string type hints under
+    # ``from __future__ import annotations`` break pandas_udf inference
+    _norm = pandas_udf(
+        lambda s: s.str.normalize(form), StringType(), PandasUDFType.SCALAR
+    )
+    return _norm(c)
+
+
+def fold_accents(col: Column | str) -> Column:
+    """Accent folding for search keys: NFD-decompose, strip combining marks
+    (đ/Đ stay — they are letters, not accents — matching DuckDB's
+    ``strip_accents``). 'cà phê sữa đá' → 'ca phe sua đa'."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = F.col(col) if isinstance(col, str) else col
+    _fold = pandas_udf(
+        lambda s: s.str.normalize("NFD").str.replace(
+            f"[{_COMBINING_BLOCKS}]", "", regex=True
+        ),
+        StringType(),
+        PandasUDFType.SCALAR,
+    )
+    return _fold(c)

@@ -3829,6 +3829,37 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unicode_normalize_docs",
+    # DuckDB's nfc_normalize/strip_accents (utf8proc) implement the same
+    # Unicode standard as pandas' str.normalize (unicodedata) — verified
+    # byte-identical on Vietnamese/Latin edge cases incl. đ (a letter, kept
+    # by both) and NFKC-only forms (untouched by both).
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(text) AS text_nfc,
+           strip_accents(text) AS text_folded,
+           text IS DISTINCT FROM nfc_normalize(text) AS changed
+    FROM documents
+    """,
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode ingest hygiene (engine extension): NFC normalization (composed
+    vs decomposed Vietnamese diacritics hash differently — dedup digests and
+    equality joins silently diverge without this) + accent folding for search
+    keys. Arrow-vectorized pandas ops; see ``textops.normalize_unicode``."""
+    from ..operators.textops import fold_accents, normalize_unicode
+
+    d = load_table(spark, sf_dir, "documents")
+    nfc = normalize_unicode(F.col("text"), "NFC")
+    return d.select(
+        "doc_id",
+        nfc.alias("text_nfc"),
+        fold_accents(F.col("text")).alias("text_folded"),
+        (~F.col("text").eqNullSafe(nfc)).alias("changed"),
+    )
+
+
+@register(
     "unigram_logprob_quality",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents),

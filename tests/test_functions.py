@@ -286,3 +286,36 @@ def test_parse_unit_price_udtf_tolerant(spark):
         (6, "M", 20),
         (6, "S", 10),
     ]
+
+
+def test_unicode_normalize_and_fold(spark):
+    """NFC composes decomposed Vietnamese diacritics (equality and digests
+    align after normalization); accent folding strips tone marks but keeps
+    the letter đ; NULL passes through both."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.textops import (
+        fold_accents,
+        normalize_unicode,
+    )
+
+    composed = "Bánh tiệc sinh nhật"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed  # the very bug the operator fixes
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "cà phê sữa đá"), (4, None)],
+        "i long, t string",
+    )
+    out = {
+        r.i: r
+        for r in df.select(
+            "i",
+            normalize_unicode(F.col("t")).alias("nfc"),
+            fold_accents(F.col("t")).alias("folded"),
+        ).collect()
+    }
+    assert out[1].nfc == out[2].nfc == composed  # forms converge under NFC
+    assert out[3].folded == "ca phe sua đa"  # tones stripped, đ kept
+    assert out[4].nfc is None and out[4].folded is None
