@@ -141,3 +141,20 @@ def compact_parquet(
         if _os.path.isfile(f)
     ]
     return len(out)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — second columnar landing format (Hive-ecosystem targets);
+    same partitioned layout contract as ``write_parquet``."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning apply as with
+    parquet (Spark's native vectorized ORC reader)."""
+    return spark.read.orc(path)

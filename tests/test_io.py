@@ -174,3 +174,25 @@ def test_read_csv_corrupt_capture_and_stable_row_pos(spark, tmp_path):
     assert rows[0]["_bad"] is None and rows[0]["id"] == 1
     assert rows[1]["id"] is None and "not_a_number" in rows[1]["_bad"]
     assert rows[2]["n"] == 30
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip: schema + values survive; partition pruning applies on
+    the partition column and predicates reach the ORC scan."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_orc, write_orc
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+
+    back = read_orc(spark, path)
+    assert back.count() == 500
+    assert set(back.columns) == set(orders.columns)
+
+    pruned = back.filter(back["o_orderstatus"] == "F").filter(back["o_custkey"] > 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_custkey" in plan  # predicate reaches scan
+    got = pruned.count()
+    want = orders.filter("o_orderstatus = 'F' and o_custkey > 0").count()
+    assert got == want
