@@ -3829,6 +3829,61 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_quality_gate",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             len({_DUCK_WORDS}) AS n_words,
+             CASE WHEN length(text) > 0 THEN
+               round(length(regexp_replace(text, '[^.!?,;]', '', 'g'))
+                     / length(text), 6) END AS punct_ratio,
+             CASE WHEN len({_DUCK_WORDS}) > 0 THEN
+               round(len(list_filter({_DUCK_WORDS}, w -> list_contains({_DUCK_EN_STOP}, w)))
+                     / len({_DUCK_WORDS}), 6) END AS stop_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CASE WHEN n_words = 0 OR n_chars = 0 THEN 0.0 ELSE
+               round(least(1.0, n_words / 100.0) * 0.4
+                     + (1.0 - punct_ratio) * 0.3
+                     + stop_ratio * 0.3, 6) END AS quality_score
+      FROM feats
+    )
+    SELECT doc_id, source, quality_score,
+           round(percent_rank() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id), 6) AS pctile,
+           percent_rank() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id) <= 0.3 AS kept
+    FROM scored
+    """,
+)
+def q_percentile_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile quality gate (engine extension): keep the top
+    30% of each source by composite quality score — the curation policy
+    that adapts to per-source score distributions instead of one global
+    threshold (a fixed cutoff keeps junk from clean sources and drops good
+    docs from noisy ones). One window shuffle on source; ties break on
+    doc_id so the gate is deterministic."""
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features(d, "text", ["doc_id", "source"])
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    pr = F.percent_rank().over(w)
+    return feats.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.round(pr, 6).alias("pctile"),
+        (pr <= 0.3).alias("kept"),
+    )
+
+
+@register(
     "unicode_normalize_docs",
     # DuckDB's nfc_normalize/strip_accents (utf8proc) implement the same
     # Unicode standard as pandas' str.normalize (unicodedata) — verified
