@@ -103,12 +103,21 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_parquet(
-    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
-    """Columnar sink — the engine's preferred landing format at scale."""
+    """Columnar sink — the engine's preferred landing format at scale.
+    ``compression``: zstd is the 100 TB default trade (parquet's snappy
+    default costs ~30-40% more storage/scan bytes for little CPU win on
+    modern cores); pass None to keep the session default."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
     writer.parquet(path)
 
 

@@ -196,3 +196,36 @@ def test_orc_roundtrip_partitioned_with_pushdown(spark, sf_dir, tmp_path):
     got = pruned.count()
     want = orders.filter("o_orderstatus = 'F' and o_custkey > 0").count()
     assert got == want
+
+
+def test_parquet_zstd_compression_codec(spark, tmp_path):
+    """The compression knob reaches the files: footers report ZSTD and the
+    payload shrinks versus uncompressed."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import write_parquet
+
+    df = spark.range(0, 20000).selectExpr(
+        "id", "repeat(concat('v', cast(id % 7 as string)), 20) AS payload"
+    )
+    zstd_path = str(tmp_path / "zstd")
+    raw_path = str(tmp_path / "raw")
+    write_parquet(df, zstd_path, compression="zstd")
+    write_parquet(df, raw_path, compression="uncompressed")
+
+    part = glob.glob(os.path.join(zstd_path, "*.parquet"))[0]
+    meta = pq.ParquetFile(part).metadata
+    codecs = {
+        meta.row_group(i).column(j).compression
+        for i in range(meta.num_row_groups)
+        for j in range(meta.num_columns)
+    }
+    assert codecs == {"ZSTD"}
+
+    size = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+    )
+    assert size(zstd_path) < size(raw_path)
