@@ -120,3 +120,42 @@ def register_parse_unit_price_udtf(spark) -> None:
         "parse_unit_price_udtf",
         udtf(ParseUnitPriceUDTF, returnType="size string, price bigint"),
     )
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization for crawl dedup — the same page arrives as
+    ``HTTP://Host.com:80/p/1/?utm_source=x#top`` and ``http://host.com/p/1``
+    and must hash equal before exact/near dedup sees it. Pure expressions
+    (codegen'd, no Python): lowercase scheme+host, strip default ports
+    (80/http, 443/https), drop the fragment, remove tracking params
+    (``utm_*``, ``fbclid``, ``gclid``), trim a trailing slash (root path
+    becomes ``/``). Non-URL strings (no ``scheme://``) fall back to
+    lower(trim(x)); NULL passes through.
+    """
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$", 1)
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    )
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    path = F.regexp_replace(path, "/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"),
+    )
+    qs = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", F.lower(u)).otherwise(canon)

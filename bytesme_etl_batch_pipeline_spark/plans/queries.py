@@ -3829,6 +3829,145 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_canonical_dedup",
+    # The oracle re-synthesizes the same messy URLs from events and replays
+    # the canonicalization with DuckDB's regex/list functions — one grouped
+    # dedup report per canonical URL.
+    oracle=r"""
+    WITH raw AS (
+      SELECT event_id,
+        'HTTP://Shop' || CAST(user_id % 20 AS VARCHAR) || '.Example.COM:80/p/'
+        || CAST(event_id % 100 AS VARCHAR)
+        || CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END
+        || CASE WHEN event_id % 4 = 0 THEN '?utm_source=x&id=' || CAST(event_id % 50 AS VARCHAR)
+                WHEN event_id % 5 = 0 THEN '?id=' || CAST(event_id % 50 AS VARCHAR) || '&utm_campaign=y'
+                ELSE '' END
+        || CASE WHEN event_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+      FROM events
+    ),
+    parts AS (
+      SELECT event_id,
+             regexp_replace(url, '#.*$', '') AS nf,
+             lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+               '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme
+      FROM raw
+    ),
+    comp AS (
+      SELECT event_id, scheme,
+             CASE WHEN scheme = 'http'
+                  THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)), ':80$', '')
+                  WHEN scheme = 'https'
+                  THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)), ':443$', '')
+                  ELSE lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) END AS host,
+             regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$', 1) AS rest
+      FROM parts
+    ),
+    canon AS (
+      SELECT event_id, scheme, host,
+             CASE WHEN regexp_replace(regexp_replace(rest, '\?.*$', ''), '/$', '') = ''
+                  THEN '/' ELSE regexp_replace(regexp_replace(rest, '\?.*$', ''), '/$', '') END AS path,
+             array_to_string(list_filter(
+               string_split(CASE WHEN contains(rest, '?')
+                                 THEN regexp_replace(rest, '^[^?]*\?', '')
+                                 ELSE '' END, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)')
+             ), '&') AS qs
+      FROM comp
+    ),
+    cu AS (
+      SELECT event_id,
+             scheme || '://' || host || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url
+      FROM canon
+    )
+    SELECT url, CAST(count(*) AS BIGINT) AS n, min(event_id) AS first_id
+    FROM cu GROUP BY url
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL dedup (engine extension): messy synthesized URLs (mixed
+    case, default ports, trailing slashes, utm params, fragments) →
+    ``canonicalize_url`` → grouped dedup report (canonical url, count,
+    first event). The canonicalization is pure codegen'd expressions —
+    map-side; the only shuffle is the final group-by on the canonical key."""
+    from ..functions.strings import canonicalize_url
+
+    e = load_table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    raw = F.concat(
+        F.lit("HTTP://Shop"), (uid % 20).cast("string"),
+        F.lit(".Example.COM:80/p/"), (eid % 100).cast("string"),
+        F.when(eid % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(eid % 4 == 0, F.concat(F.lit("?utm_source=x&id="), (eid % 50).cast("string")))
+        .when(eid % 5 == 0, F.concat(F.lit("?id="), (eid % 50).cast("string"), F.lit("&utm_campaign=y")))
+        .otherwise(F.lit("")),
+        F.when(eid % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    with_canon = e.select("event_id", canonicalize_url(raw).alias("url"))
+    return with_canon.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("event_id").alias("first_id"),
+    )
+
+
+@register(
+    "sql_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             o.o_orderpriority AS priority,
+             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, o.o_orderpriority
+    ),
+    tot AS (SELECT nation, sum(revenue) AS nation_rev FROM rev GROUP BY nation)
+    SELECT r.nation, r.priority,
+           round(r.revenue, 2) AS revenue,
+           round(r.revenue / t.nation_rev, 6) AS share
+    FROM rev r JOIN tot t USING (nation)
+    """,
+)
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through its SQL face: a multi-CTE revenue-share query
+    written as a SQL string with DataFrame args (``spark.sql(..., df=...)``
+    — no temp-view session-state side effects). Catalyst compiles this and
+    the DataFrame API to the same plans: broadcast dims, partial aggs,
+    decimal-exact revenue. TPC-H-flavored 4-table join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT /*+ BROADCAST(c), BROADCAST(n) */
+                 n.n_name AS nation,
+                 o.o_orderpriority AS priority,
+                 CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue
+          FROM {li} l
+          JOIN {o} o ON l.l_orderkey = o.o_orderkey
+          JOIN {c} c ON o.o_custkey = c.c_custkey
+          JOIN {n} n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name, o.o_orderpriority
+        )
+        SELECT nation, priority,
+               round(revenue, 2) AS revenue,
+               round(revenue / sum(revenue) OVER (PARTITION BY nation), 6) AS share
+        FROM rev
+        """,
+        li=li,
+        o=o,
+        c=c,
+        n=n,
+    )
+
+
+@register(
     "percentile_quality_gate",
     oracle=f"""
     WITH feats AS (

@@ -319,3 +319,22 @@ def test_unicode_normalize_and_fold(spark):
     assert out[1].nfc == out[2].nfc == composed  # forms converge under NFC
     assert out[3].folded == "ca phe sua đa"  # tones stripped, đ kept
     assert out[4].nfc is None and out[4].folded is None
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from bytesme_etl_batch_pipeline_spark.functions.strings import canonicalize_url
+
+    cases = [
+        ("HTTP://Host.COM:80/p/1/?utm_source=x#top", "http://host.com/p/1"),
+        ("https://a.b:443/", "https://a.b/"),
+        ("https://a.b:8443/x", "https://a.b:8443/x"),  # non-default port kept
+        ("http://h/p?id=3&utm_campaign=c&fbclid=z", "http://h/p?id=3"),
+        ("http://h/p?utm_only=1", "http://h/p"),  # all params stripped → no '?'
+        ("http://H/", "http://h/"),
+        ("not a url", "not a url"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r.i: r.c for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
