@@ -4145,14 +4145,15 @@ def q_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slots (cheapest first, per BENCH_DETAIL sf0.01 timings), followed by the
 # 5 no-oracle queries (their driver row is rows-only — weaker signal),
 # then the 50 queries already driver-green in round 1. Queries added later
-# (absent from _CATALOG_ORDER) are newest → front, so with the third-wave
-# additions (line_dedup_docs, bloom_decontaminate, global_shuffle_shards)
-# a 50-capped gate leaves eight oracle-paired queries past the window
-# (embedding_quantize_int8, semantic_dedup_embeddings, neardup_clusters,
-# range_join_balance_tiers, streaming_windowed_counts, doc_embeddings,
-# semantic_search_pipeline, media_decode) — all locally oracle-green; they
-# rotate to the front next round. Registration order in this file is
-# unchanged — only dict key order is rewritten.
+# (absent from _CATALOG_ORDER) are newest → front; with the eight
+# round-2 third-wave additions (line_dedup_docs, bloom_decontaminate,
+# url_canonical_dedup, sql_market_share, percentile_quality_gate,
+# unicode_normalize_docs, unigram_logprob_quality, global_shuffle_shards)
+# a 50-capped gate leaves 15 queries past the window (join_skew_report
+# through media_decode — the tail of the unverified block — plus the two
+# no-oracle sketches); all are locally oracle- or rows-verified and rotate
+# to the front next round. Registration order in this file is unchanged —
+# only dict key order is rewritten.
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
