@@ -3829,6 +3829,47 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_total_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS INT) AS bucket
+      FROM orders
+    ),
+    grid AS (SELECT CAST(unnest(range(10)) AS INT) AS bucket)
+    SELECT g.bucket,
+           round(g.bucket * 60000.0, 1) AS lo,
+           round((g.bucket + 1) * 60000.0, 1) AS hi,
+           CAST(coalesce(count(b.bucket), 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN b USING (bucket)
+    GROUP BY g.bucket ORDER BY g.bucket
+    """,
+)
+def q_order_total_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (10 × 60k buckets, top bucket
+    clamps the tail): the distribution-profiling primitive behind quality
+    dashboards and skew diagnosis. Map-side bucket assignment + one 10-group
+    aggregate; the empty-bucket spine is a broadcast of 10 literal rows, so
+    the result shape is stable even when a bucket has no orders."""
+    o = load_table(spark, sf_dir, "orders")
+    width = 60000.0
+    bucket = F.least(F.floor(F.col("o_totalprice") / width), F.lit(9)).cast("int")
+    counts = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * width, 1).alias("lo"),
+            F.round((F.col("bucket") + 1) * width, 1).alias("hi"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "url_canonical_dedup",
     # The oracle re-synthesizes the same messy URLs from events and replays
     # the canonicalization with DuckDB's regex/list functions — one grouped

@@ -72,4 +72,11 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Python DataSource formats ship registered (idempotent) so
+    # spark.read.format("bytesme_pages") / readStream.format(
+    # "bytesme_event_replay") work out of the box on engine sessions.
+    from .sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    return spark
