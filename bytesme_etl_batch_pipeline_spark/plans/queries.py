@@ -3829,6 +3829,57 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "next_day_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    ret AS (
+      SELECT a.day,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(count(b.user_id) AS BIGINT) AS n_retained
+      FROM active a
+      LEFT JOIN active b
+        ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+      GROUP BY a.day
+    )
+    SELECT day, n_active, n_retained,
+           round(CAST(n_retained AS DOUBLE) / n_active, 6) AS retention
+    FROM ret
+    """,
+)
+def q_next_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day cohort retention (engine extension): of the users active on
+    day D, the share also active on D+1 — the canonical product-analytics
+    rollup. One distinct (user, day) pass, then a self-join on
+    (user, day+1): both sides hash-partition on user_id, so the join
+    co-locates; the per-day aggregate is day-cardinality sized."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    nxt = active.select("user_id", F.date_sub("day", 1).alias("day"))
+    ret = (
+        active.join(
+            nxt.withColumn("retained", F.lit(1)),
+            ["user_id", "day"],
+            "left",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.coalesce("retained", F.lit(0))).cast("long").alias("n_retained"),
+        )
+    )
+    return ret.select(
+        "day",
+        "n_active",
+        "n_retained",
+        F.round(F.col("n_retained").cast("double") / F.col("n_active"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+@register(
     "order_total_histogram",
     oracle="""
     WITH b AS (
