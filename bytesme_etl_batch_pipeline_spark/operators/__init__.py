@@ -64,6 +64,7 @@ from .sampling import (  # noqa: F401
     shuffle_shards,
     stratified_sample,
     train_val_test_split,
+    weighted_sample,
 )
 from .textops import (  # noqa: F401
     fingerprint,

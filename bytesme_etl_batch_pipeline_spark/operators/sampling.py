@@ -126,3 +126,34 @@ def shuffle_shards(
     )
     w = Window.partitionBy("shard").orderBy("ord48", key_col)
     return with_key.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: int | str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws a deterministic exponential key ``-ln(u)/w`` from its
+    hash uniform; the n smallest keys are the sample, with inclusion
+    probability proportional to weight. Deterministic under any
+    partitioning (u is a pure function of the row key), and distributed:
+    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject — per-partition
+    heaps of size n, no global sort. Non-positive/NULL weights are excluded
+    (their exponential key is undefined).
+
+    The training-data use: sample a fixed-size mixture where weight encodes
+    quality/length/source priority — reproducibly, so reruns and backfills
+    draw the identical corpus slice.
+    """
+    u = hash_uniform(F.col(key_col), seed)
+    w = F.col(weight_col).cast("double")
+    es_key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("es_key", F.round(es_key, 6))
+        .orderBy(es_key.asc(), F.col(key_col))
+        .limit(n)
+    )

@@ -3829,6 +3829,31 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             {_duck_hash48("concat('wsample|', CAST(doc_id AS VARCHAR))")}
+               / 281474976710656.0 AS uv
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(-ln(uv) / n_chars, 6) AS es_key
+    FROM u
+    ORDER BY -ln(uv) / n_chars, doc_id
+    LIMIT 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES) — 50 docs
+    with inclusion probability ∝ length. See ``sampling.weighted_sample``;
+    the plan is TakeOrderedAndProject, never a global sort."""
+    from ..operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", n=50, seed="wsample")
+
+
+@register(
     "next_day_retention",
     oracle="""
     WITH active AS (
