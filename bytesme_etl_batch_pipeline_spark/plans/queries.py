@@ -3829,6 +3829,56 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs: parts appearing in the same order,
+    counted across orders, top 20. The self-join is BLOCKED by the order
+    key (equi-join, never all-pairs) and pair width is bounded by basket
+    size — at 100 TB the shuffle is |lineitem| on orderkey and pair
+    generation stays per-order local. TakeOrderedAndProject for the top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # One shuffle on the order key builds each basket; pairs expand INSIDE
+    # the array expression (map-side after the agg) instead of a self-join —
+    # two exchanges total instead of the join shape's ~9.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    s = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + 2, F.greatest(F.size(s) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b").limit(20)
+
+
+@register(
     "weighted_sample_docs",
     oracle=f"""
     WITH u AS (
