@@ -107,6 +107,8 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "unicode_normalize_docs",
         # junk docs score 0.0 and rank at the bottom of their source
         "percentile_quality_gate",
+        # NULL/zero-weight docs are excluded, never a division error
+        "weighted_sample_docs",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
