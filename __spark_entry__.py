@@ -6,8 +6,8 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``bytesme_etl_batch_pipeline_spark``; this module is
-a thin adapter over its query catalog (``plans/queries.py``: 119 named
-queries, 116 with DuckDB oracle twins). COVERAGE.md maps every SURVEY §2
+a thin adapter over its query catalog (``plans/queries.py``: 120 named
+queries, 117 with DuckDB oracle twins). COVERAGE.md maps every SURVEY §2
 operator to its implementation, catalog query, and test. The catalog
 self-heals foreign SparkSessions (nanos-parquet + UTC confs are set at the
 table loader), so any session the driver provides works.

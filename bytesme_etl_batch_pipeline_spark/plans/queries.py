@@ -3829,6 +3829,43 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-family: orders with at least one lineitem shipping >90 days
+    after the order date, counted per priority — exercises the
+    correlated-EXISTS surface (the correlation touches an OUTER column
+    inside the subquery), which Catalyst rewrites to a left-semi hash join
+    (no nested-loop; bounded exchanges, enforced by the catalog plan lint)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM {o} o
+        WHERE EXISTS (
+          SELECT 1 FROM {li} l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > date_add(o.o_orderdate, 90)
+        )
+        GROUP BY o.o_orderpriority
+        """,
+        o=o,
+        li=li,
+    )
+
+
+@register(
     "copurchase_pairs",
     oracle="""
     WITH items AS (
