@@ -69,6 +69,7 @@ def run_pipeline(
     inputs: dict[str, DataFrame],
     stage_names: list[str],
     sink: Callable[[str, DataFrame], None] | None = None,
+    on_error: Callable[[str, str], None] | None = None,
 ) -> tuple[dict[str, DataFrame], PipelineReport]:
     """Apply the configured stages to each input with per-input isolation
     (reference ``pipeline.py:94-111``): one input failing does not stop the
@@ -76,6 +77,12 @@ def run_pipeline(
 
     Stages compose lazily — the only actions are the sink (or a count when
     no sink is given, mirroring the reference's per-file summary).
+
+    ``on_error(input_name, message)`` is the injectable alert hook — the
+    engine twin of the reference's Discord-webhook-on-error
+    (``utils/helpers.py:11-22``): production wires a webhook/pager client,
+    tests inject a recorder; a notifier that itself raises is swallowed so
+    alerting failures can never mask the original error.
     """
     report = PipelineReport()
     outputs: dict[str, DataFrame] = {}
@@ -102,6 +109,11 @@ def run_pipeline(
                     name, "error", stage_names, None, time.perf_counter() - t0, str(e)
                 )
             )
+            if on_error is not None:
+                try:
+                    on_error(name, str(e))
+                except Exception:
+                    pass  # alerting must never mask the pipeline error
     return outputs, report
 
 

@@ -143,6 +143,30 @@ def test_run_pipeline_isolation_and_report(spark):
     assert "unknown stage" in report3.results[0].error
 
 
+def test_run_pipeline_on_error_hook(spark):
+    """The injectable alert hook (the reference's webhook-on-error twin)
+    fires once per failed input, and a notifier that itself raises never
+    masks the pipeline's own error accounting."""
+    @register_stage("boom2")
+    def boom2(df):
+        raise RuntimeError("kaboom")
+
+    ok = spark.createDataFrame([(1,)], ["v"])
+    alerts = []
+    _, report = run_pipeline(
+        {"x": ok, "y": ok}, ["boom2"], on_error=lambda n, m: alerts.append((n, m))
+    )
+    assert report.n_error == 2
+    assert sorted(n for n, _ in alerts) == ["x", "y"]
+    assert all("kaboom" in m for _, m in alerts)
+
+    def bad_notifier(n, m):
+        raise OSError("webhook down")
+
+    _, report2 = run_pipeline({"x": ok}, ["boom2"], on_error=bad_notifier)
+    assert report2.n_error == 1  # alerting failure swallowed, error recorded
+
+
 # --- near-dup semantics on planted duplicates --------------------------------
 
 def test_minhash_lsh_finds_planted_neardups(spark):
