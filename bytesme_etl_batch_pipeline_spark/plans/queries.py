@@ -2903,13 +2903,16 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank() OVER w AS rnk,
            dense_rank() OVER w AS drnk,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS prank
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS top_order
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
 def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-function battery: rank, dense_rank, ntile, percent_rank."""
+    """Ranking-function battery: rank, dense_rank, ntile, percent_rank,
+    cume_dist, first_value (each customer's top order)."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return o.select(
@@ -2919,6 +2922,8 @@ def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("top_order"),
     )
 
 
