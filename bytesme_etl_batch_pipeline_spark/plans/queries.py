@@ -2586,11 +2586,11 @@ def q_big_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_counts",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events GROUP BY user_id
     """,
 )
@@ -2738,20 +2738,24 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_ops_battery",
     oracle=f"""
     SELECT doc_id,
-           list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
-                                               w -> w <> ''))) AS vocab,
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                 w -> w <> ''))), ' '), '') AS vocab,
            len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
                                          w -> w <> ''))) AS vocab_size,
-           list_sort(list_filter(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
-                                                           w -> w <> '')),
-                     w -> list_contains({_DUCK_EN_STOP}, w)))
+           coalesce(array_to_string(
+             list_sort(list_filter(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                             w -> w <> '')),
+                       w -> list_contains({_DUCK_EN_STOP}, w))), ' '), '')
              AS stop_hits
     FROM documents
     """,
 )
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function battery: distinct, sort, filter-intersect. Outputs are
-    sorted so cross-engine array ordering is canonical."""
+    sorted so cross-engine array ordering is canonical, then space-joined to
+    a string: the driver's pandas-based comparator cannot hash list cells
+    (round-2 red row), and a joined string carries identical information."""
     from ..operators.textops import LANG_STOPWORDS, words
 
     d = load_table(spark, sf_dir, "documents").withColumn("__ws", words("text"))
@@ -2759,13 +2763,16 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[0][1]])
     return d.select(
         "doc_id",
-        vocab.alias("vocab"),
-        F.size(F.array_distinct(F.col("__ws"))).alias("vocab_size"),
-        F.array_sort(
-            F.filter(
-                F.array_distinct(F.col("__ws")),
-                lambda w: F.array_contains(stop_arr, w),
-            )
+        F.array_join(vocab, " ").alias("vocab"),
+        F.size(F.array_distinct(F.col("__ws"))).cast("long").alias("vocab_size"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.array_distinct(F.col("__ws")),
+                    lambda w: F.array_contains(stop_arr, w),
+                )
+            ),
+            " ",
         ).alias("stop_hits"),
     )
 
@@ -3124,11 +3131,11 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       COUNT(*) AS n_rows,
-      SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
-      SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_quantity,
-      SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
-      SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
-      SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS bad_returnflag,
+      CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+      CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_quantity,
+      CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+      CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+      CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
       COUNT(DISTINCT l_orderkey) AS distinct_orders
     FROM lineitem
     """,
@@ -3159,7 +3166,7 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len({_DUCK_WORDS})) AS total_tokens,
+           CAST(SUM(len({_DUCK_WORDS})) AS BIGINT) AS total_tokens,
            round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
            round(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
            MIN(n_chars) AS min_chars,
@@ -3346,10 +3353,10 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       COUNT(*) AS n_users,
-      SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-      SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS step_click,
-      SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
-               THEN 1 ELSE 0 END) AS step_purchase
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
     FROM steps
     """,
 )
@@ -4343,54 +4350,62 @@ def q_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Catalog iteration order.
+# Catalog iteration order — ROUND 3 rotation.
 #
-# The driver's correctness gate walks ``queries()`` in dict order and (round 1)
-# recorded rows for exactly the first 50 registrations — everything after
-# ``snowflake_facts`` never got a driver-verified row. To convert the
-# remaining operators into hard evidence regardless of whether the gate is
-# capped by count or by wall-clock, the catalog is re-keyed so that the 52
-# oracle-bearing queries with no CORRECTNESS_r01 row occupy the first 52
-# slots (cheapest first, per BENCH_DETAIL sf0.01 timings), followed by the
-# 5 no-oracle queries (their driver row is rows-only — weaker signal),
-# then the 50 queries already driver-green in round 1. Queries added later
-# (absent from _CATALOG_ORDER) are newest → front; with the eight
-# round-2 third-wave additions (line_dedup_docs, bloom_decontaminate,
-# url_canonical_dedup, sql_market_share, percentile_quality_gate,
-# unicode_normalize_docs, unigram_logprob_quality, global_shuffle_shards)
-# a 50-capped gate leaves 15 queries past the window (join_skew_report
-# through media_decode — the tail of the unverified block — plus the two
-# no-oracle sketches); all are locally oracle- or rows-verified and rotate
-# to the front next round. Registration order in this file is unchanged —
-# only dict key order is rewritten.
+# The driver's correctness gate walks ``queries()`` in dict order and records
+# rows for the FIRST 50 entries (count-capped; r01/r02 evidence). After
+# r01 ∪ r02, exactly 20 catalog queries have never had a driver row (the 18
+# oracle-paired below plus the two declared-no-oracle sketches — the audited
+# count, NOT the 15 a stale comment claimed last round), and three more need
+# re-windowing because their evidence predates a semantic change:
+# ``ann_lsh_topk`` / ``ann_ivf_topk`` gained full oracles after their r01
+# ``no_oracle`` rows, and ``rule_cascade_classify``'s ruleset was replaced
+# after its r01 green. The five r02 reds (driver-comparator HUGEINT/list
+# type sensitivity, fixed this round by BIGINT casts / array_to_string in the
+# oracles) also re-enter the window. That is 28 slots; the remaining 22 are
+# intentionally left for round-3 additions, which ``_apply_catalog_order``
+# puts at the very front (new-registrations-first) — KEEP NEW ADDITIONS ≤ 22
+# or explicitly pin them here, or the priority tail falls out of the window.
+# Registration order in this file is unchanged — only dict key order.
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- no CORRECTNESS_r01 row, oracle-paired (51), cheapest first --
+    # -- (1) never driver-checked, oracle-paired (18) --
+    'doc_chunking', 'udtf_unit_price_explode', 'repetition_signals',
+    'simhash_hamming_pairs', 'cdc_apply', 'join_skew_report',
+    'doc_template_vi', 'decontaminate_ngram_overlap', 'neardup_dedup_docs',
+    'heavy_hitter_tokens', 'embedding_quantize_int8',
+    'semantic_dedup_embeddings', 'neardup_clusters',
+    'range_join_balance_tiers', 'streaming_windowed_counts',
+    'doc_embeddings', 'semantic_search_pipeline', 'media_decode',
+    # -- (2) never driver-checked, declared no-oracle (rows-only row) (2) --
+    'approx_percentiles', 'approx_distinct_counts',
+    # -- (3) evidence predates a semantic change (3) --
+    'ann_lsh_topk', 'ann_ivf_topk', 'rule_cascade_classify',
+    # -- (4) r02 reds, oracles fixed this round (5) --
+    'array_ops_battery', 'data_quality_report', 'funnel_conversion',
+    'pivot_event_counts', 'corpus_stats',
+    # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
-    'array_ops_battery', 'data_quality_report', 'fill_forward_props',
+    'fill_forward_props',
     'quantity_percentiles', 'stratified_sample_docs', 'grouped_string_agg',
-    'date_battery', 'stats_moments', 'funnel_conversion',
+    'date_battery', 'stats_moments',
     'trailing_hour_activity', 'left_outer_order_counts', 'grouping_sets_sales',
-    'unpivot_part_metrics', 'pivot_event_counts', 'corpus_stats',
+    'unpivot_part_metrics',
     'scalar_subquery_above_avg', 'asof_join_last_purchase', 'snowflake_children',
     'variant_json_events', 'anomaly_events', 'order_lineitem_revenue',
     'full_outer_nation_presence', 'winnow_fingerprints', 'quality_filter_chain',
     'pii_redact', 'temperature_sample_mix', 'sequence_packing',
     'zorder_layout_key', 'grouped_robust_zscore', 'domain_cap',
-    'tfidf_top_terms', 'doc_chunking', 'udtf_unit_price_explode',
-    'repetition_signals', 'simhash_hamming_pairs', 'cdc_apply',
-    'join_skew_report', 'doc_template_vi', 'decontaminate_ngram_overlap',
-    'neardup_dedup_docs', 'heavy_hitter_tokens', 'embedding_quantize_int8',
-    'semantic_dedup_embeddings', 'neardup_clusters',
-    'range_join_balance_tiers', 'streaming_windowed_counts',
-    'doc_embeddings', 'semantic_search_pipeline', 'media_decode',
-    # -- no CORRECTNESS_r01 row, declared no-oracle / rows-only (2) --
-    'approx_percentiles', 'approx_distinct_counts',
-    # -- driver-green in round 1 (50) --
+    'tfidf_top_terms',
+    'line_dedup_docs', 'bloom_decontaminate', 'late_shipment_priority_counts',
+    'copurchase_pairs', 'weighted_sample_docs', 'next_day_retention',
+    'order_total_histogram', 'url_canonical_dedup', 'sql_market_share',
+    'percentile_quality_gate', 'unicode_normalize_docs',
+    'unigram_logprob_quality', 'global_shuffle_shards',
     'lag_lead_deltas', 'running_total', 'doc_fingerprint', 'stars_beta',
-    'token_stats', 'ratings_exponential', 'rule_cascade_classify',
+    'token_stats', 'ratings_exponential',
     'doc_template', 'doc_quality', 'seeded_enrichment',
     'lang_id', 'nation_set_ops', 'l2_topk',
     'snowflake_dims', 'events_tumbling_window', 'snowflake_facts',
@@ -4403,7 +4418,7 @@ _CATALOG_ORDER = [
     'membership_filter', 'wordcount', 'zip_explode_pairs',
     'cube_sales', 'cosine_topk', 'rollup_sales',
     'exact_dedup_docs', 'sessionization', 'simhash16',
-    'ann_ivf_topk', 'ann_lsh_topk', 'llm_enrich_descriptions',
+    'llm_enrich_descriptions',
     'minhash_signatures', 'embedding_pairs_blocked', 'minhash_lsh_candidates',
     'ngram_jaccard_pairs',
 ]

@@ -42,6 +42,79 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# ---------------------------------------------------------------------------
+# Driver-comparator hash classes.
+#
+# The driver compares results through pandas: HUGEINT (DuckDB int128 from an
+# un-cast integer SUM) and list/struct/map cells either hash differently from
+# Spark's output or are unhashable outright — round 2 had five bit-exact
+# queries graded red for exactly this. Every oracle output column must land
+# in one of these classes, and in the SAME class as the Spark column.
+# ---------------------------------------------------------------------------
+
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "FLOAT": "float", "REAL": "float", "DOUBLE": "float",
+    "BOOLEAN": "bool", "VARCHAR": "str", "DATE": "date", "BLOB": "bytes",
+}
+
+
+def duck_hash_class(type_str: str) -> tuple[str | None, str | None]:
+    """(class, hazard_reason) for a DuckDB output type string."""
+    t = str(type_str).upper()
+    if t in _DUCK_CLASS:
+        return _DUCK_CLASS[t], None
+    if t.startswith("TIMESTAMP"):
+        return "timestamp", None
+    for bad in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        if t == bad:
+            return None, f"{bad} exceeds int64 — driver hash diverges (cast to BIGINT)"
+    if t.startswith("DECIMAL"):
+        # DuckDB's pandas path converts DECIMAL to float64 (verified: r02
+        # driver row for order_total_histogram passed with DECIMAL(16,1)
+        # outputs), so it hashes as float — the Spark side must be double.
+        return "float", None
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return None, f"nested type {t} is unhashable in the driver comparator (array_to_string it)"
+    return None, f"unrecognized DuckDB output type {t}"
+
+
+def spark_hash_class(dt) -> tuple[str | None, str | None]:
+    """(class, hazard_reason) for a Spark DataType."""
+    name = dt.typeName()
+    m = {
+        "byte": "int", "short": "int", "integer": "int", "long": "int",
+        "float": "float", "double": "float", "boolean": "bool",
+        "string": "str", "date": "date", "binary": "bytes",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    }
+    if name in m:
+        return m[name], None
+    if name in ("array", "map", "struct"):
+        return None, f"nested Spark output type {name} is unhashable in the driver comparator"
+    if name == "decimal":
+        return None, "decimal output surfaces as objects — cast to double/long"
+    return None, f"unrecognized Spark output type {name}"
+
+
+def type_report(spark_df, rel) -> dict:
+    """Per-column hash-class comparison between a Spark result and a DuckDB
+    relation (lazy — does not execute the relation)."""
+    s = {f.name: spark_hash_class(f.dataType) for f in spark_df.schema.fields}
+    d = dict(zip(rel.columns, [duck_hash_class(t) for t in rel.types]))
+    hazards = {c: r for c, (cls, r) in s.items() if r} | {
+        c: r for c, (cls, r) in d.items() if r
+    }
+    mismatches = {
+        c: (s[c][0], d[c][0])
+        for c in set(s) & set(d)
+        if s[c][0] and d[c][0] and s[c][0] != d[c][0]
+    }
+    return {"hazards": hazards, "class_mismatches": mismatches,
+            "types_match": not hazards and not mismatches}
+
+
 def _norm_cell(v):
     if v is None:
         return "NULL"
@@ -71,10 +144,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_cols = spark_df.columns
     rel = con.sql(sql)
     d_cols = [c for c in rel.columns]
+    types = type_report(spark_df, rel)
     d_rows = rel.fetchall()
     result = {
         "rows_match": len(s_rows) == len(d_rows),
         "cols_match": sorted(s_cols) == sorted(d_cols),
+        "types_match": types["types_match"],
+        "type_report": types,
         "spark_rows": len(s_rows),
         "duck_rows": len(d_rows),
         "spark_cols": s_cols,
