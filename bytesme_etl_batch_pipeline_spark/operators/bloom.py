@@ -63,26 +63,35 @@ def _sizing(expected_items: int, fpp: float) -> tuple[int, int]:
 
 
 def build_bloom(
-    df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
+    df: DataFrame,
+    col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    max_build_partitions: int = 256,
+    merge_fanout: int = 8,
 ) -> BloomFilter:
     """Build the filter over ``df[col]`` distributed: hash JVM-side
     (``xxhash64``), set bits per partition in an Arrow-batched
-    ``mapInPandas`` stage (one packed bitset row per partition), OR-merge
-    the ≤``max_merge`` bitsets on the driver. Result size is m/8 bytes
-    regardless of row count.
+    ``mapInPandas`` stage (one packed bitset row per partition), then
+    OR-merge the bitsets in an executor-side reduce tree
+    (``merge_fanout``-ary ``reduceByKey`` rounds) and stream the final
+    ≤``merge_fanout`` partials through the driver one at a time. Driver
+    peak is therefore ~2 bitsets (2·m/8 bytes) NO MATTER how many build
+    partitions or items — at 100M items / 1% fpp (m ≈ 120 MB) that is a
+    ~240 MB driver transient where the former flat collect-and-merge grew
+    linearly with partition count. Executor peak per merge task is
+    ``merge_fanout``·m/8.
 
     The Arrow path (not an RDD ``mapPartitions``) matters twice: no
     row-at-a-time pickle of the hash column, and it reuses the pandas-UDF
     worker pool every other Python stage already warmed. ``coalesce`` caps
-    how many bitsets the driver collects — at m = 10M items / 1% fpp
-    (≈12 MB) and 64 merge partitions that is a ≤768 MB transient, the
-    documented ceiling; beyond that, raise fpp or shard the filter."""
+    the number of first-level bitsets so total merge traffic stays at
+    ≤``max_build_partitions``·m/8 across the cluster."""
     n_bits, n_hashes = _sizing(expected_items, fpp)
     n_words = n_bits // 64
-    max_merge = 64
     hashes = df.select(F.xxhash64(F.col(col)).alias("h"))
-    if hashes.rdd.getNumPartitions() > max_merge:
-        hashes = hashes.coalesce(max_merge)
+    if hashes.rdd.getNumPartitions() > max_build_partitions:
+        hashes = hashes.coalesce(max_build_partitions)
 
     def set_bits(batches):
         bits = np.zeros(n_words, dtype=np.uint64)
@@ -107,9 +116,34 @@ def build_bloom(
 
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
+    def _or(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint64) | np.frombuffer(b, dtype=np.uint64)
+        ).tobytes()
+
+    # RDD of ≤1 packed bitset per partition → fanout-ary executor-side
+    # reduce tree. reduceByKey keys bitsets by (partition index mod width)
+    # so each round ORs ~fanout bitsets per task and cuts the count by
+    # fanout, until ≤fanout remain.
+    bitsets = (
+        hashes.mapInPandas(set_bits, schema="bits binary")
+        .rdd.map(lambda r: bytes(r.bits))
+    )
+    n_parts = bitsets.getNumPartitions()
+    while n_parts > merge_fanout:
+        width = max(merge_fanout, n_parts // merge_fanout)
+        bitsets = (
+            bitsets.mapPartitionsWithIndex(
+                lambda idx, it, w=width: ((idx % w, b) for b in it)
+            )
+            .reduceByKey(_or, numPartitions=width)
+            .values()
+        )
+        n_parts = width
+    # Final fold streams one bitset at a time through the driver.
     merged = np.zeros(n_words, dtype=np.uint64)
-    for row in hashes.mapInPandas(set_bits, schema="bits binary").collect():
-        merged |= np.frombuffer(row.bits, dtype=np.uint64)
+    for b in bitsets.toLocalIterator():
+        merged |= np.frombuffer(b, dtype=np.uint64)
     return BloomFilter(bits=merged, n_bits=n_bits, n_hashes=n_hashes)
 
 

@@ -148,7 +148,12 @@ def weighted_sample(
     quality/length/source priority — reproducibly, so reruns and backfills
     draw the identical corpus slice.
     """
-    u = hash_uniform(F.col(key_col), seed)
+    # Clamp u away from exactly 0 (p ≈ 2^-48 per row: md5 48-bit prefix all
+    # zeros). Unclamped, Spark's log(0) is NULL (row sorts first — always
+    # sampled) while an oracle's -ln(0) is +inf (never sampled) — a latent
+    # engine/oracle divergence. 2^-50 is exactly representable, so both
+    # engines stay bit-identical; rows with u ≥ 2^-50 are untouched.
+    u = F.greatest(hash_uniform(F.col(key_col), seed), F.lit(1.0 / 1125899906842624.0))
     w = F.col(weight_col).cast("double")
     es_key = -F.log(u) / w
     return (

@@ -3932,8 +3932,8 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH u AS (
       SELECT doc_id, n_chars,
-             {_duck_hash48("concat('wsample|', CAST(doc_id AS VARCHAR))")}
-               / 281474976710656.0 AS uv
+             greatest({_duck_hash48("concat('wsample|', CAST(doc_id AS VARCHAR))")}
+               / 281474976710656.0, 1.0 / 1125899906842624.0) AS uv
       FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, n_chars, round(-ln(uv) / n_chars, 6) AS es_key

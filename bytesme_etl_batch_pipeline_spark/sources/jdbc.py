@@ -95,15 +95,25 @@ def write_jdbc_exactly_once(
 
     The rename step is one statement per table on a single driver-side
     connection — effectively atomic for readers that open transactions
-    after the swap; engines with transactional DDL (PostgreSQL) can wrap
-    both renames in one transaction for full atomicity. Derby (the test
-    engine) supports RENAME TABLE but not transactional DDL, so the test
-    asserts the end state, not the intermediate.
+    after the swap. DIALECT: the swap uses ``RENAME TABLE a TO b`` and
+    uppercase catalog-metadata lookups — Derby (the test engine) and MySQL
+    syntax. PostgreSQL needs ``ALTER TABLE … RENAME TO`` and folds
+    unquoted identifiers to lowercase; port the three statements before
+    pointing this at it. Derby supports RENAME TABLE but not
+    transactional DDL, so the test asserts the end state, not the
+    intermediate.
+
+    ``<table>_retired`` is RESERVED by this sink: it is the parking name
+    for the previous generation during the swap and is dropped on the next
+    publish — never point application data at it.
     """
     import re
 
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+    ident = r"[A-Za-z_][A-Za-z0-9_]*"
+    if not re.fullmatch(ident, table):
         raise ValueError(f"unqualified simple table name required, got {table!r}")
+    if not re.fullmatch(ident, f"x{staging_suffix}"):
+        raise ValueError(f"staging_suffix must be identifier chars, got {staging_suffix!r}")
     staging = f"{table}{staging_suffix}"
     retired = f"{table}_retired"
 

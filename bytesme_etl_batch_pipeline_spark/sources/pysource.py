@@ -175,6 +175,11 @@ class EventReplayStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["index"], end["index"]
+        # On a checkpointed restart this reader is rebuilt with _latest = 0
+        # while the committed start offset is further along; without this
+        # bump latestOffset() would trail the committed position and the
+        # stream would emit empty batches until _latest catches up.
+        self._latest = max(self._latest, lo, hi)
         if hi <= lo:
             return [_IndexRange(lo, lo)]
         n = max(1, self._num_partitions)

@@ -129,3 +129,23 @@ def test_shuffle_shards_deterministic_and_partition_invariant(spark, tmp_path):
     ).parquet(out)
     back = spark.read.parquet(out)
     assert back.count() == 1000 and back.select("shard").distinct().count() == 4
+
+
+def test_bloom_tree_merge_many_partitions(spark):
+    """The executor-side reduce tree must run (>fanout first-level bitsets)
+    and still produce a filter with zero false negatives."""
+    members = spark.range(0, 5000).selectExpr("concat('key-', id) AS k").repartition(40)
+    bloom = build_bloom(members, "k", expected_items=5000, fpp=0.01, merge_fanout=4)
+    flags = members.select(bloom_might_contain(members, bloom, "k").alias("hit"))
+    assert flags.filter("NOT hit").count() == 0
+
+
+def test_bloom_large_expected_items_driver_bounded(spark):
+    """expected_items=100M sizes the bitset at ~120 MB; the streamed tree
+    merge keeps driver peak at ~2 bitsets, so this must complete quickly
+    in a 4-partition build instead of collecting partitions linearly."""
+    members = spark.range(0, 1000).selectExpr("concat('key-', id) AS k").repartition(4)
+    bloom = build_bloom(members, "k", expected_items=100_000_000, fpp=0.01)
+    assert bloom.n_bits >= 8 * 100_000_000  # ~9.6 bits/item at 1% fpp
+    flags = members.select(bloom_might_contain(members, bloom, "k").alias("hit"))
+    assert flags.filter("NOT hit").count() == 0
