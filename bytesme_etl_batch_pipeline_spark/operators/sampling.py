@@ -162,3 +162,32 @@ def weighted_sample(
         .orderBy(es_key.asc(), F.col(key_col))
         .limit(n)
     )
+
+
+def per_group_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n: int,
+    seed: int | str = "pgsample",
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: order each group by the
+    row-key hash (a seeded uniform permutation) and keep the first ``n``.
+    The streaming-free reservoir-sample replacement for bounded groups —
+    same rows on any cluster/partitioning/retry, unlike
+    ``sampleBy``/reservoir approaches. One shuffle (the window partition);
+    each group sorts only its own rows.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.textops import md5_hash48
+
+    ord_key = md5_hash48(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(ord_key.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1302,6 +1302,248 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared synthetic change feed for the CDC-family queries (same derivation
+# as cdc_apply's oracle so the two stay comparable).
+_DUCK_CHANGES = """
+    SELECT o_orderkey % 5000 AS key,
+           o_orderkey AS change_id,
+           CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+                WHEN o_orderkey % 10 >= 6 THEN 'U'
+                ELSE 'I' END AS op,
+           o_totalprice AS payload
+    FROM orders
+"""
+
+
+def _spark_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    return o.select(
+        (ok % 5000).alias("key"),
+        ok.alias("change_id"),
+        F.when(ok % 10 == 9, "D").when(ok % 10 >= 6, "U").otherwise("I").alias("op"),
+        F.col("o_totalprice").alias("payload"),
+    )
+
+
+@register(
+    "scd2_history",
+    oracle=f"""
+    WITH changes AS ({_DUCK_CHANGES}),
+    v AS (
+      SELECT key, change_id, op, payload,
+             lead(change_id) OVER (PARTITION BY key ORDER BY change_id)
+               AS valid_to
+      FROM changes
+    )
+    SELECT key, payload, change_id AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v WHERE op <> 'D'
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the change feed: every surviving
+    version of a key with its validity interval (see
+    ``operators/cdc.scd2_history`` — one window shuffle on the key)."""
+    from ..operators.cdc import scd2_history
+
+    return scd2_history(
+        _spark_changes(spark, sf_dir),
+        key_col="key",
+        seq_col="change_id",
+        payload_cols=["payload"],
+    )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS key, o_totalprice AS old_price
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), new AS (
+      SELECT o_orderkey AS key,
+             o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 10.0 ELSE 0.0 END
+               AS new_price
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(old.key, new.key) AS key,
+           CASE WHEN old.key IS NULL THEN 'added'
+                WHEN new.key IS NULL THEN 'removed'
+                WHEN old_price IS DISTINCT FROM new_price THEN 'changed'
+           END AS status,
+           old_price, new_price
+    FROM old FULL OUTER JOIN new ON old.key = new.key
+    WHERE CASE WHEN old.key IS NULL THEN 'added'
+               WHEN new.key IS NULL THEN 'removed'
+               WHEN old_price IS DISTINCT FROM new_price THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (incremental-load primitive): classify keys across two
+    loads as added/removed/changed with a null-safe full-outer compare —
+    ``operators/cdc.snapshot_diff``. The two snapshots here derive
+    deterministically from orders (drop every 3rd / every 5th key, bump
+    prices on multiples of 7)."""
+    from ..operators.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    old = o.filter(ok % 3 != 0).select(
+        ok.alias("key"), F.col("o_totalprice").alias("price")
+    )
+    new = o.filter(ok % 5 != 0).select(
+        ok.alias("key"),
+        (
+            F.col("o_totalprice")
+            + F.when(ok % 7 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("price"),
+    )
+    return snapshot_diff(old, new, key_col="key", compare_cols=["price"])
+
+
+@register(
+    "content_checksums",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           bit_xor({_duck_hash48("text")}) AS xor48,
+           MIN({_duck_hash48("text")}) AS min_h,
+           MAX({_duck_hash48("text")}) AS max_h
+    FROM documents GROUP BY source
+    """,
+)
+def q_content_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant per-source content fingerprint (anti-entropy check
+    between two copies of a corpus): count + XOR/min/max of the row content
+    hash. XOR is the order- and partitioning-invariant combiner that can
+    never overflow — the safe choice under ANSI mode where a SUM of 2^48
+    hashes would; one map-side-combined shuffle."""
+    from ..operators.textops import md5_hash48
+
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_hash48(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(h).alias("xor48"),
+        F.min(h).alias("min_h"),
+        F.max(h).alias("max_h"),
+    )
+
+
+@register(
+    "per_group_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_duck_hash48("concat('pg|', CAST(doc_id AS VARCHAR))")},
+                        doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 5
+    """,
+)
+def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-n sample per group (reservoir-sample replacement
+    for bounded groups): hash-permute within each language, keep 5 — see
+    ``sampling.per_group_sample``."""
+    from ..operators.sampling import per_group_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return per_group_sample(d, key_col="doc_id", group_col="lang", n=5, seed="pg")
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM (
+      SELECT o_totalprice,
+             1 + CAST(round(o_totalprice, 6) > round(qs[1], 6) AS INT)
+               + CAST(round(o_totalprice, 6) > round(qs[2], 6) AS INT)
+               + CAST(round(o_totalprice, 6) > round(qs[3], 6) AS INT) AS bucket
+      FROM orders, b
+    ) t
+    GROUP BY bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram WITHOUT a global sort: pass 1
+    computes the three quartile boundaries (one scalar aggregate), pass 2
+    assigns buckets map-side against the broadcast boundaries and
+    aggregates 4 groups. The ntile() formulation would be a single-partition
+    window over the whole table — this shape scales; boundary compares are
+    on round(…, 6) values, which both engines produce bit-identically."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])).alias("qs")
+    )
+    v = F.round(F.col("o_totalprice"), 6)
+
+    def above(i: int):
+        return (v > F.round(F.col("qs")[i], 6)).cast("int")
+
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", F.lit(1) + above(0) + above(1) + above(2))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "token_bigram_counts",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(len(ws) - 1),
+                                   i -> ws[i + 1] || ' ' || ws[i + 2])) AS pair
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def q_token_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies — the first counting step of a
+    BPE-style tokenizer-training loop, corpus-wide. Explode to pairs, one
+    map-side-combined count shuffle, TakeOrderedAndProject top-30
+    (deterministic tiebreak on the pair string)."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents").withColumn("ws", words("text"))
+    pairs = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, size(ws) - 1),"
+                    " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(30)
+    )
+
+
 @register(
     "quality_filter_chain",
     oracle="""
@@ -4385,6 +4627,10 @@ _CATALOG_ORDER = [
     # -- (4) r02 reds, oracles fixed this round (5) --
     'array_ops_battery', 'data_quality_report', 'funnel_conversion',
     'pivot_event_counts', 'corpus_stats',
+    # -- (4b) round-3 additions (pinned here so they stay inside the
+    #    50-slot window WITHOUT evicting the priority block above) --
+    'scd2_history', 'snapshot_diff_orders', 'content_checksums',
+    'per_group_sample_docs', 'equidepth_histogram', 'token_bigram_counts',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -73,6 +73,7 @@ BNLJ_ALLOWED = {
     "join_skew_report",
     "heavy_hitter_tokens",  # single-row broadcast corpus total
     "unigram_logprob_quality",  # single-row broadcast token total
+    "equidepth_histogram",  # single-row broadcast quartile boundaries
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
