@@ -145,3 +145,114 @@ def cluster_representatives(components: DataFrame) -> DataFrame:
     return components.select(
         "cluster_id", F.col("cluster_id").alias("keep_node")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Alternating large-star / small-star connected components
+# ---------------------------------------------------------------------------
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+
+
+def _min_over_neighborhood(directed: DataFrame) -> DataFrame:
+    """(node, m): m = min(node ∪ its listed neighbors)."""
+    return directed.groupBy("node").agg(
+        F.min(F.least(F.col("node"), F.col("nbr"))).alias("m")
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every LARGER neighbor of each node to the neighborhood min."""
+    sym = _sym(e)
+    m = _min_over_neighborhood(sym)
+    return (
+        sym.join(m, "node")
+        .filter(F.col("nbr") > F.col("node"))
+        .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint, then connect each node and
+    its smaller neighbors to their collective min."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("nbr")
+    )
+    m = _min_over_neighborhood(oriented)
+    joined = oriented.join(m, "node")
+    return (
+        joined.select(F.col("nbr").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("node").alias("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """→ (node, cluster_id) — same contract as ``connected_components`` but
+    via alternating large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm).
+
+    Min-label propagation needs rounds ∝ component DIAMETER; star rounds
+    contract paths doubly-exponentially (O(log²) worst case), so this is
+    the variant for pathological high-diameter graphs (chains of near-dups,
+    linked-page graphs) where propagation would crawl. Per round: two
+    groupBy-min shuffles + two joins over the CURRENT edge set — which the
+    star steps actively SHRINK toward one edge per non-root node, so later
+    rounds get cheaper; convergence is an order-invariant (count, xor-hash)
+    signature compare, one scalar agg per round, no diff join.
+
+    Self-loops are dropped; nodes whose every edge is a self-loop don't
+    appear (match the candidate-pair producers, which emit src < dst).
+    """
+    b = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .cache()
+    )
+
+    def sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        ).collect()[0]
+        return (row["c"], row["x"])
+
+    cur, cur_sig = b, sig(b)
+    try:
+        for _ in range(max_iter):
+            # Each star references its input several times (sym union + the
+            # min join), so lineage grows MULTIPLICATIVELY per round —
+            # localCheckpoint truncates it to the materialized RDD, which
+            # cache() cannot (cached plans keep their full logical tree and
+            # round ~7 explodes Spark's plan bookkeeping).
+            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            if cur is not b:
+                cur.unpersist()
+            cur = nxt
+            new_sig = sig(cur)
+            if new_sig == cur_sig:
+                return (
+                    _sym(cur)
+                    .groupBy("node")
+                    .agg(F.min(F.least(F.col("node"), F.col("nbr"))).alias("cluster_id"))
+                )
+            cur_sig = new_sig
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    finally:
+        b.unpersist()

@@ -951,6 +951,48 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM sym) n
+      UNION
+      SELECT s.nbr, r.label FROM reach r JOIN sym s ON s.node = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive near-dup clusters, computed by the alternating
+    large-star/small-star contraction (``graph.connected_components_star``)
+    instead of min-label propagation — rounds O(log² n) vs ∝ diameter, the
+    variant for pathological high-diameter candidate graphs. Identical
+    oracle as ``neardup_clusters``: both must reach the same fixpoint."""
+    from ..operators import neardup as N
+    from ..operators.graph import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = N.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3)
+    cc = connected_components_star(edges, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
     "pii_redact",
     oracle="""
     WITH synth AS (
@@ -1541,6 +1583,257 @@ def q_token_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(30)
+    )
+
+
+@register(
+    "multires_rollup",
+    oracle="""
+    WITH minutes AS (
+      SELECT date_trunc('minute', ts) AS minute_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), hours AS (
+      SELECT date_trunc('hour', minute_start) AS hour_start,
+             CAST(SUM(n) AS BIGINT) AS n,
+             COUNT(*) AS n_minutes_active
+      FROM minutes GROUP BY 1
+    )
+    SELECT CAST(date_trunc('day', hour_start) AS DATE) AS day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_hours_active,
+           CAST(SUM(n_minutes_active) AS BIGINT) AS n_minutes_active
+    FROM hours GROUP BY 1
+    """,
+)
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    cascade): minute counts → hourly from the MINUTE aggregate → daily from
+    the HOURLY aggregate. Each coarser level re-aggregates the (tiny)
+    finer pre-aggregate instead of rescanning raw events — the incremental
+    shape a 100 TB event store needs; after the first shuffle every later
+    one moves only rollup rows."""
+    e = load_table(spark, sf_dir, "events")
+    minutes = e.groupBy(F.date_trunc("minute", "ts").alias("minute_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hours = minutes.groupBy(
+        F.date_trunc("hour", "minute_start").alias("hour_start")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_minutes_active"),
+    )
+    return hours.groupBy(
+        F.date_trunc("day", "hour_start").cast("date").alias("day")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_hours_active"),
+        F.sum("n_minutes_active").alias("n_minutes_active"),
+    )
+
+
+@register(
+    "cumulative_new_users",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT day, COUNT(*) AS n_new FROM first_day GROUP BY day
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    """,
+)
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-acquisition curve: first-seen day per user, new-user counts per
+    day, running total. The global running-sum window runs over the per-DAY
+    aggregate (bounded rows: one per day), never over raw events — the
+    only safe place for an unpartitioned window at scale."""
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("day")
+    )
+    per_day = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("cumulative_users")
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), observed AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+      SELECT CAST(gd AS DATE) AS grid_day, user_id
+      FROM du, UNNEST(generate_series(du.day, du.day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS t(gd)
+    )
+    SELECT c.grid_day AS day, COUNT(DISTINCT c.user_id) AS active_7d
+    FROM contrib c JOIN observed o ON c.grid_day = o.day
+    GROUP BY c.grid_day
+    """,
+)
+def q_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day WITHOUT a sliding
+    count-distinct window (unimplementable exactly) and WITHOUT an
+    inequality join (BNLJ at scale): pre-dedup to (day, user) pairs, then
+    each pair CONTRIBUTES itself to the 7 grid days it covers via a bounded
+    explode — all equi-shuffles, 7× fanout on the deduped day-level pairs
+    only. Grid days are semi-joined to observed days so trailing phantom
+    windows never appear."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    observed = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("grid_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(observed, contrib.grid_day == observed.day, "left_semi")
+        .groupBy(F.col("grid_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers join
+    orders join lineitem, revenue per order, top 10. Filters reach the
+    parquet scans (predicate pushdown); the segment-filtered customer side
+    broadcasts; revenue folds through DECIMAL for order-invariant sums."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("string").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
+             AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-table star — facts
+    shuffle on their join keys once each, every dimension (nation, region,
+    supplier, date-filtered customer set) rides a broadcast, and the
+    same-nation customer/supplier condition prunes rows inside the join.
+    The canonical did-Catalyst-pick-the-right-plan benchmark."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("string").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join (entity-resolution primitive): DISTINCT the
+    names first (the match universe is entities, not rows — the shrink that
+    makes fuzzy joins feasible at corpus scale), self-join within a
+    blocking key (the noun), edit-distance filter. Never an all-pairs
+    cross product; block sizes bound the quadratic term."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct().withColumn(
+        "noun", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("noun"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("noun"))
+    return (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
     )
 
 
@@ -4631,6 +4924,9 @@ _CATALOG_ORDER = [
     #    50-slot window WITHOUT evicting the priority block above) --
     'scd2_history', 'snapshot_diff_orders', 'content_checksums',
     'per_group_sample_docs', 'equidepth_histogram', 'token_bigram_counts',
+    'multires_rollup', 'cumulative_new_users', 'rolling_7d_active_users',
+    'tpch_q3_shipping_priority', 'tpch_q5_local_supplier', 'fuzzy_name_pairs',
+    'neardup_clusters_star',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -575,3 +575,72 @@ def test_semantic_dedup_keeps_lowest_id_per_neardup_group(spark):
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     survivors = {r["vec_id"] for r in neardup_filter(df, pairs, "vec_id").collect()}
     assert survivors == {0, 2, 3}
+
+def test_star_cc_matches_propagation_and_union_find(spark):
+    """Large-star/small-star CC must agree with union-find ground truth on
+    random self-loop-free graphs (the star variant drops self-loops by
+    contract)."""
+    import random
+
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        n = rng.randint(8, 24)
+        edges = []
+        while len(edges) < rng.randint(4, 2 * n):
+            a, b = rng.randint(0, n), rng.randint(0, n)
+            if a != b:
+                edges.append((a, b))
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        nodes = {x for e in edges for x in e}
+        want = {}
+        groups = {}
+        for x in nodes:
+            groups.setdefault(find(x), []).append(x)
+        for members in groups.values():
+            m = min(members)
+            for x in members:
+                want[x] = m
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
+def test_star_cc_handles_high_diameter_chain(spark):
+    """A 40-node path has diameter 40 — min-label propagation at its default
+    budget would need 40 rounds, star contraction a handful. This is the
+    pathological case the star variant exists for."""
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    labels = connected_components_star(chain, max_iter=10).collect()
+    assert len(labels) == 41
+    assert {r["cluster_id"] for r in labels} == {0}
+
+
+def test_star_cc_empty_edges(spark):
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).count() == 0
