@@ -1838,6 +1838,270 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "longest_user_streaks",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), islands AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS island
+      FROM du
+    ), streaks AS (
+      SELECT user_id, island, COUNT(*) AS len FROM islands
+      GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           MAX(len) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_longest_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user (the
+    engagement metric behind 'N-day streak' features). day − row_number is
+    constant within a run of consecutive days — the classic trick; one
+    window + two keyed aggregates, all partitioned by user."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = du.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+@register(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p_type,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    """,
+)
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part type (TPC-H Q16 family): broadcast the part
+    dim onto the fact, then multi-column COUNT DISTINCT — Spark expands
+    multiple distincts with a single grouping-id rewrite, still one logical
+    pass over the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "modal_quantity_per_flag",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), ranked AS (
+      SELECT l_returnflag, l_quantity, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rn
+      FROM counts
+    )
+    SELECT r.l_returnflag,
+           r.l_quantity AS modal_quantity,
+           r.n AS modal_count,
+           m.median_quantity
+    FROM ranked r JOIN (
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 6) AS median_quantity
+      FROM lineitem GROUP BY l_returnflag
+    ) m USING (l_returnflag)
+    WHERE rn = 1
+    """,
+)
+def q_modal_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group: count-then-rank with an explicit
+    tiebreak (smallest value wins) — the built-in ``mode()`` aggregate picks
+    an ARBITRARY modal value on ties in both engines, which is exactly the
+    kind of nondeterminism a verified pipeline can't ship. Plus the exact
+    median for contrast; the rank runs over the (tiny) per-group value
+    counts, not raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    modal = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_quantity"),
+            F.col("n").alias("modal_count"),
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_quantity")
+    )
+    return modal.join(med, "l_returnflag")
+
+
+@register(
+    "top_tokens_per_lang",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_DUCK_WORDS}) AS token FROM documents
+    ), counts AS (
+      SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n, rank FROM (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token)
+               AS rank
+      FROM counts
+    ) t WHERE rank <= 5
+    """,
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 tokens: the grouped heavy-hitter variant (global
+    version: ``heavy_hitter_tokens``). Explode → one map-side-combined
+    count shuffle → rank over the per-lang COUNTS (vocab-sized, not
+    corpus-sized)."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(words("text")).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n", "rank")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix (Markov counts): lag within
+    each user's event sequence (event_id tiebreak for total order), then
+    count (prev → next) pairs. One user-partitioned window + one 25-cell
+    aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, uw.week) // 7 AS INT)
+             AS week_offset,
+           COUNT(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (generalizes ``next_day_retention``):
+    users keyed by first-activity week, counted at each week offset. The
+    per-user cohort table joins back on user_id — both sides already hash
+    on user_id so the join reuses the aggregation's partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(range(len(embedding)),
+                                   i -> {'dim': i, 'x': embedding[i + 1]}))
+               AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(u.dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(u.x AS DECIMAL(27,12))) / COUNT(*) AS DOUBLE), 6)
+             AS centroid
+    FROM ex GROUP BY label, u.dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the vector AGGREGATE primitive behind
+    k-means/IVF training and class prototypes), exploded to (label, dim)
+    rows so the mean is a plain keyed aggregate — no vector UDAF, full
+    map-side combine. Component sums fold through DECIMAL so the mean is
+    order/partitioning-invariant and bit-identical to the oracle."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (F.sum(F.col("x").cast("decimal(27,12)")) / F.count(F.lit(1))).cast(
+                "double"
+            ),
+            6,
+        ).alias("centroid"),
+    )
+
+
+@register(
     "quality_filter_chain",
     oracle="""
     SELECT doc_id, reject_reason, reject_reason IS NULL AS kept
@@ -4927,6 +5191,9 @@ _CATALOG_ORDER = [
     'multires_rollup', 'cumulative_new_users', 'rolling_7d_active_users',
     'tpch_q3_shipping_priority', 'tpch_q5_local_supplier', 'fuzzy_name_pairs',
     'neardup_clusters_star',
+    'longest_user_streaks', 'part_supplier_variety', 'modal_quantity_per_flag',
+    'top_tokens_per_lang', 'event_transition_matrix',
+    'weekly_cohort_retention', 'label_centroids',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
