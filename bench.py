@@ -60,6 +60,12 @@ HEADLINE = [
     "streaming_windowed_counts",
     "llm_enrich_descriptions",
     "semantic_search_pipeline",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "neardup_clusters_star",
+    "scd2_history",
+    "rolling_7d_active_users",
+    "label_centroids",
 ]
 
 

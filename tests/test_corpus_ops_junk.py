@@ -109,6 +109,12 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "percentile_quality_gate",
         # NULL/zero-weight docs are excluded, never a division error
         "weighted_sample_docs",
+        # round 3: NULL text hashes via no row/sentinel consistently;
+        # wordless docs emit no bigrams/tokens in either engine
+        "content_checksums",
+        "per_group_sample_docs",
+        "token_bigram_counts",
+        "top_tokens_per_lang",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),

@@ -115,3 +115,105 @@ def test_words_matches_python_split(spark, texts):
     got = {r.i: r.ws for r in df.select("i", words("t").alias("ws")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == t.lower().split()
+
+
+_CHANGE = st.tuples(
+    st.integers(min_value=0, max_value=6),     # key
+    st.sampled_from(["I", "U", "D"]),          # op
+    st.floats(min_value=0, max_value=100, allow_nan=False),
+)
+
+
+@given(changes=st.lists(_CHANGE, min_size=1, max_size=30))
+@_SETTINGS
+def test_scd2_invariants(spark, changes):
+    """SCD2 history invariants on random change feeds: (a) per key, validity
+    intervals chain exactly through the key's change sequence (each
+    valid_to equals the NEXT change's seq, regardless of op); (b) at most
+    one current row per key, present iff the key's last change is not a
+    delete; (c) surviving versions = non-delete changes."""
+    from bytesme_etl_batch_pipeline_spark.operators.cdc import scd2_history
+
+    rows = [(k, i, op, p) for i, (k, op, p) in enumerate(changes)]
+    df = spark.createDataFrame(rows, "key long, seq long, op string, payload double")
+    hist = scd2_history(df, "key", "seq", ["payload"]).collect()
+
+    by_key = {}
+    for k, seq, op, p in rows:
+        by_key.setdefault(k, []).append((seq, op, p))
+    n_versions = sum(1 for _, _, op, _ in rows if op != "D")
+    assert len(hist) == n_versions
+
+    got_by_key = {}
+    for r in hist:
+        got_by_key.setdefault(r["key"], []).append(r)
+    for k, rs in got_by_key.items():
+        feed = sorted(by_key[k])
+        nxt = {feed[i][0]: feed[i + 1][0] for i in range(len(feed) - 1)}
+        currents = [r for r in rs if r["is_current"]]
+        assert len(currents) <= 1
+        last_op = feed[-1][1]
+        assert bool(currents) == (last_op != "D")
+        for r in rs:
+            assert r["valid_to"] == nxt.get(r["valid_from"])
+
+
+@given(
+    old_keys=st.sets(st.integers(0, 15), max_size=12),
+    new_keys=st.sets(st.integers(0, 15), max_size=12),
+    bumped=st.sets(st.integers(0, 15), max_size=6),
+)
+@_SETTINGS
+def test_snapshot_diff_partitions_key_space(spark, old_keys, new_keys, bumped):
+    """snapshot_diff must classify every key exactly once and drop exactly
+    the unchanged ones."""
+    from bytesme_etl_batch_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(k, float(k)) for k in old_keys] or [(None, None)],
+        "key long, v double",
+    ).filter("key IS NOT NULL")
+    new = spark.createDataFrame(
+        [(k, float(k) + (1.0 if k in bumped else 0.0)) for k in new_keys]
+        or [(None, None)],
+        "key long, v double",
+    ).filter("key IS NOT NULL")
+    got = {r["key"]: r["status"] for r in snapshot_diff(old, new, "key", ["v"]).collect()}
+    want = {}
+    for k in old_keys | new_keys:
+        if k not in old_keys:
+            want[k] = "added"
+        elif k not in new_keys:
+            want[k] = "removed"
+        elif k in bumped:
+            want[k] = "changed"
+    assert got == want
+
+
+@given(
+    n_rows=st.integers(min_value=0, max_value=40),
+    n=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_per_group_sample_size_and_determinism(spark, n_rows, n):
+    """≤ n rows per group, a subset of the input, identical under
+    repartitioning."""
+    from bytesme_etl_batch_pipeline_spark.operators.sampling import per_group_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows or [(None, None)], "id long, grp string").filter(
+        "id IS NOT NULL"
+    )
+    out1 = {(r["id"], r["grp"]) for r in per_group_sample(df, "id", "grp", n).collect()}
+    out2 = {
+        (r["id"], r["grp"])
+        for r in per_group_sample(df.repartition(7), "id", "grp", n).collect()
+    }
+    assert out1 == out2
+    assert out1 <= set(rows)
+    from collections import Counter
+
+    per_grp = Counter(g for _, g in out1)
+    for g, c in per_grp.items():
+        assert c <= n
+        assert c == min(n, sum(1 for _, gg in rows if gg == g))
