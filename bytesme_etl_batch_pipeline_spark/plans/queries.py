@@ -1708,6 +1708,58 @@ def q_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+    ), contrib AS (
+      SELECT CAST(gd AS DATE) AS grid_day, user_id
+      FROM du, UNNEST(generate_series(du.day, du.day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS t(gd)
+    ), wau AS (
+      SELECT c.grid_day AS day, COUNT(DISTINCT c.user_id) AS wau
+      FROM contrib c JOIN dau d ON c.grid_day = d.day
+      GROUP BY c.grid_day
+    )
+    SELECT day, dau, wau,
+           round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day (the engagement ratio product dashboards
+    live on): daily distinct actives over trailing-7-day distinct actives,
+    both from ONE pre-deduped (day, user) set — the WAU side reuses the
+    bounded contribute-explode from ``rolling_7d_active_users``, and the
+    dau/wau join runs day-partitioned on bounded day rows."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("grid_day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(dau, contrib.grid_day == dau.day, "left_semi")
+        .groupBy(F.col("grid_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+@register(
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
@@ -5193,7 +5245,7 @@ _CATALOG_ORDER = [
     'neardup_clusters_star',
     'longest_user_streaks', 'part_supplier_variety', 'modal_quantity_per_flag',
     'top_tokens_per_lang', 'event_transition_matrix',
-    'weekly_cohort_retention', 'label_centroids',
+    'weekly_cohort_retention', 'label_centroids', 'dau_wau_stickiness',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
