@@ -1708,6 +1708,95 @@ def q_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intra_doc_span_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    spans AS (
+      SELECT doc_id,
+             list_transform(range(CAST(ceil(len(ws) / 5.0) AS INT)),
+               j -> array_to_string(ws[j * 5 + 1 : j * 5 + 5], ' ')) AS sp
+      FROM w
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_filter(range(len(sp)),
+                           i -> list_position(sp, sp[i + 1]) = i + 1),
+               i -> sp[i + 1]), ' ') AS clean_text,
+           CAST(len(sp) AS INT) AS n_spans,
+           CAST(len(list_distinct(sp)) AS INT) AS n_unique_spans
+    FROM spans
+    """,
+)
+def q_intra_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-span removal (the intra-doc step of
+    C4-style cleaning; the cross-corpus twin is ``line_dedup_docs``):
+    5-word spans, keep each span's first occurrence, rejoin. Entirely
+    map-side array expressions — zero shuffles; Spark's ``array_distinct``
+    preserves first-occurrence order, and the oracle replays that with a
+    list_position first-index filter (DuckDB's ``list_distinct`` does NOT
+    keep order)."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents").withColumn("ws", words("text"))
+    spans = F.expr(
+        "transform(sequence(0, cast(ceil(size(ws) / 5.0) as int) - 1),"
+        " j -> array_join(slice(ws, j * 5 + 1, 5), ' '))"
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_distinct(spans), " ").alias("clean_text"),
+        F.size(spans).alias("n_spans"),
+        F.size(F.array_distinct(spans)).alias("n_unique_spans"),
+    )
+
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+@register(
+    "column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (row count, nulls, exact distincts per
+    column) — the first data-profiling pass of any ingest. ONE scan: every
+    column stacks to (column_name, value-as-string) rows — cast is
+    injective per column so distinct counts are unchanged — then a single
+    grouped aggregate; vs 11 separate COUNT(DISTINCT) passes. The 11× melt
+    fanout is the honest cost of exact profiling; swap approx_count_distinct
+    into the same shape at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_expr = "stack({}, {}) AS (column_name, value)".format(
+        len(_PROFILE_COLS),
+        ", ".join(f"'{c}', cast({c} as string)" for c in _PROFILE_COLS),
+    )
+    return (
+        li.select(F.expr(stack_expr))
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct("value").alias("n_distinct"),
+        )
+    )
+
+
+@register(
     "dau_wau_stickiness",
     oracle="""
     WITH du AS (
@@ -5246,6 +5335,9 @@ _CATALOG_ORDER = [
     'longest_user_streaks', 'part_supplier_variety', 'modal_quantity_per_flag',
     'top_tokens_per_lang', 'event_transition_matrix',
     'weekly_cohort_retention', 'label_centroids', 'dau_wau_stickiness',
+    # -- (4c) round-3 additions pinned OUTSIDE the 50-slot window (locally
+    #    oracle-verified now; rotate into the round-4 driver window) --
+    'intra_doc_span_dedup', 'column_profile',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
