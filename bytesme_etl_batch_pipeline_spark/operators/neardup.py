@@ -195,6 +195,11 @@ def minhash_lsh_pairs(
             ).alias("band_hash")
         )
     )
+    # NB: an aliased self-join (identical subtrees both sides) was A/B'd
+    # hoping Spark's exchange-reuse would compute the signature pipeline
+    # once — ReusedExchange does not fire for this shape (collect_list
+    # aggregate) and timings were identical, so the simpler rename-first
+    # formulation stays.
     left = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
     return (

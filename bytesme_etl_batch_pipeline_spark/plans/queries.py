@@ -3282,6 +3282,37 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "kind", "width", "height", "n_frames")
 
 
+@register(
+    "media_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey AS media_id,
+             (p_partkey * 997) % 60000 AS duration_ms
+      FROM part WHERE p_partkey % 2 = 1
+    )
+    SELECT media_id, CAST(s AS INT) AS second
+    FROM m, UNNEST(range(0, CAST(duration_ms // 1000 AS INT) + 1)) AS t(s)
+    WHERE s % 8 = 0 AND s * 1000 < duration_ms
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling PLAN (every 8th second strictly inside the
+    video): pure sequence+explode expressions — the kept-frame index list is
+    decided JVM-side so only selected frames ever reach the (Python) codec
+    stage. Same synthesized media table as ``media_decode``."""
+    from ..operators.multimodal import sample_frames
+
+    p = load_table(spark, sf_dir, "part")
+    media = p.select(
+        F.col("p_partkey").alias("media_id"),
+        F.when(F.col("p_partkey") % 2 == 0, "image").otherwise("video").alias("kind"),
+        (F.col("p_partkey") * 997 % 60000).cast("long").alias("duration_ms"),
+    )
+    return sample_frames(media, every_n=8).select(
+        "media_id", F.col("second").cast("int").alias("second")
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of / range joins, skew-salted aggs, casts (extension surface)
 # ---------------------------------------------------------------------------
@@ -5337,7 +5368,7 @@ _CATALOG_ORDER = [
     'weekly_cohort_retention', 'label_centroids', 'dau_wau_stickiness',
     # -- (4c) round-3 additions pinned OUTSIDE the 50-slot window (locally
     #    oracle-verified now; rotate into the round-4 driver window) --
-    'intra_doc_span_dedup', 'column_profile',
+    'intra_doc_span_dedup', 'column_profile', 'media_frame_sample',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
