@@ -1718,11 +1718,12 @@ def q_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT doc_id,
-           array_to_string(
-             list_transform(
-               list_filter(range(len(sp)),
-                           i -> list_position(sp, sp[i + 1]) = i + 1),
-               i -> sp[i + 1]), ' ') AS clean_text,
+           CASE WHEN sp IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
+                  list_transform(
+                    list_filter(range(len(sp)),
+                                i -> list_position(sp, sp[i + 1]) = i + 1),
+                    i -> sp[i + 1]), ' '), '') END AS clean_text,
            CAST(len(sp) AS INT) AS n_spans,
            CAST(len(list_distinct(sp)) AS INT) AS n_unique_spans
     FROM spans
@@ -1739,9 +1740,13 @@ def q_intra_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import words
 
     d = load_table(spark, sf_dir, "documents").withColumn("ws", words("text"))
+    # Empty guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1]
+    # (step is inferred ±1), so a wordless doc would fabricate two phantom
+    # spans — an empty word list must produce an empty span list.
     spans = F.expr(
+        "CASE WHEN size(ws) = 0 THEN array() ELSE "
         "transform(sequence(0, cast(ceil(size(ws) / 5.0) as int) - 1),"
-        " j -> array_join(slice(ws, j * 5 + 1, 5), ' '))"
+        " j -> array_join(slice(ws, j * 5 + 1, 5), ' ')) END"
     )
     return d.select(
         "doc_id",

@@ -115,6 +115,8 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "per_group_sample_docs",
         "token_bigram_counts",
         "top_tokens_per_lang",
+        # NULL text → empty span list → clean_text '' in both engines
+        "intra_doc_span_dedup",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
