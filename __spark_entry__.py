@@ -6,8 +6,10 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``bytesme_etl_batch_pipeline_spark``; this module is
-a thin adapter over its query catalog (``plans/queries.py``: 120 named
-queries, 117 with DuckDB oracle twins). COVERAGE.md maps every SURVEY §2
+a thin adapter over its query catalog (``plans/queries.py``; ~150 named
+queries, all but a few sketch queries with DuckDB oracle twins —
+``len(queries())`` / ``len(oracle_sql())`` are the live counts).
+COVERAGE.md maps every SURVEY §2
 operator to its implementation, catalog query, and test. The catalog
 self-heals foreign SparkSessions (nanos-parquet + UTC confs are set at the
 table loader), so any session the driver provides works.

@@ -348,3 +348,71 @@ def segment_dedup(
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    seg_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Frequency-based boilerplate purge (CCNet §4.1 / C4 companion step):
+    a ``seg_words``-word segment that appears in ``min_docs`` or more
+    DISTINCT documents of the SAME source is navigation/footer boilerplate —
+    drop it from EVERY document (unlike ``segment_dedup``'s keep-first,
+    which preserves one copy).
+
+    Scale shape: segments explode map-side; the per-(source, segment)
+    document frequency is a two-level aggregate (distinct (source, seg, id)
+    then count — both partial-aggregated map-side), and the frequency joins
+    back on (source, seg). Frequencies are corpus-dictionary-sized — far
+    smaller than the exploded segment stream — so at 100 TB AQE turns the
+    join-back into a broadcast per source bucket; the reassembly is the same
+    single groupBy(id) as ``segment_dedup``. No pairwise work.
+
+    Returns ``(id, clean_text, n_kept, n_dropped)``.
+    """
+    ws = words(text_col)
+    n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(ws, i * seg_words + 1, seg_words), " "),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.col(source_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    freq = (
+        exploded.select(source_col, "seg", id_col)
+        .distinct()
+        .groupBy(source_col, "seg")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    marked = exploded.join(freq, [source_col, "seg"]).withColumn(
+        "keep", F.col("__df") < min_docs
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "seg"))
+    agg = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

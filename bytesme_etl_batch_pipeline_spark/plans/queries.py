@@ -5325,6 +5325,270 @@ def q_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    WITH rev AS (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+    )
+    SELECT c_custkey, c_name,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM rev
+    ORDER BY rev_dec DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. Plan: orderdate filter pushed to the orders scan, returnflag
+    filter pushed to lineitem, fact-fact join on orderkey (the only big
+    shuffle), customer join key-partitioned, nation broadcast; the top-20 is
+    TakeOrderedAndProject on the exact decimal revenue (bit-stable sort,
+    c_custkey tiebreak)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+                "rev_dec"
+            )
+        )
+    )
+    return (
+        rev.orderBy(F.col("rev_dec").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+             p_type = 'PROMO' AS is_promo
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate <  TIMESTAMP '1996-10-01'
+    )
+    SELECT
+      round(100.0 * CAST(CAST(SUM(CASE WHEN is_promo THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 6) AS promo_share,
+      CAST(CAST(SUM(CASE WHEN is_promo THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+      CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM r
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-part revenue share for one ship-month.
+    Shipdate filter pushed to the lineitem scan; part joined on partkey
+    (broadcast here — at real TPC-H scale part is fact-sized and this
+    becomes a key-partitioned join; AQE picks per stats); single global
+    aggregate with map-side partials, exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        rev.alias("rev"), (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    promo = F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(zero))
+    total = F.sum("rev")
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * promo.cast("string").cast("double")
+            / total.cast("string").cast("double"),
+            6,
+        ).alias("promo_share"),
+        promo.cast("string").cast("double").alias("promo_revenue"),
+        total.cast("string").cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "tpch_q18_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(CAST(qty_dec AS VARCHAR) AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (aggregate-then-join with a
+    HAVING filter). The quantity rollup shuffles once on orderkey and the
+    HAVING prunes it to a tiny survivor set BEFORE the joins — so the
+    orders/customer joins run on the filtered side (AQE broadcasts the
+    survivors at scale). Exact decimal threshold compare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > F.lit(300).cast("decimal(18,4)"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("string").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "ccnet_quality_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM counts),
+    scored AS (
+      SELECT tok.doc_id, ln(CAST(cnt AS DOUBLE) / n) AS lp
+      FROM tok JOIN counts USING (token) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, round(sum(lp) / count(*), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    ),
+    b AS (
+      SELECT d.doc_id, d.source, a.avg_logprob,
+             ntile(3) OVER (PARTITION BY d.source
+                            ORDER BY a.avg_logprob DESC, d.doc_id) AS t
+      FROM documents d JOIN agg a USING (doc_id)
+    )
+    SELECT doc_id, source, avg_logprob,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM b
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every doc
+    with the corpus unigram LM, then split EACH SOURCE into head / middle /
+    tail terciles by score — the standard way LLM corpora keep
+    per-domain quality strata comparable. Shape: the unigram scoring
+    pipeline (vocab agg + broadcastable count join + per-doc agg), then ONE
+    ntile window partitioned by source (bounded groups — never a global
+    sort). Docs with no tokens have no score and are excluded, as in CCNet."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("n"))
+    scored = tok.join(counts, "token").crossJoin(F.broadcast(total))
+    lp = F.log(F.col("cnt").cast("double") / F.col("n"))
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("avg_logprob")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(agg, "doc_id")
+        .withColumn("t", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "source",
+            "avg_logprob",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+@register(
+    "boilerplate_purge_docs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, {_DUCK_WORDS} AS ws FROM documents),
+    pe AS (
+      SELECT doc_id, source, ws,
+             unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS pos
+      FROM w
+    ),
+    segs AS (
+      SELECT doc_id, source, pos,
+             array_to_string(ws[(pos*8+1):(pos*8+8)], ' ') AS seg
+      FROM pe
+    ),
+    freq AS (
+      SELECT source, seg, count(DISTINCT doc_id) AS df
+      FROM segs GROUP BY source, seg
+    ),
+    marked AS (
+      SELECT s.doc_id, s.pos, s.seg, f.df < 2 AS keep
+      FROM segs s JOIN freq f ON s.source = f.source AND s.seg = f.seg
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+             count(*) FILTER (WHERE keep) AS n_kept,
+             count(*) FILTER (WHERE NOT keep) AS n_dropped
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_boilerplate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate removal (CCNet §4.1 companion to the
+    keep-first C4 dedup in ``line_dedup_docs``): an 8-word segment present
+    in ≥2 distinct docs of the SAME source is boilerplate — dropped from
+    every document, no survivor copy. See
+    ``operators/neardup.boilerplate_removal`` for the shuffle audit."""
+    from ..operators.neardup import boilerplate_removal
+
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_removal(d, "doc_id", "text", "source", seg_words=8, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Catalog iteration order — ROUND 3 rotation.
 #
@@ -5374,6 +5638,8 @@ _CATALOG_ORDER = [
     # -- (4c) round-3 additions pinned OUTSIDE the 50-slot window (locally
     #    oracle-verified now; rotate into the round-4 driver window) --
     'intra_doc_span_dedup', 'column_profile', 'media_frame_sample',
+    'tpch_q10_returned_items', 'tpch_q14_promo_share', 'tpch_q18_big_orders',
+    'ccnet_quality_buckets', 'boilerplate_purge_docs',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
