@@ -5589,6 +5589,122 @@ def q_boilerplate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_removal(d, "doc_id", "text", "source", seg_words=8, min_docs=2)
 
 
+@register(
+    "bigram_logprob_quality",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    pe AS (
+      SELECT doc_id, ws,
+             unnest(range(0, greatest(len(ws) - 1, 0))) AS pos
+      FROM w
+    ),
+    bg AS (
+      SELECT doc_id, pos, ws[pos + 1] AS w1,
+             ws[pos + 1] || ' ' || ws[pos + 2] AS bigram
+      FROM pe
+    ),
+    bc AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    cc AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
+    v AS (
+      SELECT CAST(count(DISTINCT word) AS DOUBLE) AS vsz
+      FROM (SELECT unnest(ws) AS word FROM w)
+    ),
+    scored AS (
+      SELECT g.doc_id, g.pos,
+             ln((CAST(c AS DOUBLE) + 0.5) / (CAST(cw AS DOUBLE) + 0.5 * vsz)) AS lp
+      FROM bg g JOIN bc USING (bigram) JOIN cc USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(list_sum(list(lp ORDER BY pos)) / count(*), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.avg_logprob,
+           coalesce(a.avg_logprob > -7.0, FALSE) AS kept
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram LM quality score (engine extension; the next
+    step up from ``unigram_logprob_quality``'s CCNet proxy): per-doc mean
+    log P(w2|w1) under the corpus's own bigram distribution with add-0.5
+    smoothing — catches scrambled/word-salad text whose unigram profile
+    looks normal. Shape: bigrams explode map-side from the words array (no
+    self-join, no lag window); bigram counts aggregate once into a
+    dictionary, context counts C(w1·) are a window over that dictionary
+    (never a second pass over the stream), and ONE explicit broadcast join
+    carries both counts back (at corpus scale where the bigram dictionary
+    outgrows the broadcast limit, drop the hint and the same plan runs as a
+    shuffle join); vocabulary size is a 1-row broadcast scalar. The per-doc
+    sum folds in ascending position order
+    (collect → sort → fold) so the double accumulation is bit-identical on
+    any partitioning — the same contract as the cosine oracles. Docs with
+    <2 tokens score NULL and are not kept."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_bg = F.greatest(F.size(ws) - 1, F.lit(0))
+    idx = F.when(n_bg > 0, F.sequence(F.lit(0), n_bg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            ws[i].alias("w1"),
+            F.concat_ws(" ", ws[i], ws[i + 1]).alias("bigram"),
+        ),
+    )
+    # posexplode_outer keeps bigram-less docs as a single NULL row, so the
+    # final per-doc aggregate covers EVERY doc — no join back to the spine
+    bg = d.select("doc_id", F.posexplode_outer(pairs).alias("_i", "p")).select(
+        "doc_id", "p.pos", "p.w1", "p.bigram"
+    )
+    real = bg.filter(F.col("bigram").isNotNull())
+    # context counts fold the DICTIONARY, not the token stream: C(w1·) =
+    # Σ C(w1 w2) as a window over the bigram counts — one dictionary-sized
+    # exchange, and the single broadcast join carries BOTH counts (a
+    # separate groupBy would make Catalyst recompute the whole bigram
+    # aggregate from the scan — verified on the physical plan)
+    w_ctx = Window.partitionBy(F.split("bigram", " ")[0])
+    bc = (
+        real.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cw", F.sum("c").over(w_ctx))
+    )
+    v = d.select(F.explode(ws).alias("word")).agg(
+        F.countDistinct("word").cast("double").alias("vsz")
+    )
+    lp = F.log(
+        (F.col("c").cast("double") + F.lit(0.5))
+        / (F.col("cw").cast("double") + F.lit(0.5) * F.col("vsz"))
+    )
+    scored = (
+        bg.join(F.broadcast(bc), "bigram", "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "pos", F.when(F.col("bigram").isNotNull(), lp).alias("lp"))
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda s: s["lp"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_bigrams = F.count("lp").cast("long")
+    return scored.groupBy("doc_id").agg(
+        n_bigrams.alias("n_bigrams"),
+        F.when(n_bigrams > 0, F.round(folded / n_bigrams, 6)).alias("avg_logprob"),
+        F.coalesce(
+            F.when(n_bigrams > 0, F.round(folded / n_bigrams, 6) > -7.0),
+            F.lit(False),
+        ).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog iteration order — ROUND 3 rotation.
 #
@@ -5639,7 +5755,7 @@ _CATALOG_ORDER = [
     #    oracle-verified now; rotate into the round-4 driver window) --
     'intra_doc_span_dedup', 'column_profile', 'media_frame_sample',
     'tpch_q10_returned_items', 'tpch_q14_promo_share', 'tpch_q18_big_orders',
-    'ccnet_quality_buckets', 'boilerplate_purge_docs',
+    'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bigram_logprob_quality',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -121,6 +121,8 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         # join; docs with no scored tokens are absent from the terciles
         "boilerplate_purge_docs",
         "ccnet_quality_buckets",
+        # <2-token docs have no bigrams → NULL score, kept=false
+        "bigram_logprob_quality",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
