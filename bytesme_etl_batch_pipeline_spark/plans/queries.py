@@ -5705,6 +5705,80 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_WORDS}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    kj AS (SELECT token, cnt, unnest(range(4)) AS row FROM counts),
+    kb AS (
+      SELECT token, cnt, row,
+             {_duck_hash48("concat('cms', CAST(row AS VARCHAR), '|', token)")} % 64 AS bucket
+      FROM kj
+    ),
+    cells AS (
+      SELECT token, cnt, SUM(cnt) OVER (PARTITION BY row, bucket) AS cell
+      FROM kb
+    ),
+    est AS (
+      SELECT token, CAST(max(cnt) AS BIGINT) AS true_count,
+             CAST(min(cell) AS BIGINT) AS cms_estimate
+      FROM cells GROUP BY token
+    )
+    SELECT token, true_count, cms_estimate
+    FROM est
+    ORDER BY cms_estimate DESC, true_count DESC, token
+    LIMIT 20
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    completes the mergeable-sketch family next to HLL
+    (``approx_distinct_counts``), t-digest (``approx_percentiles``) and the
+    Bloom filter (``operators/bloom.py``). Sketch: depth 4 × width 64 md5
+    buckets; estimate(token) = min over rows of its bucket's cell — always
+    ≥ the true count. The testdata vocabulary (31 tokens) doesn't collide
+    at width 64, so here estimate == count and the oracle verifies the
+    bucket arithmetic; the collision/overestimate regime is pinned by the
+    4×4-width property test in ``tests/test_properties.py``. Shape: one
+    token-count aggregation, then the
+    sketch cells are a WINDOW-sum over the 4×dictionary (a separate sketch
+    DataFrame + join-back would make Catalyst recompute the whole token
+    aggregate — same lesson as ``bigram_logprob_quality``), per-token min,
+    top-20. The 256-cell sketch itself never leaves the executors; at
+    100 TB the dictionary shuffle dominates and the sketch stays 2 KB —
+    the whole point of CMS."""
+    from ..operators.textops import md5_hash48, words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(words("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (
+                    md5_hash48(F.concat(F.lit(f"cms{j}|"), F.col("token"))) % 64
+                ).alias("bucket"),
+            )
+            for j in range(4)
+        ]
+    )
+    kb = counts.select("token", "cnt", F.explode(rows).alias("b")).select(
+        "token", "cnt", F.col("b.row").alias("row"), F.col("b.bucket").alias("bucket")
+    )
+    cells = kb.withColumn(
+        "cell", F.sum("cnt").over(Window.partitionBy("row", "bucket"))
+    )
+    est = cells.groupBy("token").agg(
+        F.max("cnt").cast("long").alias("true_count"),
+        F.min("cell").cast("long").alias("cms_estimate"),
+    )
+    return est.orderBy(
+        F.col("cms_estimate").desc(), F.col("true_count").desc(), "token"
+    ).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Catalog iteration order — ROUND 3 rotation.
 #
@@ -5756,6 +5830,7 @@ _CATALOG_ORDER = [
     'intra_doc_span_dedup', 'column_profile', 'media_frame_sample',
     'tpch_q10_returned_items', 'tpch_q14_promo_share', 'tpch_q18_big_orders',
     'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bigram_logprob_quality',
+    'cms_heavy_hitters',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -217,3 +217,40 @@ def test_per_group_sample_size_and_determinism(spark, n_rows, n):
     for g, c in per_grp.items():
         assert c <= n
         assert c == min(n, sum(1 for _, gg in rows if gg == g))
+
+
+def test_cms_estimate_dominates_true_count(spark):
+    """CMS invariant: estimate ≥ true count for EVERY token (not just the
+    top-20 the catalog query returns). The test sketch is 4×4 — far
+    narrower than the catalog query's 4×64 — because sf0.001's vocabulary
+    is only ~31 tokens: width 4 guarantees per-row collisions, so at least
+    one strict overestimate must exist."""
+    from bytesme_etl_batch_pipeline_spark.operators.textops import md5_hash48, words
+    from pyspark.sql import Window
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = d.select(F.explode(words("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (md5_hash48(F.concat(F.lit(f"cms{j}|"), F.col("token"))) % 4).alias(
+                    "bucket"
+                ),
+            )
+            for j in range(4)
+        ]
+    )
+    kb = counts.select("token", "cnt", F.explode(rows).alias("b")).select(
+        "token", "cnt", F.col("b.row").alias("row"), F.col("b.bucket").alias("bucket")
+    )
+    est = (
+        kb.withColumn("cell", F.sum("cnt").over(Window.partitionBy("row", "bucket")))
+        .groupBy("token")
+        .agg(F.max("cnt").alias("cnt"), F.min("cell").alias("est"))
+        .collect()
+    )
+    assert est, "empty token dictionary"
+    assert all(r["est"] >= r["cnt"] for r in est)
+    assert any(r["est"] > r["cnt"] for r in est), "4x4 sketch never collided"
