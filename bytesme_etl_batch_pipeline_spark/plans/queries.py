@@ -5779,6 +5779,88 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@register(
+    "llm_corpus_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
+        AND n_chars >= 60 AND n_chars <= 1500
+        AND lang IN ('en', 'vi')
+        AND length(regexp_replace(text, '[a-zA-Zàáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ0-9\\s]', '', 'g'))
+              <= CAST(0.1 * length(text) AS DOUBLE)
+    ),
+    dd AS (
+      SELECT d.* FROM q d
+      JOIN (SELECT md5(lower(trim(text))) AS dg, min(doc_id) AS doc_id
+            FROM q GROUP BY 1) k
+        ON md5(lower(trim(d.text))) = k.dg AND d.doc_id = k.doc_id
+    ),
+    corpus AS (SELECT * FROM dd WHERE doc_id % 53 <> 0),
+    wv AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    ev AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest({_DUCK_5GRAMS}) AS gram FROM wv WHERE doc_id % 53 = 0
+      )
+    ),
+    cg AS (
+      SELECT doc_id, unnest({_DUCK_5GRAMS}) AS gram
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS ws FROM corpus)
+    ),
+    bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (gram)),
+    clean AS (
+      SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    )
+    SELECT doc_id, source, lang, md5(text) AS content_md5,
+           CASE WHEN u < (1.0 - 0.1 - 0.1) THEN 'train'
+                WHEN u < (1.0 - 0.1 - 0.1 + 0.1) THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *, {_duck_uniform_doc('42-split')} AS u FROM clean)
+    """,
+)
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP COMPOSITE: the end-to-end LLM training-corpus pipeline as
+    ONE declarative plan — quality gate (same ruleset as
+    ``quality_filter_chain``) → exact content dedup keep-first
+    (``neardup.exact_dedup_by_content``) → benchmark decontamination
+    against the ``doc_id % 53`` eval slice
+    (``neardup.decontaminate_overlap``, broadcast eval grams) → stable
+    hash-based train/val/test assignment
+    (``sampling.train_val_test_split``). Proves the operators COMPOSE:
+    every stage is the same code path its standalone catalog query runs,
+    and the single end-to-end oracle pins the whole chain. Shape: the gate
+    is a pushed-down filter on the scan; dedup is one digest shuffle;
+    decontamination adds no corpus shuffle (eval grams broadcast, per-doc
+    hit counts); the split is a map-side hash. Returns
+    (doc_id, source, lang, content_md5, split)."""
+    from ..operators.neardup import decontaminate_overlap, exact_dedup_by_content
+    from ..operators.sampling import train_val_test_split
+
+    d = load_table(spark, sf_dir, "documents")
+    viet = "àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ"
+    symbol_len = F.length(F.regexp_replace(F.col("text"), f"[a-zA-Z{viet}0-9\\s]", ""))
+    kept = (
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & (F.col("n_chars") >= 60)
+        & (F.col("n_chars") <= 1500)
+        & F.col("lang").isin("en", "vi")
+        & (symbol_len <= (F.lit(0.1) * F.length("text")).cast("double"))
+    )
+    q = d.filter(kept)
+    dd = exact_dedup_by_content(q, "text", "doc_id")
+    is_eval = F.col("doc_id") % 53 == 0
+    corpus = dd.filter(~is_eval)
+    verdicts = decontaminate_overlap(corpus, d.filter(is_eval), "doc_id", "text", n=5)
+    clean = corpus.join(
+        verdicts.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    return train_val_test_split(clean, key_col="doc_id", seed="42-split").select(
+        "doc_id", "source", "lang", F.md5("text").alias("content_md5"), "split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog iteration order — ROUND 3 rotation.
 #
@@ -5830,7 +5912,7 @@ _CATALOG_ORDER = [
     'intra_doc_span_dedup', 'column_profile', 'media_frame_sample',
     'tpch_q10_returned_items', 'tpch_q14_promo_share', 'tpch_q18_big_orders',
     'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bigram_logprob_quality',
-    'cms_heavy_hitters',
+    'cms_heavy_hitters', 'llm_corpus_pipeline',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

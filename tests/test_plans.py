@@ -80,6 +80,15 @@ BNLJ_ALLOWED = {
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
 
+# Per-query exchange-budget overrides: the default 8 assumes a single
+# operator family; a deliberate COMPOSITE chains several stages whose
+# budgets add. Each override documents the composition it covers.
+EXCHANGE_BUDGET = {
+    # quality gate (0) + exact dedup (3) + decontaminate (4) + clean join
+    # (2) + split (0) — four stages, each within its standalone budget
+    "llm_corpus_pipeline": 12,
+}
+
 
 def test_catalog_plan_lint(spark, sf_dir):
     """Whole-catalog physical-plan lint: no cartesian products ever, nested-
@@ -97,6 +106,6 @@ def test_catalog_plan_lint(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders.append((name, "unexpected BroadcastNestedLoopJoin"))
         n_ex = plan.count("Exchange")
-        if n_ex > 8:
+        if n_ex > EXCHANGE_BUDGET.get(name, 8):
             offenders.append((name, f"{n_ex} exchanges"))
     assert not offenders, offenders
