@@ -5861,6 +5861,78 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmeans_lloyd_step",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT e.vec_id, cent.cid, e.embedding,
+             list_sum(list_transform(range(len(e.embedding)),
+               i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(cent.cv[i+1] AS DOUBLE))
+                  * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(cent.cv[i+1] AS DOUBLE))))
+               AS d
+      FROM embeddings e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM dists
+    ),
+    ex AS (
+      SELECT cid,
+             unnest(list_transform(range(len(embedding)),
+                                   i -> {'dim': i, 'x': embedding[i + 1]})) AS u
+      FROM assign WHERE rn = 1
+    )
+    SELECT cid, CAST(u.dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(27,12))) / COUNT(*)
+                 AS DOUBLE), 6) AS centroid
+    FROM ex GROUP BY cid, u.dim
+    """,
+)
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means (k=8, seeds = vec_id < 8) — the
+    iterative-ML building block on top of the vector-aggregate primitive
+    (``label_centroids``) and the assignment argmin IVF uses
+    (``similarity.ivf_*``). Shape: 8 centroids broadcast, squared-L2 per
+    (vector, centroid) as an ascending-index fold (bit-identical to the
+    oracle's ``list_sum`` — same contract as the cosine queries), argmin
+    via a struct-min keyed aggregate (ties break on centroid id), then the
+    new centroids are decimal-exact per-(cluster, dim) means. Two keyed
+    shuffles total; at any scale the per-round cost is k·n map-side work +
+    those two exchanges — the canonical distributed k-means step. A full
+    trainer loops this via ``localCheckpoint`` exactly like
+    ``graph.connected_components_star``."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = em.select("vec_id", ev.alias("v"))
+    cent = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), ev.alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", "v", dist.alias("d")
+    )
+    best = dists.groupBy("vec_id").agg(F.min(F.struct("d", "cid", "v")).alias("b"))
+    ex = best.select(F.col("b.cid").alias("cid"), F.posexplode("b.v").alias("dim", "x"))
+    return ex.groupBy("cid", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            (F.sum(F.col("x").cast("decimal(27,12)")) / F.count(F.lit(1))).cast(
+                "double"
+            ),
+            6,
+        ).alias("centroid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog iteration order — ROUND 3 rotation.
 #
@@ -5912,7 +5984,7 @@ _CATALOG_ORDER = [
     'intra_doc_span_dedup', 'column_profile', 'media_frame_sample',
     'tpch_q10_returned_items', 'tpch_q14_promo_share', 'tpch_q18_big_orders',
     'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bigram_logprob_quality',
-    'cms_heavy_hitters', 'llm_corpus_pipeline',
+    'cms_heavy_hitters', 'llm_corpus_pipeline', 'kmeans_lloyd_step',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "equidepth_histogram",  # single-row broadcast quartile boundaries
     "ccnet_quality_buckets",  # single-row broadcast token total (unigram LM)
     "bigram_logprob_quality",  # single-row broadcast vocabulary size
+    "kmeans_lloyd_step",  # 8-row broadcast centroid table
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
