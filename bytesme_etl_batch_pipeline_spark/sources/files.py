@@ -167,3 +167,50 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — predicate pushdown and column pruning apply as with
     parquet (Spark's native vectorized ORC reader)."""
     return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = False,
+    line_sep: str | None = None,
+    with_lineage: bool = False,
+) -> DataFrame:
+    """Raw text scan — the corpus-ingest primitive for line-oriented dumps
+    (one row per line, column ``value``) or whole-file documents
+    (``wholetext=True`` — one row per file, the natural shape for a
+    file-per-document crawl drop). ``with_lineage`` tags rows with their
+    source file the same way ``read_csv(with_lineage=True)`` does, so a
+    100 TB ingest keeps file-level provenance through every downstream
+    dedup/filter stage."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    # NB: wholetext must go through the text() argument — the DataFrameReader
+    # option of the same name is ignored by the PySpark text() entry point
+    df = reader.text(path, wholetext=wholetext)
+    if with_lineage:
+        df = df.withColumn("source_file", F.input_file_name())
+    return df
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: exactly one string column (Spark contract) — the JSONL /
+    plain-corpus emit path when paired with ``to_json``."""
+    df.write.mode(mode).text(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, path_glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan (``binaryFile`` format): one row per file with
+    (path, modificationTime, length, content) — the media-ingest source
+    that feeds ``operators/multimodal`` decode/featurize stages. The
+    ``pathGlobFilter`` prunes at FILE LISTING time (no bytes read for
+    non-matching files); content bytes stream lazily per matched file, so
+    the scan parallelizes across files without loading any of them on the
+    driver."""
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)

@@ -229,3 +229,46 @@ def test_parquet_zstd_compression_codec(spark, tmp_path):
         os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
     )
     assert size(zstd_path) < size(raw_path)
+
+
+def test_text_roundtrip_lines_and_wholetext(spark, tmp_path):
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_text, write_text
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "a.txt").write_text("line one\nline two\n", encoding="utf-8")
+    (src / "b.txt").write_text("solo", encoding="utf-8")
+
+    lines = read_text(spark, str(src), with_lineage=True)
+    got = {(r["value"], os.path.basename(r["source_file"].split("file:")[-1]))
+           for r in lines.collect()}
+    assert got == {("line one", "a.txt"), ("line two", "a.txt"), ("solo", "b.txt")}
+
+    whole = read_text(spark, str(src), wholetext=True)
+    texts = sorted(r["value"] for r in whole.collect())
+    assert texts == ["line one\nline two\n", "solo"]
+
+    out = tmp_path / "emitted"
+    write_text(lines.select("value"), str(out))
+    back = sorted(r["value"] for r in read_text(spark, str(out)).collect())
+    assert back == ["line one", "line two", "solo"]
+
+
+def test_binary_files_scan_glob_prunes(spark, tmp_path):
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "x.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (media / "y.jpg").write_bytes(b"\xff\xd8other")
+    (media / "notes.txt").write_bytes(b"not media")
+
+    df = read_binary_files(spark, str(media), path_glob="*.jpg")
+    rows = {os.path.basename(r["path"]): (r["length"], bytes(r["content"]))
+            for r in df.collect()}
+    assert set(rows) == {"x.jpg", "y.jpg"}
+    assert rows["x.jpg"] == (10, b"\xff\xd8fakejpeg")
+    # schema is the multimodal ingest contract (binary content + metadata)
+    assert [f.name for f in df.schema.fields] == [
+        "path", "modificationTime", "length", "content",
+    ]
