@@ -1,0 +1,67 @@
+"""Distributed k-means trainer (operators/ml.py): Lloyd monotonicity,
+partition-invariance, and degenerate-k behavior."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytesme_etl_batch_pipeline_spark.operators.ml import kmeans
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_inertia_non_increasing_and_converges(spark, emb):
+    assigned, centroids, history = kmeans(emb, k=4, max_iter=15)
+    assert len(centroids) == 4 and all(len(c) == 64 for c in centroids)
+    assert all(
+        a >= b - 1e-9 for a, b in zip(history, history[1:])
+    ), f"inertia increased: {history}"
+    # every input row is assigned to a valid cluster
+    n = emb.count()
+    got = assigned.groupBy("cluster").count().collect()
+    assert sum(r["count"] for r in got) == n
+    assert all(0 <= r["cluster"] < 4 for r in got)
+    assert all(math.isfinite(h) and h >= 0 for h in history)
+
+
+def test_partition_invariance(spark, emb):
+    _, c1, h1 = kmeans(emb, k=3, max_iter=5)
+    _, c2, h2 = kmeans(emb.repartition(7), k=3, max_iter=5)
+    assert c1 == c2  # decimal-exact means → bit-identical centroids
+    assert h1 == h2
+
+
+def test_k1_gives_global_centroid(spark, emb):
+    _, centroids, history = kmeans(emb, k=1, max_iter=3)
+    # k=1: the centroid is the global decimal-exact mean; one round moves the
+    # seed onto it and the next confirms convergence
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    want = [
+        r["m"]
+        for r in ex.groupBy("dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,12)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("m")
+        )
+        .orderBy("dim")
+        .collect()
+    ]
+    assert centroids[0] == pytest.approx(want, abs=0.0)
+    assert len(history) <= 3
+
+
+def test_k_exceeding_rows_raises(spark, emb):
+    with pytest.raises(ValueError):
+        kmeans(emb.limit(2), k=5, max_iter=1)
