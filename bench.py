@@ -66,6 +66,11 @@ HEADLINE = [
     "scd2_history",
     "rolling_7d_active_users",
     "label_centroids",
+    "tpch_q6_forecast_revenue",
+    "bigram_logprob_quality",
+    "cms_heavy_hitters",
+    "kmeans_lloyd_step",
+    "llm_corpus_pipeline",
 ]
 
 

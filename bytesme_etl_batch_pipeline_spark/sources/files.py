@@ -214,3 +214,21 @@ def read_binary_files(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     return reader.load(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving every other partition untouched — the idempotent
+    incremental-batch sink (re-running one day's load never clobbers
+    history, and a retry of the same batch converges to the same state).
+    The per-write ``partitionOverwriteMode=dynamic`` option scopes the
+    behavior to this write, so the session default (STATIC — full-table
+    overwrite) stays safe for non-incremental writers."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

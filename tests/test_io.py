@@ -272,3 +272,35 @@ def test_binary_files_scan_glob_prunes(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "path", "modificationTime", "length", "content",
     ]
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(spark, tmp_path):
+    from bytesme_etl_batch_pipeline_spark.sources.files import overwrite_partitions
+
+    out = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [("2026-01-01", 1, 10.0), ("2026-01-01", 2, 20.0), ("2026-01-02", 3, 30.0)],
+        "day string, id int, v double",
+    )
+    overwrite_partitions(base, out, ["day"])
+
+    # reprocess day 1 with corrected values — day 2 must survive untouched
+    fixed = spark.createDataFrame(
+        [("2026-01-01", 1, 11.0)], "day string, id int, v double"
+    )
+    overwrite_partitions(fixed, out, ["day"])
+
+    # partition-column inference types day as DATE on read-back
+    got = {
+        (str(r["day"]), r["id"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("2026-01-01", 1, 11.0), ("2026-01-02", 3, 30.0)}
+
+    # idempotence: the same batch twice converges to the same state
+    overwrite_partitions(fixed, out, ["day"])
+    again = {
+        (str(r["day"]), r["id"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
