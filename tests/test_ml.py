@@ -65,3 +65,34 @@ def test_k1_gives_global_centroid(spark, emb):
 def test_k_exceeding_rows_raises(spark, emb):
     with pytest.raises(ValueError):
         kmeans(emb.limit(2), k=5, max_iter=1)
+
+
+def test_exact_trained_ivf_recall(spark, emb):
+    """End-to-end: exact-engine k-means centroids feed the IVF index; with
+    half the cells probed, recall@10 vs brute force must be substantial,
+    and probing ALL cells must recover brute force exactly."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        topk_brute_force,
+        topk_ivf,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, k=4, engine="exact")
+    assert len(cents) == 4
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+
+    truth = [
+        r["vec_id"] for r in topk_brute_force(emb, query, k=10).collect()
+    ]
+    got_all = [
+        r["vec_id"]
+        for r in topk_ivf(emb, query, cents, k=10, n_probe=4).collect()
+    ]
+    assert got_all == truth  # all cells probed == exact
+
+    got_half = {
+        r["vec_id"]
+        for r in topk_ivf(emb, query, cents, k=10, n_probe=2).collect()
+    }
+    recall = len(got_half & set(truth)) / len(truth)
+    assert recall >= 0.5, f"recall@10 with n_probe=2: {recall}"
