@@ -6076,6 +6076,147 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "basket_lift_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+    item_cnt AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / ca.n_item, 6) AS conf_a_to_b,
+           round(CAST(n_ab AS DOUBLE) / cb.n_item, 6) AS conf_b_to_a,
+           round(CAST(n_ab AS DOUBLE) * n_baskets
+                 / (CAST(ca.n_item AS DOUBLE) * cb.n_item), 6) AS lift
+    FROM pairs
+    JOIN item_cnt ca ON ca.l_partkey = part_a
+    JOIN item_cnt cb ON cb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_ab >= 2
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase baskets: support, directional
+    confidence and lift for every part pair sharing >= 2 orders — the full
+    market-basket metric set on top of ``copurchase_pairs``' in-array pair
+    expansion (blocked by the order key, never all-pairs). Item supports
+    are dictionary-sized and broadcast back; the basket total is one
+    driver-side scalar (parquet-metadata-cheap), so no 1-row crossJoin
+    reaches the plan. All ratios derive from exact BIGINT counts with
+    mirrored rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select("l_orderkey").distinct().count()
+    item_cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    s = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + 2, F.greatest(F.size(s) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = item_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na")
+    )
+    cb = item_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb")
+    )
+    nb_total = F.lit(float(n_baskets))
+    out = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / nb_total, 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("nb"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * nb_total
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+@register(
+    "running_distinct_event_types",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_distinct_types
+    FROM flagged
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — a shape Spark (and
+    ANSI SQL) cannot express directly (DISTINCT aggregates are not allowed
+    over running frames). The standard rewrite: flag each (user, type)'s
+    FIRST occurrence with one window, then a running SUM of flags in a
+    second — two keyed window shuffles, both on bounded per-user groups,
+    instead of the quadratic per-row set-rescan a naive rewrite would do."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "first_seen", F.when(F.row_number().over(w1) == 1, 1).otherwise(0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("first_seen").over(w2).cast("long").alias("n_distinct_types"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog iteration order — ROUND 3 rotation.
 #
@@ -6129,7 +6270,8 @@ _CATALOG_ORDER = [
     'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bigram_logprob_quality',
     'cms_heavy_hitters', 'llm_corpus_pipeline', 'kmeans_lloyd_step',
     'tpch_q6_forecast_revenue', 'tpch_q17_small_qty_revenue',
-    'tpch_q19_disjunctive_revenue',
+    'tpch_q19_disjunctive_revenue', 'basket_lift_rules',
+    'running_distinct_event_types',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
