@@ -1,0 +1,111 @@
+"""Product quantization (operators/pq.py): determinism, compression
+contract, and ADC recall against brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytesme_etl_batch_pipeline_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    train_pq,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq(emb, m=8, k=16, max_iter=4)
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert len(books) == 8
+    assert all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64 / 8 subspaces
+    again = train_pq(emb.repartition(5), m=8, k=16, max_iter=4)
+    assert books == again  # decimal-exact k-means → identical codebooks
+
+
+def test_encode_is_compact_and_deterministic(emb, books):
+    enc = pq_encode(emb, books)
+    rows = enc.select("vec_id", "codes").collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    enc2 = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb.repartition(3), books).select(
+            "vec_id", "codes"
+        ).collect()
+    }
+    assert {r["vec_id"]: r["codes"] for r in rows} == enc2
+
+
+def test_adc_recall_vs_brute_force(spark, emb, books):
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        topk_brute_force,
+    )
+
+    qrow = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    truth = {
+        r["vec_id"]
+        for r in topk_brute_force(emb, query, k=10, metric="l2").collect()
+    }
+    enc = pq_encode(emb, books)
+    # ADC is a CANDIDATE stage: on these near-random synthetic vectors
+    # (the hardest case for PQ — pairwise distances concentrate) recall@10
+    # must grow with the candidate budget; 10% / 20% of the corpus are the
+    # budgets a production index would re-rank
+    for cand_k, floor in ((50, 0.6), (100, 0.8)):
+        got = {
+            r["vec_id"]
+            for r in pq_adc_topk(enc, list(qrow), books, k=cand_k).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= floor, f"ADC recall@10 in top{cand_k}: {recall}"
+    # the query's own vector must be the nearest ADC hit (dist to own codes
+    # is minimal by construction of the lookup table)
+    top1 = pq_adc_topk(enc, list(qrow), books, k=1).first()
+    assert top1["vec_id"] == 0
+
+
+def test_pq_search_reranks_exactly(spark, emb, books):
+    """Two-stage search: whatever true neighbors survive the candidate
+    stage come back in EXACT brute-force order."""
+    from bytesme_etl_batch_pipeline_spark.operators.pq import pq_search
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        topk_brute_force,
+    )
+
+    qrow = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    truth = [
+        r["vec_id"]
+        for r in topk_brute_force(emb, query, k=10, metric="l2").collect()
+    ]
+    enc = pq_encode(emb, books)
+    got = [
+        r["vec_id"]
+        for r in pq_search(emb, enc, qrow, books, k=10, candidates=100).collect()
+    ]
+    surviving = [v for v in truth if v in set(got)]
+    # survivors keep exact relative order, and the query itself is rank 1
+    assert [v for v in got if v in set(truth)] == surviving
+    assert got[0] == 0
+    assert len(surviving) >= 8  # matches the >=0.8 candidate recall floor
+
+
+def test_train_rejects_indivisible_m(emb):
+    with pytest.raises(ValueError):
+        train_pq(emb, m=7, k=4, max_iter=1)
