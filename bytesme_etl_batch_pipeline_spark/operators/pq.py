@@ -35,6 +35,29 @@ def _subvector(vec_col, j: int, d_sub: int):
     )
 
 
+def _local_lloyd(X, k: int, max_iter: int) -> list[list[float]]:
+    """Deterministic numpy Lloyd on a driver-side sample: seeds are the
+    first k rows (caller passes rows sorted by id), assignment ties break
+    on the lower centroid index (numpy argmin's tie rule), empty clusters
+    keep their previous centroid."""
+    import numpy as np
+
+    C = X[:k].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        moved = 0.0
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                nc = members.mean(axis=0)
+                moved = max(moved, float(np.abs(nc - C[c]).max()))
+                C[c] = nc
+        if moved < 1e-9:
+            break
+    return [[float(x) for x in row] for row in C]
+
+
 def train_pq(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -44,10 +67,19 @@ def train_pq(
     max_iter: int = 5,
     sample_fraction: float = 1.0,
     seed: int = 42,
+    local: bool = True,
 ) -> list[list[list[float]]]:
-    """Train m per-subspace codebooks of k codewords each. Deterministic:
-    the underlying k-means seeds on the lowest ids and folds its means
-    through DECIMAL, so codebooks are identical under any partitioning.
+    """Train m per-subspace codebooks of k codewords each.
+
+    ``local=True`` (default — the production shape): collect the training
+    SAMPLE to the driver once (PQ quantizers train on thousands of rows,
+    KBs–MBs; pass ``sample_fraction`` to bound it) and run a deterministic
+    numpy Lloyd per subspace — one job total, rows sorted by id so the
+    result is identical under any partitioning. ``local=False`` runs the
+    engine's distributed k-means per subspace (``operators/ml.kmeans``,
+    decimal-exact) for training sets too big to collect — m × max_iter
+    Spark jobs, same determinism guarantee.
+
     Returns ``codebooks[m][k][d/m]``. The vector dimensionality must be
     divisible by ``m``."""
     dim = len(vectors.select(vec_col).first()[0])
@@ -59,6 +91,30 @@ def train_pq(
         if sample_fraction >= 1.0
         else vectors.sample(sample_fraction, seed)
     )
+    if local:
+        import numpy as np
+
+        rows = (
+            train.select(
+                F.col(id_col),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                    "__v"
+                ),
+            )
+            .orderBy(id_col)
+            .collect()
+        )
+        if len(rows) < k:
+            raise ValueError(f"k={k} exceeds sample size {len(rows)}")
+        X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+        return [
+            _local_lloyd(
+                np.ascontiguousarray(X[:, j * d_sub : (j + 1) * d_sub]),
+                k,
+                max_iter,
+            )
+            for j in range(m)
+        ]
     codebooks = []
     for j in range(m):
         sub = train.select(
@@ -80,16 +136,28 @@ def _sq_l2_lit(vec_expr, centroid: list[float]):
     )
 
 
+# Above this many (subspace, codeword) cells the literal-expression encode
+# embeds a codegen tree whose janino compilation dominates runtime (measured:
+# 8×16 cells ≈ 13 s at sf0.1, nearly all compile time) — switch to the Arrow
+# path, same numbers.
+PQ_EXPRESSION_MAX_CELLS = 32
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add ``codes`` (array<int>, length m): per subspace, the id of the
-    nearest codeword (ties break on the lower code). Pure map-side
-    expressions — zero shuffles at any corpus size."""
+    nearest codeword (ties break on the lower code — numpy argmin and the
+    struct-min expression share that rule). Map-side only, zero shuffles at
+    any corpus size; small codebooks run as pure codegen'd expressions,
+    production codebooks as an Arrow-batched numpy argmin (the codebook
+    matrix rides the closure — KBs broadcast with the task)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
+    if m * len(codebooks[0]) > PQ_EXPRESSION_MAX_CELLS:
+        return _pq_encode_pandas(vectors, codebooks, vec_col)
     per_sub = []
     for j, book in enumerate(codebooks):
         sub = _subvector(F.col(vec_col), j, d_sub)
@@ -101,6 +169,37 @@ def pq_encode(
         )
         per_sub.append(F.array_min(pairs)["code"])
     return vectors.withColumn("codes", F.array(*per_sub))
+
+
+def _pq_encode_pandas(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    # one (m, k, d_sub) tensor in the closure
+    C = np.asarray(codebooks, dtype=np.float64)
+
+    # explicit functionType: this module has `from __future__ import
+    # annotations`, which turns the hints into strings pandas_udf's
+    # inference can't resolve (same workaround as bench.py)
+    @pandas_udf("array<int>", PandasUDFType.SCALAR)
+    def _encode(col):
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * d_sub : (j + 1) * d_sub]
+            # (n, k) squared distances; argmin ties break on lower code
+            d2 = ((sub[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return vectors.withColumn("codes", _encode(F.col(vec_col)))
 
 
 def pq_adc_topk(

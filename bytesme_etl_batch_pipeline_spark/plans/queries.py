@@ -6217,6 +6217,28 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pq_adc_search")  # no oracle: codebooks come from iterative k-means
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization two-stage search (Jégou et al. 2011): train
+    per-subspace codebooks with the exact k-means, encode the corpus to
+    m-byte codes map-side, ADC-prune to candidates in the compressed
+    domain, exact-re-rank only the survivors. Declared no-oracle — the
+    codebooks are an iterative training artifact SQL can't replay — but
+    every stage is deterministic and property-tested (``tests/test_pq.py``:
+    codebook/encode partition-invariance, recall-vs-budget floors, exact
+    survivor ordering)."""
+    from ..operators.pq import pq_encode, pq_search, train_pq
+
+    em = load_table(spark, sf_dir, "embeddings")
+    # quantizer quality saturates on a sample (pq.py docstring) — training
+    # on a FIXED deterministic slice keeps the train cost constant at any
+    # corpus scale; encode/search still cover the full table
+    books = train_pq(em.filter(F.col("vec_id") < 500), m=8, k=16, max_iter=3)
+    enc = pq_encode(em, books)
+    qrow = list(em.filter(F.col("vec_id") == 0).first()["embedding"])
+    return pq_search(em, enc, qrow, books, k=10, candidates=50)
+
+
 # ---------------------------------------------------------------------------
 # Catalog iteration order — ROUND 3 rotation.
 #
@@ -6271,7 +6293,7 @@ _CATALOG_ORDER = [
     'cms_heavy_hitters', 'llm_corpus_pipeline', 'kmeans_lloyd_step',
     'tpch_q6_forecast_revenue', 'tpch_q17_small_qty_revenue',
     'tpch_q19_disjunctive_revenue', 'basket_lift_rules',
-    'running_distinct_event_types',
+    'running_distinct_event_types', 'pq_adc_search',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
