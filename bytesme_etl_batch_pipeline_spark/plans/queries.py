@@ -6217,6 +6217,91 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "purchase_attribution",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ),
+    a AS (
+      SELECT user_id, event_id, ts, event_type, session_idx,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attr_event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attr_type
+      FROM s
+    )
+    SELECT user_id, event_id AS purchase_event_id, ts,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           attr_event_id, attr_type
+    FROM a WHERE event_type = 'purchase'
+    """,
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution within sessions: for every purchase, the most
+    recent NON-purchase event in the same 30-min-gap session (the standard
+    marketing-attribution primitive, combining the sessionization rule with
+    a conditional ignore-nulls last_value). First-of-session purchases
+    attribute to NULL, not to the previous session — the frame resets at
+    the session boundary. Two window shuffles: one on user for the
+    lag/cumulative-sum session numbering, one on (user, session) for the
+    attribution frame; both bounded per-user groups at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: cast("long") TRUNCATES sub-second precision, so
+    # a 1799.5 s gap reads as 1800 and splits a session the oracle keeps
+    # (bit sf0.1's user 511; sf0.01 never hit a sub-second boundary case)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1).otherwise(0),
+    )
+    s = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wa = (
+        Window.partitionBy("user_id", "session_idx")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    a = s.withColumn(
+        "attr_event_id",
+        F.last(F.when(not_purchase, F.col("event_id")), ignorenulls=True).over(wa),
+    ).withColumn(
+        "attr_type",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True).over(wa),
+    )
+    return a.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        "ts",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "attr_event_id",
+        "attr_type",
+    )
+
+
 @register("pq_adc_search")  # no oracle: codebooks come from iterative k-means
 def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-Quantization two-stage search (Jégou et al. 2011): train
@@ -6294,6 +6379,7 @@ _CATALOG_ORDER = [
     'tpch_q6_forecast_revenue', 'tpch_q17_small_qty_revenue',
     'tpch_q19_disjunctive_revenue', 'basket_lift_rules',
     'running_distinct_event_types', 'pq_adc_search',
+    'purchase_attribution',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

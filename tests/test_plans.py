@@ -77,6 +77,7 @@ BNLJ_ALLOWED = {
     "ccnet_quality_buckets",  # single-row broadcast token total (unigram LM)
     "bigram_logprob_quality",  # single-row broadcast vocabulary size
     "kmeans_lloyd_step",  # 8-row broadcast centroid table
+    "pq_adc_search",  # single-row broadcast query vector in the re-rank
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
