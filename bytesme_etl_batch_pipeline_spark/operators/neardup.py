@@ -312,7 +312,11 @@ def segment_dedup(
 
     Returns ``(id, clean_text, n_kept, n_dropped)``.
     """
-    ws = words(text_col)
+    # materialized column, not an inline words() expression — an inline
+    # expression re-splits the text at every lambda reference (the
+    # word_ngrams PERF note; measured 6× on the bigram query)
+    base = docs.select(F.col(id_col), words(text_col).alias("__ws"))
+    ws = F.col("__ws")
     n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
     # sequence(0, -1) is DESCENDING, not empty (same guard as word_ngrams)
     idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
@@ -322,7 +326,7 @@ def segment_dedup(
         idx,
         lambda i: F.array_join(F.slice(ws, i * seg_words + 1, seg_words), " "),
     )
-    exploded = docs.select(
+    exploded = base.select(
         F.col(id_col), F.posexplode(segs).alias("pos", "seg")
     )
     w = Window.partitionBy("seg").orderBy(id_col, "pos")
@@ -374,7 +378,11 @@ def boilerplate_removal(
 
     Returns ``(id, clean_text, n_kept, n_dropped)``.
     """
-    ws = words(text_col)
+    # materialized column (see segment_dedup's note on inline words())
+    base = docs.select(
+        F.col(id_col), F.col(source_col), words(text_col).alias("__ws")
+    )
+    ws = F.col("__ws")
     n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
     idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
         F.array().cast("array<int>")
@@ -383,7 +391,7 @@ def boilerplate_removal(
         idx,
         lambda i: F.array_join(F.slice(ws, i * seg_words + 1, seg_words), " "),
     )
-    exploded = docs.select(
+    exploded = base.select(
         F.col(id_col), F.col(source_col), F.posexplode(segs).alias("pos", "seg")
     )
     freq = (
