@@ -123,6 +123,11 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "ccnet_quality_buckets",
         # <2-token docs have no bigrams → NULL score, kept=false
         "bigram_logprob_quality",
+        # junk rows (NULL/short/symbol-heavy) must fall at the GATE stage,
+        # and the empty junk eval slice must decontaminate nothing
+        "llm_corpus_pipeline",
+        # wordless junk docs contribute no tokens to any sketch cell
+        "cms_heavy_hitters",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
