@@ -270,3 +270,138 @@ def pq_search(
     return topk_brute_force(
         pruned, qdf, k=k, id_col=id_col, vec_col=vec_col, metric="l2"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the combined production index (coarse cells + residual PQ codes).
+# ---------------------------------------------------------------------------
+
+def _residual(vec_col, coarse: list[list[float]], cell_col: str = "cell"):
+    """vector − its cell's coarse centroid, as a map-side expression: the
+    coarse table rides as an array-of-arrays literal indexed by the cell."""
+    coarse_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+    )
+    own = F.element_at(coarse_lit, F.col(cell_col) + 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.zip_with(v, own, lambda x, c: x - c)
+
+
+def train_ivfpq(
+    vectors: DataFrame,
+    k_coarse: int = 4,
+    m: int = 8,
+    k_pq: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+    sample_fraction: float = 1.0,
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """Train the two-level IVF-PQ index (Jégou et al. 2011 §IV): a coarse
+    quantizer partitions the space into cells, then PQ codebooks train on
+    the RESIDUALS (vector − cell centroid) — residuals concentrate around
+    the origin, so the same codebook budget quantizes them far better than
+    raw vectors. Returns ``(coarse_centroids, codebooks, encoded)`` where
+    ``encoded`` carries (id, cell, codes) — the m-byte-per-vector index
+    payload. Everything after the two sample-sized trainings is map-side."""
+    from .similarity import ivf_assign, train_ivf_centroids
+
+    coarse = train_ivf_centroids(
+        vectors,
+        k=k_coarse,
+        vec_col=vec_col,
+        engine="exact",
+        id_col=id_col,
+        sample_fraction=sample_fraction,
+    )
+    assigned = ivf_assign(vectors, coarse, vec_col)
+    with_res = assigned.withColumn("__res", _residual(vec_col, coarse))
+    books = train_pq(
+        with_res,
+        vec_col="__res",
+        id_col=id_col,
+        m=m,
+        k=k_pq,
+        max_iter=max_iter,
+        sample_fraction=sample_fraction,
+    )
+    encoded = pq_encode(with_res, books, vec_col="__res").select(
+        id_col, "cell", "codes"
+    )
+    return coarse, books, encoded
+
+
+def ivfpq_search(
+    vectors: DataFrame,
+    encoded: DataFrame,
+    query_vec: list[float],
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` cells nearest the query; within
+    each probed cell, ADC against that cell's OWN residual query (q − cell
+    centroid) via a per-cell literal lookup table; exact-re-rank the best
+    ``candidates``. The scan prunes to probed cells (at scale the index is
+    written partitioned by cell, making this partition pruning), distances
+    never touch a float vector, and only ~``candidates`` rows read the
+    original embedding column for the re-rank."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    cell_d = [
+        sum((a - b) * (a - b) for a, b in zip(q, c)) for c in coarse
+    ]
+    probes = sorted(range(len(coarse)), key=lambda i: (cell_d[i], i))[:n_probe]
+
+    def lut_for(cell: int):
+        res_q = [a - b for a, b in zip(q, coarse[cell])]
+        rows = []
+        for j, book in enumerate(codebooks):
+            qs = res_q[j * d_sub : (j + 1) * d_sub]
+            rows.append(
+                F.array(
+                    *[
+                        F.lit(sum((a - b) * (a - b) for a, b in zip(qs, c)))
+                        for c in book
+                    ]
+                )
+            )
+        return F.array(*rows)
+
+    # per-probed-cell LUT selected by a when-chain (n_probe is small)
+    lut = None
+    for c in probes:
+        lut = (
+            F.when(F.col("cell") == c, lut_for(c))
+            if lut is None
+            else lut.when(F.col("cell") == c, lut_for(c))
+        )
+    dist = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.element_at(lut, j + 1), F.element_at(F.col("codes"), j + 1) + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        encoded.filter(F.col("cell").isin([int(c) for c in probes]))
+        .select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(candidates)
+    )
+    from .similarity import topk_brute_force
+
+    pruned = vectors.join(F.broadcast(cand.select(id_col)), id_col)
+    spark = vectors.sparkSession
+    qdf = spark.createDataFrame([(q,)], "q array<double>")
+    return topk_brute_force(
+        pruned, qdf, k=k, id_col=id_col, vec_col=vec_col, metric="l2"
+    )

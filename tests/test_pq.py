@@ -109,3 +109,79 @@ def test_pq_search_reranks_exactly(spark, emb, books):
 def test_train_rejects_indivisible_m(emb):
     with pytest.raises(ValueError):
         train_pq(emb, m=7, k=4, max_iter=1)
+
+
+def test_ivfpq_end_to_end(spark, emb):
+    """IVF-PQ: residual encoding, cell-pruned ADC, exact re-rank. With all
+    cells probed and a generous candidate budget, recall@10 must beat the
+    flat-PQ floor (residual quantization is strictly finer), and the query
+    vector itself must come back first."""
+    from bytesme_etl_batch_pipeline_spark.operators.pq import (
+        ivfpq_search,
+        train_ivfpq,
+    )
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        topk_brute_force,
+    )
+
+    coarse, books, encoded = train_ivfpq(emb, k_coarse=4, m=8, k_pq=16)
+    assert len(coarse) == 4 and len(books) == 8
+    enc_rows = encoded.collect()
+    assert len(enc_rows) == emb.count()
+    assert all(0 <= r["cell"] < 4 and len(r["codes"]) == 8 for r in enc_rows)
+
+    qrow = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    truth = {
+        r["vec_id"]
+        for r in topk_brute_force(emb, query, k=10, metric="l2").collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in ivfpq_search(
+            emb, encoded, qrow, coarse, books, k=10, n_probe=4, candidates=100
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"IVF-PQ recall@10 (all cells, 100 cands): {recall}"
+
+    top1 = ivfpq_search(
+        emb, encoded, qrow, coarse, books, k=1, n_probe=1, candidates=20
+    ).first()
+    assert top1["vec_id"] == 0
+
+
+def test_ivfpq_probe_pruning_monotone(spark, emb):
+    """More probed cells can only widen the candidate pool: recall with
+    n_probe=4 must be >= recall with n_probe=1 for the same budget."""
+    from bytesme_etl_batch_pipeline_spark.operators.pq import (
+        ivfpq_search,
+        train_ivfpq,
+    )
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        topk_brute_force,
+    )
+
+    coarse, books, encoded = train_ivfpq(emb, k_coarse=4, m=8, k_pq=16)
+    qrow = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    query = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("q")
+    )
+    truth = {
+        r["vec_id"]
+        for r in topk_brute_force(emb, query, k=10, metric="l2").collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            r["vec_id"]
+            for r in ivfpq_search(
+                emb, encoded, qrow, coarse, books,
+                k=10, n_probe=n_probe, candidates=100,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(4) >= recall(1)
