@@ -6348,6 +6348,37 @@ def q_missing_activity_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
+    + residual PQ codes, cell-pruned ADC candidates, exact re-rank — the
+    full production ANN index. Rows-only like ``pq_adc_search`` (two
+    trained quantizers); recall floors, probe monotonicity and self-hit
+    are pinned in ``tests/test_pq.py``."""
+    from ..operators.pq import ivfpq_search, train_ivfpq
+
+    em = load_table(spark, sf_dir, "embeddings")
+    # fixed-slice training sample: constant train cost at any corpus scale
+    coarse, books, encoded = train_ivfpq(
+        em.filter(F.col("vec_id") < 500), k_coarse=4, m=8, k_pq=16
+    )
+    from ..operators.similarity import ivf_assign
+
+    # assign + encode the FULL table with the sample-trained quantizers
+    from ..operators.pq import _residual, pq_encode
+
+    assigned = ivf_assign(em, coarse)
+    full_encoded = pq_encode(
+        assigned.withColumn("__res", _residual("embedding", coarse)),
+        books,
+        vec_col="__res",
+    ).select("vec_id", "cell", "codes")
+    qrow = list(em.filter(F.col("vec_id") == 0).first()["embedding"])
+    return ivfpq_search(
+        em, full_encoded, qrow, coarse, books, k=10, n_probe=2, candidates=50
+    )
+
+
 @register("pq_adc_search")  # no oracle: codebooks come from iterative k-means
 def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-Quantization two-stage search (Jégou et al. 2011): train
@@ -6425,7 +6456,7 @@ _CATALOG_ORDER = [
     'tpch_q6_forecast_revenue', 'tpch_q17_small_qty_revenue',
     'tpch_q19_disjunctive_revenue', 'basket_lift_rules',
     'running_distinct_event_types', 'pq_adc_search',
-    'purchase_attribution', 'missing_activity_days',
+    'purchase_attribution', 'missing_activity_days', 'ivfpq_topk',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -78,6 +78,7 @@ BNLJ_ALLOWED = {
     "bigram_logprob_quality",  # single-row broadcast vocabulary size
     "kmeans_lloyd_step",  # 8-row broadcast centroid table
     "pq_adc_search",  # single-row broadcast query vector in the re-rank
+    "ivfpq_topk",  # single-row broadcast query vector in the re-rank
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
