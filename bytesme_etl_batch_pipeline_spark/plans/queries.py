@@ -6348,6 +6348,156 @@ def q_missing_activity_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q8_nation_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+             ns.n_name AS s_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region r  ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(CAST(CAST(SUM(CASE WHEN s_nation = 'NATION_2' THEN rev
+                                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 6) AS mkt_share,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM flat GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier market share within a region's
+    customer orders, by order year. The 7-table star resolves every
+    dimension (customer-nation, region, supplier-nation) via broadcast —
+    the only big shuffle is lineitem⋈orders on the order key; the region
+    filter prunes through the dimension chain before the facts join.
+    Decimal-exact revenue; the share divides two VARCHAR-routed doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("s_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    flat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            F.col("s_nation"),
+        )
+    )
+    nation_rev = F.sum(
+        F.when(F.col("s_nation") == "NATION_2", F.col("rev")).otherwise(zero)
+    )
+    total = F.sum("rev")
+    return flat.groupBy("o_year").agg(
+        F.round(
+            nation_rev.cast("string").cast("double")
+            / total.cast("string").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        total.cast("string").cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_idx,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM s GROUP BY user_id, session_idx
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS step_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM per_session
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel at SESSION granularity (vs ``funnel_conversion``'s user
+    granularity): sessions whose events progress view → click → purchase IN
+    ORDER within the same 30-min-gap session — the conversion metric a
+    product team actually tracks. The sessionization windows share the
+    user-key shuffle; the step logic is conditional-min aggregates, no
+    self-joins. Microsecond-exact gap rule as in ``purchase_attribution``."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    s = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    def first_ts(kind):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_session = s.groupBy("user_id", "session_idx").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & (F.col("t_click") > F.col("t_view"))
+    did_purchase = did_click & (F.col("t_purchase") > F.col("t_click"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        cnt(did_view).alias("step_view"),
+        cnt(did_click).alias("step_click"),
+        cnt(did_purchase).alias("step_purchase"),
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -6457,6 +6607,7 @@ _CATALOG_ORDER = [
     'tpch_q19_disjunctive_revenue', 'basket_lift_rules',
     'running_distinct_event_types', 'pq_adc_search',
     'purchase_attribution', 'missing_activity_days', 'ivfpq_topk',
+    'tpch_q8_nation_market_share', 'session_funnel',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
