@@ -6498,6 +6498,119 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inverted_token_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok GROUP BY token
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the IR/search primitive): token →
+    sorted posting list of documents containing it, with document
+    frequency. One distinct + one groupBy on the token — the postings
+    build is exactly a keyed sort-aggregate; at scale the index is written
+    partitioned (bucketed) by token hash so lookups prune. Postings are
+    emitted as a comma string for driver hashability — the parquet sink
+    keeps the array form."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(words("text")).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+@register(
+    "customer_rfm_scores",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+                  AS DOUBLE) AS monetary
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ),
+    scored AS (
+      SELECT c_custkey, last_order, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_order DESC, c_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS m_score
+      FROM base
+    )
+    SELECT c_custkey, last_order, frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (recency / frequency / monetary quintiles — the
+    classic CRM segmentation): per-customer aggregates, then three ntile
+    windows. The windows are deliberately GLOBAL (quintiles are defined
+    over the whole customer base) — at 100 TB the base table is
+    |customers|, orders-of-magnitude smaller than the fact input, and the
+    standard scale-out is quantile-boundary broadcast as in
+    ``equidepth_histogram``; this query keeps the exact-ntile form the
+    oracle can replay. Decimal-exact monetary; every sort tiebroken by
+    custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(_dec("o_totalprice")).cast("string").cast("double").alias(
+                "monetary"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), "c_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "c_custkey")
+    scored = (
+        base.withColumn("r_score", F.ntile(5).over(wr))
+        .withColumn("f_score", F.ntile(5).over(wf))
+        .withColumn("m_score", F.ntile(5).over(wm))
+    )
+    return scored.select(
+        "c_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -6608,6 +6721,7 @@ _CATALOG_ORDER = [
     'running_distinct_event_types', 'pq_adc_search',
     'purchase_attribution', 'missing_activity_days', 'ivfpq_topk',
     'tpch_q8_nation_market_share', 'session_funnel',
+    'inverted_token_index', 'customer_rfm_scores',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
