@@ -6611,6 +6611,127 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pe AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT pa, pb FROM pe WHERE n >= 2),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    wed AS (SELECT SUM(d * (d - 1) // 2) AS w FROM deg)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(t AS BIGINT) AS n_triangles,
+           CAST(w AS BIGINT) AS n_wedges,
+           round(CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0.0 END, 6)
+             AS clustering
+    FROM tri, wed
+    """,
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the strong co-purchase graph (parts sharing ≥2
+    orders) — the classic distributed graph-analytics kernel, implemented
+    with DEGREE ORIENTATION (Suri & Vassilvitskii 2011, "Counting Triangles
+    and the Curse of the Last Reducer"): every edge orients from its
+    lower-(degree, id) endpoint, wedges form only among OUT-edges of a
+    node, and each triangle is counted exactly once at its lowest vertex.
+    Orientation bounds per-node wedge fan-out by out-degree ≤ O(√m), which
+    is what survives power-law graphs at scale — the oracle's naive
+    three-way self-join is the semantic spec, not the plan. Also reports
+    the global clustering coefficient (3·triangles / open wedges)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    s = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + 2, F.greatest(F.size(s) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    e = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+        # the edge set feeds FIVE branches (degrees ×2, orientation, both
+        # wedge sides, closure); without materialization Catalyst recomputes
+        # the whole basket→pair aggregation per branch — 56 exchanges
+        # measured. The strong-edge set is support-pruned (tiny vs the
+        # fact), so one eager materialization is the scale-correct trade —
+        # same lesson as graph.connected_components_star.
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    ed = e.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    ).localCheckpoint(eager=True)  # reused by o1, o2 and the closure join
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("dw"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    tri_row = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    edge_row = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedge_row = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    return (
+        edge_row.crossJoin(F.broadcast(tri_row))
+        .crossJoin(F.broadcast(wedge_row))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -6721,7 +6842,7 @@ _CATALOG_ORDER = [
     'running_distinct_event_types', 'pq_adc_search',
     'purchase_attribution', 'missing_activity_days', 'ivfpq_topk',
     'tpch_q8_nation_market_share', 'session_funnel',
-    'inverted_token_index', 'customer_rfm_scores',
+    'inverted_token_index', 'customer_rfm_scores', 'copurchase_triangles',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

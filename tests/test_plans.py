@@ -79,6 +79,7 @@ BNLJ_ALLOWED = {
     "kmeans_lloyd_step",  # 8-row broadcast centroid table
     "pq_adc_search",  # single-row broadcast query vector in the re-rank
     "ivfpq_topk",  # single-row broadcast query vector in the re-rank
+    "copurchase_triangles",  # three 1-row count aggregates cross-joined
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
