@@ -6732,6 +6732,85 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_activity_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    act AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT s.day,
+           CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(a.n_users, 0) AS BIGINT) AS n_users,
+           a.n_events IS NULL AS is_dark
+    FROM spine s LEFT JOIN act a USING (day)
+    """,
+)
+def q_daily_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine pattern: a generated continuous day spine LEFT-joined
+    to per-day activity, so ZERO-activity days appear as explicit rows
+    (``is_dark``) instead of silently missing — the idiom every
+    time-series rollup needs before gap-aware charting/alerting. The spine
+    derives from a 1-row min/max aggregate exploded into days (broadcast,
+    calendar-sized); activity aggregates once on the day key."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    act = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return (
+        spine.join(act, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+            F.col("n_events").isNull().alias("is_dark"),
+        )
+    )
+
+
+@register(
+    "hour_weekday_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS weekday,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × ISO-weekday activity matrix (the telemetry heatmap
+    behind load forecasting and anomaly baselines). One shuffle on the
+    168-cell key; Spark's ``dayofweek`` is Sunday=1, so the ISO mapping is
+    derived explicitly to match DuckDB's ``isodow``."""
+    e = load_table(spark, sf_dir, "events")
+    iso = ((F.dayofweek("ts") + 5) % 7) + 1  # Sun=1..Sat=7 → Mon=1..Sun=7
+    return e.groupBy(
+        iso.cast("int").alias("weekday"), F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -6843,6 +6922,7 @@ _CATALOG_ORDER = [
     'purchase_attribution', 'missing_activity_days', 'ivfpq_topk',
     'tpch_q8_nation_market_share', 'session_funnel',
     'inverted_token_index', 'customer_rfm_scores', 'copurchase_triangles',
+    'daily_activity_spine', 'hour_weekday_heatmap',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
