@@ -6811,6 +6811,119 @@ def q_hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT day, x,
+             SUM(x)     OVER w AS s1,
+             SUM(x * x) OVER w AS s2,
+             COUNT(*)   OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, CAST(x AS BIGINT) AS n_events,
+           round((x - s1 / n)
+                 / sqrt((s2 * n - s1 * s1) / (n * (n - 1.0))), 6) AS z,
+           abs((x - s1 / n)
+               / sqrt((s2 * n - s1 * s1) / (n * (n - 1.0)))) > 2.0 AS anomaly
+    FROM stats
+    WHERE n >= 2
+    """,
+)
+def q_daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly detection: each day's event volume scored
+    against the mean/std of the PRECEDING 7 days (frame excludes the
+    current row, so a spike can't mask itself). The variance comes from
+    explicit (Σx, Σx²) window sums with the same algebraic formula in both
+    engines — built-in windowed stddev implementations differ in
+    accumulation and drift by ulps. Day counts are one keyed aggregate;
+    the global day-ordered window runs over |days| rows (calendar-sized —
+    the one place a global window is safe, as in ``running_total``)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") >= 2)
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (F.col("x") - s1 / n) / F.sqrt(
+        (s2 * n - s1 * s1) / (n * (n - F.lit(1.0)))
+    )
+    return stats.select(
+        "day",
+        F.col("x").cast("long").alias("n_events"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("anomaly"),
+    )
+
+
+@register(
+    "revenue_pareto_deciles",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_dec,
+             ntile(10) OVER (ORDER BY rev_dec DESC, o_custkey) AS decile
+      FROM cust
+    ),
+    tot AS (SELECT SUM(rev_dec) AS t FROM cust)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(rev_dec) AS VARCHAR) AS DOUBLE) AS revenue,
+           round(CAST(CAST(SUM(rev_dec) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(t AS VARCHAR) AS DOUBLE), 6) AS revenue_share
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, t
+    """,
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration profile: customers ranked into revenue deciles,
+    each decile's share of total revenue (the 80/20 view). Per-customer
+    rollup shuffles once; the global decile window runs over |customers|
+    (dim-sized); the grand total rides a 1-row broadcast. Exact decimal
+    sums end-to-end, shares via the VARCHAR-routed double division."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("rev_dec")
+    )
+    wd = Window.orderBy(F.col("rev_dec").desc(), "o_custkey")
+    ranked = cust.withColumn("decile", F.ntile(10).over(wd))
+    tot = cust.agg(F.sum("rev_dec").alias("t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_dec").alias("rev_sum"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            F.col("rev_sum").cast("string").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev_sum").cast("string").cast("double")
+                / F.col("t").cast("string").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -6923,6 +7036,7 @@ _CATALOG_ORDER = [
     'tpch_q8_nation_market_share', 'session_funnel',
     'inverted_token_index', 'customer_rfm_scores', 'copurchase_triangles',
     'daily_activity_spine', 'hour_weekday_heatmap',
+    'daily_volume_anomalies', 'revenue_pareto_deciles',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -80,6 +80,7 @@ BNLJ_ALLOWED = {
     "pq_adc_search",  # single-row broadcast query vector in the re-rank
     "ivfpq_topk",  # single-row broadcast query vector in the re-rank
     "copurchase_triangles",  # three 1-row count aggregates cross-joined
+    "revenue_pareto_deciles",  # single-row broadcast grand total
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
