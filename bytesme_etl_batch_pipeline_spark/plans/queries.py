@@ -6924,6 +6924,119 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+      FROM events GROUP BY user_id
+    ),
+    cohort_sizes AS (
+      SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort_month
+    ),
+    spend AS (
+      SELECT f.cohort_month,
+             CAST(datediff('month', f.cohort_month,
+                           date_trunc('month', e.ts)) AS INT) AS month_offset,
+             SUM(CAST(e.value AS DECIMAL(18,4))) AS v
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT s.cohort_month, s.month_offset, c.cohort_users,
+           CAST(CAST(s.v AS VARCHAR) AS DOUBLE) AS cohort_revenue,
+           round(CAST(CAST(s.v AS VARCHAR) AS DOUBLE) / c.cohort_users, 6)
+             AS revenue_per_user
+    FROM spend s JOIN cohort_sizes c USING (cohort_month)
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-seen month,
+    purchase revenue accumulated per (cohort, months-since-acquisition)
+    cell, normalized per cohort user — the LTV curve marketing reads down
+    each column. Shape: first-seen is one user-keyed aggregate reused by
+    BOTH the cohort sizing and the spend join (user-dim-sized → broadcast
+    back); the matrix itself is a calendar²-sized aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year(F.date_trunc("month", F.col("ts"))) - F.year("cohort_month")) * 12
+                + (F.month(F.date_trunc("month", F.col("ts"))) - F.month("cohort_month"))
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(F.sum(_dec("value")).alias("v"))
+    )
+    return spend.join(F.broadcast(sizes), "cohort_month").select(
+        # DuckDB date_trunc('month') yields DATE; Spark yields TIMESTAMP
+        F.col("cohort_month").cast("date").alias("cohort_month"),
+        "month_offset",
+        "cohort_users",
+        F.col("v").cast("string").cast("double").alias("cohort_revenue"),
+        F.round(
+            F.col("v").cast("string").cast("double") / F.col("cohort_users"), 6
+        ).alias("revenue_per_user"),
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           n_orders,
+           round(CASE WHEN lag(rev_dec) OVER w IS NULL THEN NULL
+                      ELSE (CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+                            - CAST(CAST(lag(rev_dec) OVER w AS VARCHAR) AS DOUBLE))
+                           / CAST(CAST(lag(rev_dec) OVER w AS VARCHAR) AS DOUBLE)
+                 END, 6) AS mom_growth
+    FROM m
+    WINDOW w AS (ORDER BY month)
+    """,
+)
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup + lag ratio — the
+    reporting staple. The lag runs on the calendar-sized month table (the
+    safe global window); growth divides VARCHAR-routed doubles of exact
+    decimal sums so both engines agree to the bit."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(_dec("o_totalprice")).alias("rev_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_dec").over(w)
+    cur_d = F.col("rev_dec").cast("string").cast("double")
+    prev_d = prev.cast("string").cast("double")
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        cur_d.alias("revenue"),
+        "n_orders",
+        F.round(
+            F.when(prev.isNull(), F.lit(None)).otherwise((cur_d - prev_d) / prev_d),
+            6,
+        ).alias("mom_growth"),
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7037,6 +7150,7 @@ _CATALOG_ORDER = [
     'inverted_token_index', 'customer_rfm_scores', 'copurchase_triangles',
     'daily_activity_spine', 'hour_weekday_heatmap',
     'daily_volume_anomalies', 'revenue_pareto_deciles',
+    'cohort_ltv_matrix', 'monthly_revenue_growth',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
