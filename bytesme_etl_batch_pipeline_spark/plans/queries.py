@@ -7037,6 +7037,92 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_hhi_by_type",
+    oracle="""
+    WITH rev AS (
+      SELECT p_type, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT p_type, SUM(r) AS t FROM rev GROUP BY p_type)
+    SELECT rev.p_type,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(SUM(POWER(CAST(CAST(r AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(t AS VARCHAR) AS DOUBLE), 2)), 6) AS hhi
+    FROM rev JOIN tot ON rev.p_type = tot.p_type
+    GROUP BY rev.p_type
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part type via the Herfindahl–Hirschman
+    index (Σ market-share² — the antitrust-style concentration metric;
+    1/n = perfect competition, 1.0 = monopoly). Nested aggregation: revenue
+    per (type, supplier) in one keyed shuffle, per-type totals fold the
+    RESULT of that aggregate (dictionary-sized, broadcast back), then the
+    share-square sum re-groups by type. Shares divide VARCHAR-routed
+    doubles of exact decimal sums; the per-type share² addends sum over ≤
+    |suppliers| values with identical bits in both engines, and round(6)
+    absorbs the one degree of association freedom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+                "r"
+            )
+        )
+    )
+    tot = rev.groupBy("p_type").agg(F.sum("r").alias("t"))
+    share = F.col("r").cast("string").cast("double") / F.col("t").cast(
+        "string"
+    ).cast("double")
+    return (
+        rev.join(F.broadcast(tot), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "orders_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1997-06-15'
+       OR (o_orderdate = TIMESTAMP '1997-06-15' AND o_orderkey > 7000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 25
+    """,
+)
+def q_orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scalable replacement for
+    OFFSET/LIMIT: the next page is everything strictly after the last-seen
+    (o_orderdate, o_orderkey) cursor, fetched as TakeOrderedAndProject
+    over a predicate that PUSHES to the scan (an OFFSET plan must instead
+    sort-and-discard every earlier row, which grows linearly with page
+    depth). The composite cursor compare is the standard row-value
+    desugaring."""
+    o = load_table(spark, sf_dir, "orders")
+    cursor_date, cursor_key = "1997-06-15", 7000
+    after = (F.col("o_orderdate") > cursor_date) | (
+        (F.col("o_orderdate") == cursor_date) & (F.col("o_orderkey") > cursor_key)
+    )
+    return (
+        o.filter(after)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7151,6 +7237,7 @@ _CATALOG_ORDER = [
     'daily_activity_spine', 'hour_weekday_heatmap',
     'daily_volume_anomalies', 'revenue_pareto_deciles',
     'cohort_ltv_matrix', 'monthly_revenue_growth',
+    'supplier_hhi_by_type', 'orders_keyset_page',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
