@@ -7123,6 +7123,150 @@ def q_orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_effectiveness_report",
+    oracle=f"""
+    WITH n_docs AS (SELECT count(*) AS total_docs FROM documents),
+    exact AS (
+      SELECT count(*) AS distinct_docs
+      FROM (SELECT DISTINCT md5(lower(trim(text))) FROM documents)
+    ),
+    w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    pe AS (
+      SELECT doc_id, ws,
+             unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS pos
+      FROM w
+    ),
+    segs AS (
+      SELECT doc_id, pos, array_to_string(ws[(pos*8+1):(pos*8+8)], ' ') AS seg
+      FROM pe
+    ),
+    seg_stats AS (
+      SELECT count(*) AS total_segs,
+             count(DISTINCT seg) AS distinct_segs
+      FROM segs
+    )
+    SELECT CAST(total_docs AS BIGINT) AS total_docs,
+           CAST(distinct_docs AS BIGINT) AS distinct_docs,
+           CAST(total_docs - distinct_docs AS BIGINT) AS exact_dups,
+           CAST(total_segs AS BIGINT) AS total_segments,
+           CAST(distinct_segs AS BIGINT) AS distinct_segments,
+           round(1.0 - CAST(distinct_segs AS DOUBLE) / total_segs, 6)
+             AS segment_dup_ratio
+    FROM n_docs, exact, seg_stats
+    """,
+)
+def q_dedup_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: ONE summary row quantifying how much each dedup
+    stage would remove — whole-document exact duplicates (content digest)
+    and cross-corpus 8-word-segment duplication (the C4 span-dedup
+    denominator). This is the report a pipeline operator reads BEFORE
+    choosing dedup stages; at 100 TB each stat is a distinct-count
+    aggregate (sketchable via HLL when exactness stops mattering). Three
+    1-row aggregates cross-joined broadcast."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+    exact = d.select(F.md5(F.lower(F.trim("text"))).alias("dg")).agg(
+        F.countDistinct("dg").cast("long").alias("distinct_docs")
+    )
+    base = d.select("doc_id", words("text").alias("__ws"))
+    ws = F.col("__ws")
+    n_seg = F.ceil(F.size(ws) / F.lit(8)).cast("int")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " ")
+    )
+    seg_stats = base.select(F.explode(segs).alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("total_segments"),
+        F.countDistinct("seg").cast("long").alias("distinct_segments"),
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(seg_stats))
+        .select(
+            "total_docs",
+            "distinct_docs",
+            (F.col("total_docs") - F.col("distinct_docs"))
+            .cast("long")
+            .alias("exact_dups"),
+            "total_segments",
+            "distinct_segments",
+            F.round(
+                F.lit(1.0)
+                - F.col("distinct_segments").cast("double")
+                / F.col("total_segments"),
+                6,
+            ).alias("segment_dup_ratio"),
+        )
+    )
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_idx, count(*) AS n_events
+      FROM s GROUP BY user_id, session_idx
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounced,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate,
+           round(avg(CAST(n_events AS DOUBLE)), 6) AS avg_session_events
+    FROM per_session
+    """,
+)
+def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate: share of sessions containing exactly one event, plus
+    mean session depth — the engagement headline metric. Reuses the
+    microsecond-exact 30-min-gap sessionizer; the bounce aggregate is a
+    COUNT-only rollup over the session table. avg(n_events) sums small
+    integers cast to double — order-insensitive at round-6 granularity for
+    integral addends."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    s = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounced = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounced.cast("long").alias("bounced"),
+        F.round(bounced.cast("double") / F.count(F.lit(1)), 6).alias("bounce_rate"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias(
+            "avg_session_events"
+        ),
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7238,6 +7382,7 @@ _CATALOG_ORDER = [
     'daily_volume_anomalies', 'revenue_pareto_deciles',
     'cohort_ltv_matrix', 'monthly_revenue_growth',
     'supplier_hhi_by_type', 'orders_keyset_page',
+    'dedup_effectiveness_report', 'session_bounce_rate',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

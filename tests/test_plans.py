@@ -81,6 +81,7 @@ BNLJ_ALLOWED = {
     "ivfpq_topk",  # single-row broadcast query vector in the re-rank
     "copurchase_triangles",  # three 1-row count aggregates cross-joined
     "revenue_pareto_deciles",  # single-row broadcast grand total
+    "dedup_effectiveness_report",  # three 1-row stat aggregates cross-joined
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
