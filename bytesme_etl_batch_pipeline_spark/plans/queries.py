@@ -7267,6 +7267,169 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "linear_touch_attribution",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ),
+    numbered AS (
+      SELECT user_id, session_idx, event_id, ts, event_type,
+             SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_prior_touches
+      FROM s
+    ),
+    purchases AS (
+      SELECT user_id, session_idx, ts AS p_ts, event_id AS p_eid,
+             n_prior_touches
+      FROM numbered WHERE event_type = 'purchase' AND n_prior_touches > 0
+    ),
+    credit AS (
+      SELECT t.event_type, 1.0 / p.n_prior_touches AS c
+      FROM purchases p
+      JOIN s t ON t.user_id = p.user_id AND t.session_idx = p.session_idx
+      WHERE t.event_type <> 'purchase'
+        AND (t.ts < p.p_ts OR (t.ts = p.p_ts AND t.event_id < p.p_eid))
+    )
+    SELECT event_type,
+           round(CAST(SUM(CAST(c AS DECIMAL(18,10))) AS DOUBLE), 4)
+             AS total_credit,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM credit GROUP BY event_type
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit EQUALLY across the non-purchase events earlier in its session,
+    aggregated per touch type — the fairness-baseline model next to
+    ``purchase_attribution``'s last-touch. Shape: the sessionizer's
+    user-key windows, a purchase-to-touches join co-partitioned on
+    (user, session) with a time predicate (bounded per-session fan-out —
+    never a cross join), and a decimal-folded credit sum (1/n fractions
+    sum associatively in DECIMAL(18,10), so partial-agg order can't drift
+    the total)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    s = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = (
+        Window.partitionBy("user_id", "session_idx")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    numbered = s.withColumn(
+        "n_prior_touches",
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).over(ws),
+    )
+    purchases = numbered.filter(
+        (F.col("event_type") == "purchase") & (F.col("n_prior_touches") > 0)
+    ).select(
+        "user_id",
+        "session_idx",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_eid"),
+        "n_prior_touches",
+    )
+    touches = s.filter(F.col("event_type") != "purchase").select(
+        "user_id", "session_idx", "ts", "event_id", "event_type"
+    )
+    credit = purchases.join(touches, ["user_id", "session_idx"]).filter(
+        (F.col("ts") < F.col("p_ts"))
+        | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") < F.col("p_eid")))
+    )
+    c = (F.lit(1.0) / F.col("n_prior_touches")).cast("decimal(18,10)")
+    return credit.groupBy("event_type").agg(
+        F.round(F.sum(c).cast("double"), 4).alias("total_credit"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH line_sums AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(CAST(computed AS VARCHAR) AS DOUBLE) AS computed,
+             line_sums.l_orderkey IS NOT NULL AS has_lines
+      FROM orders LEFT JOIN line_sums ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN has_lines THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_lines,
+           CAST(SUM(CASE WHEN has_lines
+                          AND abs(computed - o_totalprice)
+                              <= 0.01 * abs(o_totalprice)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN has_lines
+                          AND abs(computed - o_totalprice)
+                              > 0.10 * abs(o_totalprice)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_off_10pct
+    FROM j
+    """,
+)
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit (the referential data-quality check
+    every warehouse load runs): recompute each order's total from its line
+    items — extendedprice × (1−discount) × (1+tax), exact decimal — and
+    bucket the deviation from the stored ``o_totalprice``. The report does
+    NOT assume the books balance; it measures how far they don't (the
+    synthetic generator keeps totals independent, so the mismatch buckets
+    are the interesting output). One orderkey rollup + one key join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    computed = (
+        _dec("l_extendedprice")
+        * (F.lit(1) - _dec("l_discount"))
+        * (F.lit(1) + _dec("l_tax"))
+    )
+    line_sums = li.groupBy("l_orderkey").agg(F.sum(computed).alias("computed_dec"))
+    j = o.join(line_sums, o.o_orderkey == line_sums.l_orderkey, "left").select(
+        "o_totalprice",
+        F.col("computed_dec").cast("string").cast("double").alias("computed"),
+        F.col("l_orderkey").isNotNull().alias("has_lines"),
+    )
+    diff = F.abs(F.col("computed") - F.col("o_totalprice"))
+    within = F.col("has_lines") & (diff <= 0.01 * F.abs(F.col("o_totalprice")))
+    off = F.col("has_lines") & (diff > 0.10 * F.abs(F.col("o_totalprice")))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        cnt(F.col("has_lines")).alias("n_with_lines"),
+        cnt(within).alias("n_within_1pct"),
+        cnt(off).alias("n_off_10pct"),
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7383,6 +7546,7 @@ _CATALOG_ORDER = [
     'cohort_ltv_matrix', 'monthly_revenue_growth',
     'supplier_hhi_by_type', 'orders_keyset_page',
     'dedup_effectiveness_report', 'session_bounce_rate',
+    'linear_touch_attribution', 'order_total_reconciliation',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
