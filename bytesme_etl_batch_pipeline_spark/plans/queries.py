@@ -7430,6 +7430,77 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "returns_rate_by_brand",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS return_rate,
+           CAST(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR)
+                AS DOUBLE) AS returned_value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_returns_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per brand (the retail QA KPI): line share and value of
+    'R' return-flagged lineitems. Broadcast part dimension, single
+    brand-keyed aggregate with conditional decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    returned = F.col("l_returnflag") == "R"
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(returned, 1).otherwise(0)).cast("long").alias("n_returned"),
+            F.round(
+                F.sum(F.when(returned, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("return_rate"),
+            F.sum(F.when(returned, _dec("l_extendedprice")).otherwise(zero))
+            .cast("string")
+            .cast("double")
+            .alias("returned_value"),
+        )
+    )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=f"""
+    WITH pred AS ({_duck_lang_id_sql()})
+    SELECT lang AS true_lang, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation IN the engine: the confusion matrix of the
+    stopword-argmax language identifier against the documents table's
+    ground-truth labels — the quality gate you run before trusting lang-id
+    in a filter chain. One map-side prediction projection + one tiny
+    (lang × lang) aggregate."""
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents").withColumn("__ws", T.words("text"))
+    pred = d.select(
+        F.col("lang").alias("true_lang"),
+        T.lang_id("text", ws=F.col("__ws")).alias("lang_pred"),
+    )
+    return pred.groupBy("true_lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7547,6 +7618,7 @@ _CATALOG_ORDER = [
     'supplier_hhi_by_type', 'orders_keyset_page',
     'dedup_effectiveness_report', 'session_bounce_rate',
     'linear_touch_attribution', 'order_total_reconciliation',
+    'returns_rate_by_brand', 'lang_id_confusion_matrix',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
