@@ -7501,6 +7501,86 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weekly_engagement_segments",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', ts) AS week, user_id,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(week AS DATE) AS week,
+           CASE WHEN n_events >= 10 THEN 'power'
+                WHEN n_events >= 3 THEN 'core'
+                ELSE 'casual' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM weekly
+    GROUP BY 1, 2
+    """,
+)
+def q_weekly_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly engagement-depth segmentation: users bucketed per week into
+    casual (1–2 events), core (3–9) and power (10+) tiers — the retention
+    team's complement to DAU/WAU stickiness. One (week, user) aggregate,
+    then a calendar×3-sized rollup."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    segment = (
+        F.when(F.col("n_events") >= 10, "power")
+        .when(F.col("n_events") >= 3, "core")
+        .otherwise("casual")
+    )
+    return weekly.groupBy(
+        F.col("week").cast("date").alias("week"), segment.alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "dup_rate_by_source",
+    oracle="""
+    WITH digests AS (
+      SELECT source, md5(lower(trim(text))) AS dg FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct
+      FROM digests GROUP BY source
+    )
+    SELECT source, n_docs, n_distinct,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_dups,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate
+    FROM per_source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the triage view that tells a
+    corpus owner WHICH source is flooding the pipeline with copies
+    (``dedup_effectiveness_report`` gives the corpus-wide number). One
+    source-keyed distinct-count aggregate over content digests."""
+    d = load_table(spark, sf_dir, "documents")
+    digests = d.select("source", F.md5(F.lower(F.trim("text"))).alias("dg"))
+    per_source = digests.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("dg").cast("long").alias("n_distinct"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).cast("long").alias("n_dups"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7619,6 +7699,7 @@ _CATALOG_ORDER = [
     'dedup_effectiveness_report', 'session_bounce_rate',
     'linear_touch_attribution', 'order_total_reconciliation',
     'returns_rate_by_brand', 'lang_id_confusion_matrix',
+    'weekly_engagement_segments', 'dup_rate_by_source',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
