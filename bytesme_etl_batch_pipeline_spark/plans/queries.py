@@ -7581,6 +7581,114 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    ),
+    ent AS (
+      -- H = ln(n) - (SUM c*ln c)/n : one aggregation, no totals join-back
+      SELECT doc_id, SUM(c) AS n, count(*) AS n_distinct,
+             round(ln(CAST(SUM(c) AS DOUBLE))
+                   - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                     / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(e.n, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(e.n_distinct, 0) AS BIGINT) AS n_distinct,
+           e.entropy
+    FROM documents d
+    LEFT JOIN ent e ON d.doc_id = e.doc_id
+    """,
+)
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the doc's OWN token distribution —
+    the lexical-diversity signal (low entropy = repetitive/template text)
+    complementing ``repetition_signals``' n-gram ratios. Per-doc token
+    counts shuffle once on (doc, token); the entropy folds the SAME
+    aggregation as the totals (H = ln n − Σ c·ln c / n), so no join-back
+    recomputes the counts. Wordless docs keep NULL entropy."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("token"))
+    counts = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    # H = ln(n) − (Σ c·ln c)/n: the totals fold into the SAME aggregation,
+    # so there is no join-back for Catalyst to recompute counts under
+    n = F.sum("c")
+    ent = counts.groupBy("doc_id").agg(
+        n.alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / n.cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+    return (
+        d.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            "entropy",
+        )
+    )
+
+
+@register(
+    "size_price_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT p_type,
+             count(*) AS n,
+             SUM(CAST(p_size AS DOUBLE)) AS sx,
+             SUM(CAST(p_retailprice AS DOUBLE)) AS sy,
+             SUM(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS sxx,
+             SUM(CAST(p_retailprice AS DOUBLE)
+                 * CAST(p_retailprice AS DOUBLE)) AS syy,
+             SUM(CAST(p_size AS DOUBLE) * CAST(p_retailprice AS DOUBLE)) AS sxy
+      FROM part GROUP BY p_type
+    )
+    SELECT p_type, CAST(n AS BIGINT) AS n_parts,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS pearson_r
+    FROM s
+    """,
+)
+def q_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (size vs retail price per part type) from
+    explicit moment sums — the same bit-parity discipline as
+    ``daily_volume_anomalies``: built-in corr() implementations accumulate
+    differently across engines, the algebraic formula over identical sums
+    does not. One map-side moment projection + one keyed aggregate."""
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("p_size").cast("double")
+    y = F.col("p_retailprice").cast("double")
+    s = p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        "p_type", n.cast("long").alias("n_parts"), F.round(r, 6).alias("pearson_r")
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7700,6 +7808,7 @@ _CATALOG_ORDER = [
     'linear_touch_attribution', 'order_total_reconciliation',
     'returns_rate_by_brand', 'lang_id_confusion_matrix',
     'weekly_engagement_segments', 'dup_rate_by_source',
+    'doc_token_entropy', 'size_price_correlation',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
