@@ -7689,6 +7689,104 @@ def q_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winsorized_value_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             least(greatest(e.value, b.p05), b.p95) AS v
+      FROM events e JOIN bounds b ON e.event_type = b.event_type
+    )
+    SELECT c.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(ANY_VALUE(b.p05), 6) AS p05,
+           round(ANY_VALUE(b.p95), 6) AS p95,
+           round(CAST(CAST(SUM(CAST(v AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE)
+                 / count(*), 6) AS winsorized_mean
+    FROM clipped c JOIN bounds b ON c.event_type = b.event_type
+    GROUP BY c.event_type
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clip each event type's values at its
+    own [p5, p95] before averaging — the outlier-resistant preprocessing
+    step feature pipelines run ahead of scaling. Two passes: exact
+    percentile bounds (type-keyed, 5-row result → broadcast back), then a
+    map-side clip feeding a decimal-exact mean. At 100 TB the bounds pass
+    swaps to approx_percentile, same plan."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("v"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.first("p05"), 6).alias("p05"),
+        F.round(F.first("p95"), 6).alias("p95"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(24,8)")).cast("string").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(r AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM quarter revenue — the
+    view-plus-scalar-max pattern (ALL ties returned, unlike a top-1
+    limit). Revenue rollup shuffles once on suppkey; the max is a 1-row
+    broadcast compared against EXACT decimals, so tie detection is
+    bit-reliable in both engines; supplier resolves via broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("string").cast("double").alias("total_revenue"),
+        )
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7809,6 +7907,7 @@ _CATALOG_ORDER = [
     'returns_rate_by_brand', 'lang_id_confusion_matrix',
     'weekly_engagement_segments', 'dup_rate_by_source',
     'doc_token_entropy', 'size_price_correlation',
+    'winsorized_value_stats', 'tpch_q15_top_supplier',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
