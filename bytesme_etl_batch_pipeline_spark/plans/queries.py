@@ -7787,6 +7787,120 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_estimator_quality",
+    oracle=f"""
+    WITH sig AS ({_DUCK_MINHASH_SIG}),
+    banded AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6)
+               AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sa.seed = sb.seed
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    shd AS (SELECT doc_id, unnest({_DUCK_NGRAMS3}) AS shingle FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.doc_a
+      JOIN shd b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - coalesce(cm.n_common, 0)), 6)
+             AS exact_jaccard,
+           round(abs(e.est_jaccard
+                     - CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                       / (sa.sz + sb.sz - coalesce(cm.n_common, 0))), 6)
+             AS abs_err
+    FROM est e
+    LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """,
+)
+def q_minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (matching-seed fraction) side by side with
+    the EXACT 3-gram Jaccard and the absolute error — the in-engine
+    evaluation that tells an operator whether 4 hashes are enough before
+    scaling the dedup pass (compare ``lang_id_confusion_matrix`` for the
+    classifier twin). Signatures and candidates are
+    localCheckpoint-materialized once (both doc-count-sized) because five
+    downstream branches reuse them — the Catalyst recompute lesson; exact
+    verification stays blocked by the candidate set, never all-pairs."""
+    from ..operators import neardup as N
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = N.minhash_signatures(
+        d, "doc_id", "text", num_hashes=4, shingle_n=3
+    ).localCheckpoint(eager=True)
+    cand = N.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    ).localCheckpoint(eager=True)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ma")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mb")
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("ma") == F.col("mb"), 1.0).otherwise(0.0)), 6
+            ).alias("est_jaccard")
+        )
+    )
+    # materialized words column per the inline-words rule; checkpointed
+    # because sizes and both common-join sides reuse it
+    shd = (
+        d.select("doc_id", N.words("text").alias("__ws"))
+        .select("doc_id", F.explode(N.word_ngrams(F.col("__ws"), 3)).alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(shd.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(shd.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    exact = F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / (
+        F.col("sza") + F.col("szb") - F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    return (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -7908,6 +8022,7 @@ _CATALOG_ORDER = [
     'weekly_engagement_segments', 'dup_rate_by_source',
     'doc_token_entropy', 'size_price_correlation',
     'winsorized_value_stats', 'tpch_q15_top_supplier',
+    'minhash_estimator_quality',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

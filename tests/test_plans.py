@@ -94,6 +94,9 @@ EXCHANGE_BUDGET = {
     # quality gate (0) + exact dedup (3) + decontaminate (4) + clean join
     # (2) + split (0) — four stages, each within its standalone budget
     "llm_corpus_pipeline": 12,
+    # estimate chain (sig agg + pair agg) + exact-verify chain (sizes +
+    # blocked common agg) + the report joins — two pipelines compared
+    "minhash_estimator_quality": 11,
 }
 
 
