@@ -7901,6 +7901,130 @@ def q_minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({_DUCK_NGRAMS2}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / sa.sz, 6) AS containment_a_in_b,
+           round(CAST(n_common AS DOUBLE) / sb.sz, 6) AS containment_b_in_a
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / sa.sz >= 0.5
+       OR CAST(n_common AS DOUBLE) / sb.sz >= 0.5
+    """,
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (Broder's C(A,B) = |A∩B|/|A|) for
+    source-blocked document pairs: high containment with LOW Jaccard means
+    one document quotes or embeds the other — the subset-detection signal
+    symmetric Jaccard misses. Same blocked pair machinery as
+    ``ngram_jaccard_pairs`` (never all-pairs), both directions reported,
+    threshold 0.5 either way."""
+    from ..operators.neardup import _shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_rows(d, "doc_id", "text", 2, extra=["source"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select("source", F.col("doc_id").alias("doc_a"), "__shingle")
+    b = sh.select("source", F.col("doc_id").alias("doc_b"), "__shingle")
+    common = (
+        a.join(b, ["source", "__shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    ca = F.col("n_common").cast("double") / F.col("sza")
+    cb = F.col("n_common").cast("double") / F.col("szb")
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter((ca >= 0.5) | (cb >= 0.5))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("containment_a_in_b"),
+            F.round(cb, 6).alias("containment_b_in_a"),
+        )
+    )
+
+
+@register(
+    "source_token_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_WORDS}) AS token FROM documents
+    ),
+    sc AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+    stot AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+    gc AS (SELECT token, SUM(c) AS g FROM sc GROUP BY token),
+    gtot AS (SELECT SUM(g) AS gn FROM gc),
+    probs AS (
+      SELECT sc.source, sc.token,
+             CAST(sc.c AS DOUBLE) / stot.n AS p,
+             CAST(gc.g AS DOUBLE) / gtot.gn AS q
+      FROM sc
+      JOIN stot ON sc.source = stot.source
+      JOIN gc ON sc.token = gc.token
+      CROSS JOIN gtot
+    )
+    SELECT source,
+           round(SUM(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd_vs_corpus
+    FROM probs GROUP BY source
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional drift per source: Jensen-Shannon divergence between
+    each source's token distribution and the whole-corpus distribution —
+    the monitoring metric that flags a feed whose language shifted (new
+    boilerplate, new domain, encoding breakage) before quality filters
+    notice. All terms fold dictionary-sized aggregates: per-(source,
+    token) counts once off the stream, everything else derives from that
+    table. Tokens absent from a source contribute only their q-side mass,
+    which cancels in the pairwise-sum restricted to the source's support —
+    the oracle mirrors the same restriction, so both engines integrate
+    over identical supports."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(words("text")).alias("token"))
+    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.localCheckpoint(eager=True)  # four derivations reuse it
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("token").agg(F.sum("c").alias("g"))
+    gtot = gc.agg(F.sum("g").alias("gn"))
+    probs = (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(gc), "token")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("n")).alias("p"),
+            (F.col("g").cast("double") / F.col("gn")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.lit(0.5) * F.col("p") * F.log(F.col("p") / m) + F.lit(0.5) * F.col(
+        "q"
+    ) * F.log(F.col("q") / m)
+    return probs.groupBy("source").agg(
+        F.round(F.sum(term), 6).alias("jsd_vs_corpus")
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -8022,7 +8146,8 @@ _CATALOG_ORDER = [
     'weekly_engagement_segments', 'dup_rate_by_source',
     'doc_token_entropy', 'size_price_correlation',
     'winsorized_value_stats', 'tpch_q15_top_supplier',
-    'minhash_estimator_quality',
+    'minhash_estimator_quality', 'shingle_containment_pairs',
+    'source_token_divergence',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -83,6 +83,7 @@ BNLJ_ALLOWED = {
     "revenue_pareto_deciles",  # single-row broadcast grand total
     "dedup_effectiveness_report",  # three 1-row stat aggregates cross-joined
     "tpch_q15_top_supplier",  # single-row broadcast max-revenue scalar
+    "source_token_divergence",  # single-row broadcast corpus token total
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
