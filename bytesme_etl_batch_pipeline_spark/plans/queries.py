@@ -8025,6 +8025,92 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lang_purity_by_source",
+    oracle=f"""
+    WITH pred AS ({_duck_lang_id_sql()}),
+    j AS (
+      SELECT d.source, p.lang, p.lang_pred
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           round(CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS purity
+    FROM j GROUP BY source
+    """,
+)
+def q_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language purity: how often the lang-id prediction agrees
+    with the labeled language, per feed — the triage view that localizes a
+    low global confusion-matrix score to the source causing it. One
+    map-side prediction + one source-keyed aggregate."""
+    from ..operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents").withColumn("__ws", T.words("text"))
+    pred = d.select(
+        "source",
+        (F.col("lang") == T.lang_id("text", ws=F.col("__ws"))).alias("agree"),
+    )
+    return pred.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("agree"), 1).otherwise(0)).cast("long").alias("n_agree"),
+        F.round(
+            F.sum(F.when(F.col("agree"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("purity"),
+    )
+
+
+@register(
+    "partition_skew_report",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+             CAST(SUM(n) AS BIGINT) AS total_rows,
+             CAST(max(n) AS BIGINT) AS max_rows,
+             CAST(min(n) AS BIGINT) AS min_rows,
+             round(quantile_cont(CAST(n AS DOUBLE), 0.5), 6) AS median_rows
+      FROM per_day
+    )
+    SELECT n_partitions, total_rows, max_rows, min_rows, median_rows,
+           round(max_rows / median_rows, 6) AS skew_ratio
+    FROM stats
+    """,
+)
+def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-skew report for a day-partitioned write: row counts per
+    would-be partition, max/median skew ratio — the number that decides
+    whether ``partitionBy(day)`` needs sub-bucketing before a 100 TB write
+    (a 10× skew ratio means the biggest partition stalls the job tail).
+    Complements ``join_skew_report`` (key-level) at the LAYOUT level."""
+    e = load_table(spark, sf_dir, "events")
+    per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("median_rows"),
+    )
+    return stats.select(
+        "n_partitions",
+        "total_rows",
+        "max_rows",
+        "min_rows",
+        "median_rows",
+        F.round(F.col("max_rows") / F.col("median_rows"), 6).alias("skew_ratio"),
+    )
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -8147,7 +8233,7 @@ _CATALOG_ORDER = [
     'doc_token_entropy', 'size_price_correlation',
     'winsorized_value_stats', 'tpch_q15_top_supplier',
     'minhash_estimator_quality', 'shingle_containment_pairs',
-    'source_token_divergence',
+    'source_token_divergence', 'lang_purity_by_source', 'partition_skew_report',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
