@@ -8111,6 +8111,60 @@ def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_position_bias",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    pe AS (
+      SELECT doc_id, len(ws) AS n_words,
+             unnest(list_transform(range(len(ws)),
+                                   i -> {{'pos': i, 'token': ws[i + 1]}})) AS u
+      FROM w WHERE len(ws) >= 2
+    ),
+    rel AS (
+      SELECT u.token, CAST(u.pos AS DOUBLE) / (n_words - 1) AS rp
+      FROM pe
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(avg(rp), 6) AS mean_rel_pos,
+           round(abs(avg(rp) - 0.5), 6) AS edge_bias
+    FROM rel
+    GROUP BY token
+    HAVING count(*) >= 50
+    """,
+)
+def q_token_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional bias per token: the mean RELATIVE position (0 = doc
+    start, 1 = doc end) of each frequent token across the corpus.
+    Navigation/footer boilerplate clusters at the edges (|mean − 0.5|
+    high), body language centers — a cheap screen that targets the
+    frequency-based boilerplate purge. Positions explode map-side from the
+    words array; one token-keyed aggregate; single-word docs are excluded
+    (relative position undefined)."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", words("text").alias("__ws")).filter(
+        F.size("__ws") >= 2
+    )
+    rel = base.select(
+        F.size("__ws").alias("n_words"),
+        F.posexplode("__ws").alias("pos", "token"),
+    ).select(
+        "token",
+        (F.col("pos").cast("double") / (F.col("n_words") - 1)).alias("rp"),
+    )
+    agg = rel.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.round(F.avg("rp"), 6).alias("mean_rel_pos"),
+        F.round(F.abs(F.avg("rp") - 0.5), 6).alias("edge_bias"),
+    )
+    return agg.filter(F.col("n_occurrences") >= 50)
+
+
 @register("ivfpq_topk")  # no oracle: two trained quantizers (iterative)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (engine extension; Jégou et al. 2011 §IV): coarse cells
@@ -8234,6 +8288,7 @@ _CATALOG_ORDER = [
     'winsorized_value_stats', 'tpch_q15_top_supplier',
     'minhash_estimator_quality', 'shingle_containment_pairs',
     'source_token_divergence', 'lang_purity_by_source', 'partition_skew_report',
+    'token_position_bias',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
