@@ -53,8 +53,15 @@ def test_segment_dedup_invariants(spark, texts):
     seen = set()
     for i, t in enumerate(texts):
         expect_all = segs(t)
-        kept = [s for s in expect_all if s not in seen]
-        seen.update(expect_all)
+        # keep-first is GLOBAL over (doc_id, position) — a segment repeated
+        # WITHIN one doc keeps only its first copy too, so `seen` must
+        # advance per segment, not per doc (operator contract; a per-doc
+        # batch update would wrongly keep within-doc duplicates)
+        kept = []
+        for s in expect_all:
+            if s not in seen:
+                kept.append(s)
+                seen.add(s)
         assert out[i].clean_text == " ".join(kept)
         assert out[i].n_kept == len(kept)
         assert out[i].n_dropped == len(expect_all) - len(kept)
