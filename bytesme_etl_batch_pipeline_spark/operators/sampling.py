@@ -191,3 +191,91 @@ def per_group_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    k: int = 100,
+    seed: int | str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-unigram distribution is, then draw a
+    fixed-size sample with Gumbel top-k — the standard way to select
+    pretraining data that "looks like" a trusted corpus without training
+    a classifier.
+
+    Mechanics: each token hashes into one of ``n_buckets`` feature buckets
+    (md5-derived, oracle-replayable); the target rows (``target_filter``)
+    and the full corpus each induce an add-1-smoothed bucket distribution;
+    a document's log importance weight is the sum over its tokens of
+    ``ln p_target(bucket) - ln p_raw(bucket)``. Sampling WITHOUT
+    replacement ∝ exp(weight) is exactly Gumbel top-k: add a seeded Gumbel
+    ``-ln(-ln U)`` per doc and keep the k largest keys.
+
+    Scale shape: ONE token-level aggregation computes BOTH bucket counts
+    (conditional count — not two passes), collapses to ``n_buckets`` rows,
+    and broadcasts back onto the token stream; per-doc scoring is one
+    doc-keyed aggregation and the top-k is TakeOrderedAndProject — no
+    global sort, no driver state. Weights and keys round to 1e-6 before
+    ranking so the cut line is reproducible across engines; ties break on
+    the id.
+    """
+    from ..operators.textops import md5_hash48, words
+
+    tok = docs.select(
+        F.col(id_col),
+        target_filter.alias("__is_tgt"),
+        F.explode(words(text_col)).alias("token"),
+    ).select(
+        id_col,
+        "__is_tgt",
+        (md5_hash48(F.concat(F.lit(f"{seed}|"), F.col("token"))) % n_buckets).alias(
+            "bucket"
+        ),
+    )
+    per_bucket = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("cnt_tgt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
+    )
+    ratio = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("cnt_tgt") + 1).cast("double")
+                / (F.col("tot_tgt") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("cnt_raw") + 1).cast("double")
+                / (F.col("tot_raw") + n_buckets).cast("double")
+            )
+        ).alias("logratio"),
+    )
+    scored = (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("logratio"), 6).alias("log_weight"),
+        )
+    )
+    base = docs.select(id_col).join(scored, id_col, "left")
+    u = (
+        md5_hash48(F.concat_ws("|", F.lit(f"{seed}-g"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(2**48))
+    gumbel = -F.log(-F.log(u))
+    keyed = base.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        F.round(F.coalesce("log_weight", F.lit(0.0)) + gumbel, 6).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc()).limit(k)

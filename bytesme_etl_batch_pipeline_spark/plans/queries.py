@@ -8708,6 +8708,154 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data selection & governance (engine extensions, round 3 tail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'vi' AS is_tgt,
+             {_duck_hash48("concat('dsir|', token)")} % 64 AS bucket
+      FROM (SELECT doc_id, lang, unnest({_DUCK_WORDS}) AS token FROM documents)
+    ),
+    pb AS (
+      SELECT bucket, count(*) AS cnt_raw,
+             SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS cnt_tgt
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(cnt_raw) AS tot_raw, SUM(cnt_tgt) AS tot_tgt FROM pb),
+    ratio AS (
+      SELECT bucket,
+             ln(CAST(cnt_tgt + 1 AS DOUBLE) / CAST(tot_tgt + 64 AS DOUBLE))
+           - ln(CAST(cnt_raw + 1 AS DOUBLE) / CAST(tot_raw + 64 AS DOUBLE))
+               AS logratio
+      FROM pb CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(SUM(logratio), 6) AS log_weight
+      FROM tok JOIN ratio USING (bucket) GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(s.log_weight, 0.0) AS log_weight,
+           round(coalesce(s.log_weight, 0.0)
+                 + -ln(-ln(({_duck_hash48("concat('dsir-g|', CAST(d.doc_id AS VARCHAR))")}
+                            + 0.5) / 281474976710656.0)), 6) AS gumbel_key
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY gumbel_key DESC, d.doc_id ASC LIMIT 100
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): pick the 100 docs
+    whose hashed-unigram profile is most Vietnamese-target-like, sampled
+    ∝ exp(importance) WITHOUT replacement via seeded Gumbel top-k. Raw
+    and target bucket distributions come from ONE conditional-count pass;
+    the 64-bucket log-ratio table broadcasts back onto the token stream;
+    the final cut is TakeOrderedAndProject over 1e-6-rounded keys — no
+    global sort, no trained classifier, fully replayable (see
+    ``sampling.dsir_resample``)."""
+    from ..operators.sampling import dsir_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        d, target_filter=F.col("lang") == "vi", n_buckets=64, k=100, seed="dsir"
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    vocab AS (SELECT token FROM counts ORDER BY cnt DESC, token LIMIT 500),
+    per_doc AS (
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok LEFT JOIN vocab v ON tok.token = v.token
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+           round(CAST(p.n_oov AS DOUBLE) / p.n_tokens, 6) AS oov_rate
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-doc out-of-vocabulary token rate
+    against the corpus's own top-500 vocabulary — the screen that predicts
+    how much a fixed tokenizer will fragment each document (high OOV =
+    byte-fallback blowup). The vocab derives from the SAME token-count
+    aggregate via top-k (TakeOrderedAndProject with a deterministic
+    count-then-token order, never a global sort) and broadcasts into a
+    null-producing left join; empty docs keep a NULL rate."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(500)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "k_anonymity_report",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) < 5 AS at_risk,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS l_diversity
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy governance screen: k-anonymity equivalence classes over the
+    (nation, segment) quasi-identifier pair — classes smaller than k=5
+    re-identify members — plus the l-diversity of the sensitive balance
+    (a k-anonymous class whose members all share one sensitive value
+    still leaks it). One map-partial aggregation; the distinct count
+    nests per class, never globally."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        (F.count(F.lit(1)) < 5).alias("at_risk"),
+        F.countDistinct(F.floor(F.col("c_acctbal") / 1000.0).cast("long"))
+        .cast("long")
+        .alias("l_diversity"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Catalog iteration order — ROUND 3 rotation.
 #
 # The driver's correctness gate walks ``queries()`` in dict order and records
@@ -8783,6 +8931,7 @@ _CATALOG_ORDER = [
     'tpch_q12_shipmode_priority', 'tpch_q13_customer_distribution',
     'tpch_q20_part_share_suppliers', 'tpch_q21_waiting_supplier',
     'tpch_q22_global_sales_opportunity',
+    'dsir_importance_resample', 'vocab_oov_rate', 'k_anonymity_report',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
