@@ -173,8 +173,19 @@ def minhash_lsh_pairs(
     ``ngram_jaccard_pairs``-style verification for the final decision.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes evenly"
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return lsh_pairs_from_signatures(sig, id_col, num_hashes, bands)
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banding half of ``minhash_lsh_pairs``, taking PRE-COMPUTED
+    ``(id, seed, minhash)`` signature rows — callers that also need the
+    signatures themselves (estimator-quality reports, persisted sketch
+    stores) materialize them once and band here, instead of paying the
+    full shingle→dictionary→min pipeline a second time."""
+    rows_per_band = num_hashes // bands
     # Band hash over SEED-ordered minhashes: sorting by value would make
     # permuted signatures collide (false candidates beyond the (1-s^r)^b
     # LSH model). sort_array on struct(seed, minhash) restores seed order.

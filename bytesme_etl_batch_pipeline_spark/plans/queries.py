@@ -7849,8 +7849,11 @@ def q_minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = N.minhash_signatures(
         d, "doc_id", "text", num_hashes=4, shingle_n=3
     ).localCheckpoint(eager=True)
-    cand = N.minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    # band the MATERIALIZED signatures — calling minhash_lsh_pairs here
+    # would rebuild the whole shingle→dictionary→min pipeline a second
+    # time (measured ~2s of the query at sf0.1)
+    cand = N.lsh_pairs_from_signatures(
+        sig, "doc_id", num_hashes=4, bands=2
     ).localCheckpoint(eager=True)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ma")
@@ -8277,15 +8280,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("l_partkey", "l_suppkey", "cost", "s_suppkey", "s_name")
     )
-    best = eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("cost").alias("mincost")
-    )
+    # per-part min as a WINDOW over the single regional frame, not an
+    # agg-then-self-join — the join formulation recomputes the whole offer
+    # pipeline on both branches (12 exchanges, plan-lint red); the window
+    # adds one partkey exchange to the same stream and keeps all ties
+    from pyspark.sql import Window
+
+    mincost = F.min("cost").over(Window.partitionBy("l_partkey"))
     return (
-        eu.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("cost") == F.col("mincost")),
-        )
+        eu.withColumn("__mincost", mincost)
+        .filter(F.col("cost") == F.col("__mincost"))
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
             "p_partkey",

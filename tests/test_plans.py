@@ -84,6 +84,9 @@ BNLJ_ALLOWED = {
     "dedup_effectiveness_report",  # three 1-row stat aggregates cross-joined
     "tpch_q15_top_supplier",  # single-row broadcast max-revenue scalar
     "source_token_divergence",  # single-row broadcast corpus token total
+    "tpch_q11_important_stock",  # single-row broadcast value total
+    "tpch_q22_global_sales_opportunity",  # single-row broadcast avg-cut scalar
+    "dsir_importance_resample",  # single-row broadcast bucket totals
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
