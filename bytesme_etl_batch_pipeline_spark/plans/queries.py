@@ -8859,6 +8859,97 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_DUCK_WORDS} AS ws FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) > 0 THEN
+               round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+                     / len(ws), 6) END AS mean_word_len,
+             CASE WHEN len(ws) > 0 THEN
+               round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+                      + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3)
+                     / len(ws), 6) END AS symbol_word_ratio,
+             CASE WHEN len(ws) > 0 THEN
+               round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                          AS DOUBLE) / len(ws), 6) END AS alpha_word_frac,
+             CAST(len(list_filter(ws, w -> list_contains(
+               ['the','be','to','of','and','that','have','with'], w)))
+               AS BIGINT) AS n_stopword_hits
+      FROM base
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           symbol_word_ratio, alpha_word_frac, n_stopword_hits,
+           coalesce(n_words >= 10 AND n_words <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND symbol_word_ratio < 0.1
+                    AND alpha_word_frac >= 0.8
+                    AND n_stopword_hits >= 2, FALSE) AS kept
+    FROM m
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1): the published
+    repetition-free document screens — word-count bounds, mean word
+    length in [3,10], symbol-to-word ratio (#/ellipsis) < 0.1, ≥80%%
+    alphabetic words, ≥2 stopword hits — as ONE codegen'd projection
+    (zero shuffles; the word-count floor is 10 instead of 50 for this
+    corpus's short synthetic docs, all other thresholds as published).
+    Complements ``quality_filter_chain`` (reject reasons) and
+    ``repetition_signals`` (the other half of Gopher's filter)."""
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    n = F.size(ws)
+    nz = F.when(n > 0, n.cast("double"))  # NULL-safe denominator
+    mean_len = F.round(
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)).cast("double") / nz, 6
+    )
+    sym_ratio = F.round(
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))).cast(
+                "double"
+            )
+            + (
+                F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+            ).cast("double")
+            / 3
+        )
+        / nz,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("double") / nz, 6
+    )
+    stops = F.array(*[F.lit(s) for s in
+                      ["the", "be", "to", "of", "and", "that", "have", "with"]])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stops, w))).cast("long")
+    m = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopword_hits"),
+    )
+    kept = (
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stopword_hits") >= 2)
+    )
+    return m.withColumn("kept", F.coalesce(kept, F.lit(False)))
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -8990,7 +9081,7 @@ _CATALOG_ORDER = [
     'tpch_q20_part_share_suppliers', 'tpch_q21_waiting_supplier',
     'tpch_q22_global_sales_opportunity',
     'dsir_importance_resample', 'vocab_oov_rate', 'k_anonymity_report',
-    'bpe_train_encode',
+    'bpe_train_encode', 'gopher_quality_rules',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
