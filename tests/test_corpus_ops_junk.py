@@ -128,6 +128,12 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "llm_corpus_pipeline",
         # wordless junk docs contribute no tokens to any sketch cell
         "cms_heavy_hitters",
+        # round 3 tail: NULL/empty docs keep log_weight 0 (Gumbel key still
+        # defined), NULL oov rate, NULL quality metrics with kept=false —
+        # never a division error
+        "dsir_importance_resample",
+        "vocab_oov_rate",
+        "gopher_quality_rules",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
