@@ -71,6 +71,9 @@ HEADLINE = [
     "cms_heavy_hitters",
     "kmeans_lloyd_step",
     "llm_corpus_pipeline",
+    "tpch_q21_waiting_supplier",
+    "dsir_importance_resample",
+    "bpe_train_encode",
 ]
 
 

@@ -47,6 +47,18 @@ def register(name: str, oracle: str | None = None):
 def _dec(col: str, scale: int = 4):
     return F.col(col).cast(f"decimal(18,{scale})")
 
+def _cpu_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan for map-CPU-bound consumers (shingling, per-token md5, array
+    folds): spread a NON-SPLITTABLE small scan across the cluster before
+    the expensive projection (see ``load_table`` ``min_parallelism`` —
+    no-op once the scan has natural parallelism, as any 100 TB table
+    does)."""
+    return load_table(
+        spark, sf_dir, name,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Aggregation core (SURVEY §2.5) — flagship pricing summary.
@@ -843,7 +855,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking key = source; at web scale the block is an LSH bucket."""
     from ..operators import neardup as N
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _cpu_spread(spark, sf_dir, "documents")
     return N.ngram_jaccard_pairs(
         d, "doc_id", "text", "source", n=2, threshold=0.1
     )
@@ -879,7 +891,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side half of MinHash-LSH dedup (engine extension)."""
     from ..operators import neardup as N
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _cpu_spread(spark, sf_dir, "documents")
     sig = N.minhash_signatures(d, "doc_id", "text", num_hashes=4, shingle_n=3)
     return sig.select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
@@ -903,7 +915,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cost tracks duplicate density, not n² (engine extension)."""
     from ..operators import neardup as N
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _cpu_spread(spark, sf_dir, "documents")
     return N.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3)
 
 
@@ -1224,7 +1236,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions per element, so slicing over an inline split() would
     re-split the text per chunk (see minhash history). Explode fan-out is
     ~n_tokens/30 rows per doc — linear, map-side, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _cpu_spread(spark, sf_dir, "documents")
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
     with_words = d.select("doc_id", words.alias("words")).filter(
         F.size("words") > 0  # wordless/NULL docs emit no chunks (both engines)
@@ -1783,7 +1795,7 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggregate; vs 11 separate COUNT(DISTINCT) passes. The 11× melt
     fanout is the honest cost of exact profiling; swap approx_count_distinct
     into the same shape at 100 TB."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _cpu_spread(spark, sf_dir, "lineitem")
     stack_expr = "stack({}, {}) AS (column_name, value)".format(
         len(_PROFILE_COLS),
         ", ".join(f"'{c}', cast({c} as string)" for c in _PROFILE_COLS),
@@ -3490,7 +3502,7 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline a training corpus runs)."""
     from ..operators import neardup as N
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _cpu_spread(spark, sf_dir, "documents")
     pairs = N.ngram_jaccard_pairs(d, "doc_id", "text", "source", n=2, threshold=0.1)
     return N.neardup_filter(d, pairs, "doc_id").select("doc_id", "source")
 
@@ -4260,7 +4272,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode."""
     from ..operators.textops import winnow_fingerprints
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _cpu_spread(spark, sf_dir, "documents")
     return winnow_fingerprints(d, "text", ["doc_id"], k=3, w=4)
 
 
@@ -5084,7 +5096,7 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the only shuffle is the final group-by on the canonical key."""
     from ..functions.strings import canonicalize_url
 
-    e = load_table(spark, sf_dir, "events")
+    e = _cpu_spread(spark, sf_dir, "events")
     eid, uid = F.col("event_id"), F.col("user_id")
     raw = F.concat(
         F.lit("HTTP://Shop"), (uid % 20).cast("string"),
@@ -7845,7 +7857,7 @@ def q_minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification stays blocked by the candidate set, never all-pairs."""
     from ..operators import neardup as N
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _cpu_spread(spark, sf_dir, "documents")
     sig = N.minhash_signatures(
         d, "doc_id", "text", num_hashes=4, shingle_n=3
     ).localCheckpoint(eager=True)
@@ -7936,7 +7948,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0.5 either way."""
     from ..operators.neardup import _shingle_rows
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _cpu_spread(spark, sf_dir, "documents")
     sh = _shingle_rows(d, "doc_id", "text", 2, extra=["source"])
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select("source", F.col("doc_id").alias("doc_a"), "__shingle")

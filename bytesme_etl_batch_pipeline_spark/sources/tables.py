@@ -43,8 +43,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_parallelism: int | None = None,
+) -> DataFrame:
     """Scan one table. Pure metadata op — no job is triggered.
+
+    ``min_parallelism``: opt-in for map-CPU-bound consumers (shingling,
+    per-token md5, array folds). A single-row-group parquet file is
+    NON-SPLITTABLE — the scan is one task no matter what
+    ``maxPartitionBytes`` says — so a CPU-heavy pipeline over a small
+    input would serialize on one core. Passing ``min_parallelism``
+    redistributes ONLY when the scan has fewer partitions (the standard
+    repartition-after-nonsplittable-read pattern); at production scale the
+    scan already has thousands of splits and this is a no-op, so the
+    shuffle never appears where it isn't paying for itself.
 
     ``events.ts`` has shipped in two physical forms across driver testdata
     generations: Parquet TIMESTAMP(NANOS) (surfaced as a long under
@@ -59,6 +74,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism)
     return df
 
 

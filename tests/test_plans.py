@@ -101,6 +101,15 @@ EXCHANGE_BUDGET = {
     # estimate chain (sig agg + pair agg) + exact-verify chain (sizes +
     # blocked common agg) + the report joins — two pipelines compared
     "minhash_estimator_quality": 11,
+    # _cpu_spread: multi-branch queries repeat the small-input spread
+    # repartition once per deliberate re-scan (COVERAGE.md "multi-pass vs
+    # materialize") — each is a ~600 KB round-robin redistribution buying
+    # 32x map parallelism on a non-splittable file, and load_table skips
+    # it entirely once the scan has natural splits (any at-scale table),
+    # where these queries return to their audited shuffle counts
+    "neardup_dedup_docs": 11,
+    "shingle_containment_pairs": 10,
+    "minhash_lsh_candidates": 11,
 }
 
 
