@@ -8962,6 +8962,155 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn("kept", F.coalesce(kept, F.lit(False)))
 
 
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH planes AS (
+      SELECT j, list_transform(range(64), ii ->
+        ({_duck_hash48("'7|' || CAST(j AS VARCHAR) || '|' || CAST(ii AS VARCHAR)")}
+         / 281474976710656.0) * 2.0 - 1.0) AS plane
+      FROM range(8) t(j)
+    ), sigs AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN {_duck_dot('e.embedding', 'p.plane')} > 0
+                           THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ), qs AS (
+      SELECT e.vec_id AS q_id, e.embedding AS qv, s.sig AS qsig
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+      WHERE e.vec_id < 20
+    ), exact AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM (
+        SELECT q.q_id, e.vec_id,
+               round({_duck_cosine('e.embedding', 'q.qv')}, 6) AS score
+        FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.q_id
+      ) t
+    ), cand AS (
+      SELECT q.q_id, s.vec_id,
+             round({_duck_cosine('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN qs q
+      WHERE bit_count(xor(s.sig, q.qsig)) <= 3 AND s.vec_id <> q.q_id
+    ), lsh AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM cand
+    ), ncand AS (
+      SELECT q_id, count(*) AS n_candidates FROM cand GROUP BY q_id
+    ), hits AS (
+      SELECT e.q_id, count(*) AS n_hits
+      FROM exact e JOIN lsh l ON e.q_id = l.q_id AND e.vec_id = l.vec_id
+                              AND l.rn <= 10
+      WHERE e.rn <= 10 GROUP BY e.q_id
+    ), mrr AS (
+      SELECT b.q_id,
+             coalesce(max(CASE WHEN l.rn <= 10 THEN 1.0 / l.rn END), 0.0) AS rr
+      FROM (SELECT q_id, vec_id FROM exact WHERE rn = 1) b
+      LEFT JOIN lsh l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+      GROUP BY b.q_id
+    )
+    SELECT q.q_id,
+           CAST(coalesce(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10,
+           round(coalesce(m.rr, 0.0), 6) AS reciprocal_rank
+    FROM qs q
+    LEFT JOIN ncand n ON q.q_id = n.q_id
+    LEFT JOIN hits h ON q.q_id = h.q_id
+    LEFT JOIN mrr m ON q.q_id = m.q_id
+    """,
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN quality evaluation: for a 20-vector query batch,
+    recall@10 and the reciprocal rank of the TRUE nearest neighbor, LSH
+    (8-plane, Hamming ≤ 3) versus exact brute force — the report an
+    operator reads before trusting the ANN path at scale (the sketch twin
+    of ``minhash_estimator_quality``). Self-hits are excluded; ranking is
+    over 1e-6-rounded bit-exact cosines with id tie-breaks, so both
+    engines agree on every boundary. Signatures are computed ONCE for
+    corpus and queries (the query batch is a filter of the same frame);
+    the exact side is the eval-only cost — at 100 TB it runs over a
+    sampled corpus slice, the LSH side is the production path."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_similarity, lsh_signature
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = e.withColumn("sig", lsh_signature(F.col("embedding"), 64, 8, seed=7))
+    sig = sig.localCheckpoint(eager=True)  # corpus + query side reuse it
+    qs = sig.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("sig").alias("qsig"),
+    )
+    score = F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    # both ranked lists are EVAL-BATCH-sized (≤ 20·corpus-rows before the
+    # rank cut, ≤ 20·10 after) — materialize each once so the four metric
+    # branches below don't replay the scoring pipelines (the plan would
+    # otherwise spend 17 exchanges recomputing them)
+    exact = (
+        e.crossJoin(F.broadcast(qs.select("q_id", "qv")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        sig.crossJoin(F.broadcast(qs))
+        .filter(
+            (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= 3)
+            & (F.col("vec_id") != F.col("q_id"))
+        )
+        .select("q_id", "vec_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_candidates", F.count(F.lit(1)).over(Window.partitionBy("q_id"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    ncand = lsh.groupBy("q_id").agg(F.max("n_candidates").alias("n_candidates"))
+    hits = (
+        exact.join(
+            lsh.filter(F.col("rn") <= 10).select("q_id", "vec_id"),
+            ["q_id", "vec_id"],
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    best = exact.filter(F.col("rn") == 1).select("q_id", "vec_id")
+    mrr = (
+        best.join(
+            lsh.select("q_id", "vec_id", F.col("rn").alias("lrn")),
+            ["q_id", "vec_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("lrn") <= 10, F.lit(1.0) / F.col("lrn"))),
+                F.lit(0.0),
+            ).alias("rr")
+        )
+    )
+    return (
+        qs.select("q_id")
+        .join(ncand, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .join(mrr, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 6).alias("recall_at_10"),
+            F.round(F.coalesce("rr", F.lit(0.0)), 6).alias("reciprocal_rank"),
+        )
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9093,7 +9242,7 @@ _CATALOG_ORDER = [
     'tpch_q20_part_share_suppliers', 'tpch_q21_waiting_supplier',
     'tpch_q22_global_sales_opportunity',
     'dsir_importance_resample', 'vocab_oov_rate', 'k_anonymity_report',
-    'bpe_train_encode', 'gopher_quality_rules',
+    'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

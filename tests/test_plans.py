@@ -87,6 +87,7 @@ BNLJ_ALLOWED = {
     "tpch_q11_important_stock",  # single-row broadcast value total
     "tpch_q22_global_sales_opportunity",  # single-row broadcast avg-cut scalar
     "dsir_importance_resample",  # single-row broadcast bucket totals
+    "ann_recall_report",  # 20-row broadcast query batch on both eval sides
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
@@ -110,6 +111,10 @@ EXCHANGE_BUDGET = {
     "neardup_dedup_docs": 11,
     "shingle_containment_pairs": 10,
     "minhash_lsh_candidates": 11,
+    # two checkpointed ranking pipelines compared across 4 metric branches
+    # (recall/MRR/candidate-count/report spine) — every post-checkpoint
+    # exchange is eval-batch-sized (≤ 20 q_id groups)
+    "ann_recall_report": 11,
 }
 
 
