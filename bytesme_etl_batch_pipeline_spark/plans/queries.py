@@ -9111,6 +9111,140 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hourly_interpolated_values",
+    oracle="""
+    WITH anchors AS (
+      SELECT user_id, ts, arg_min(value, event_id) AS value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY user_id, ts
+    ),
+    grid AS (
+      SELECT u.user_id, g.gd AS ts
+      FROM (SELECT DISTINCT user_id FROM anchors) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-08',
+                                      TIMESTAMP '2024-01-14 23:00:00',
+                                      INTERVAL 1 HOUR)) AS gd
+      ) g
+    ),
+    unioned AS (
+      SELECT user_id, ts, value, 1 AS is_anchor FROM anchors
+      UNION ALL
+      SELECT user_id, ts, NULL, 0 FROM grid
+    ),
+    walked AS (
+      SELECT user_id, ts, is_anchor,
+             last_value(value IGNORE NULLS) OVER w_prev AS prev_val,
+             last_value(CASE WHEN is_anchor = 1 THEN ts END IGNORE NULLS)
+               OVER w_prev AS prev_ts,
+             first_value(value IGNORE NULLS) OVER w_next AS next_val,
+             first_value(CASE WHEN is_anchor = 1 THEN ts END IGNORE NULLS)
+               OVER w_next AS next_ts
+      FROM unioned
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, is_anchor DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY ts, is_anchor DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts AS grid_ts,
+           round(CASE
+             WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL
+             WHEN next_ts = prev_ts THEN prev_val
+             ELSE prev_val + (next_val - prev_val)
+                  * (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                     / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+           END, 6) AS interp_value
+    FROM walked WHERE is_anchor = 0
+    """,
+)
+def q_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with linear interpolation: per user, an
+    hourly grid over one week, each grid point lerped between its
+    surrounding observations (the sensor/metrics regularization step;
+    ``fill_forward_props`` is the step-function half of this). No
+    inequality join anywhere: anchors and grid rows UNION into one
+    per-user stream and a single window walk carries the previous/next
+    anchor in both directions (IGNORE NULLS frames) — one shuffle on
+    user_id, grid size bounded at 168·users rows. Grid points outside a
+    user's observed range stay NULL (no extrapolation); a grid point
+    coinciding with an anchor takes the anchor value exactly (fraction
+    0); duplicate-timestamp anchors resolve by min event_id in both
+    engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")
+    )
+    anchors = e.groupBy("user_id", "ts").agg(
+        F.min_by("value", "event_id").alias("value")
+    )
+    grid = (
+        anchors.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.to_timestamp(F.lit("2024-01-08")),
+                    F.to_timestamp(F.lit("2024-01-14 23:00:00")),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("ts"),
+        )
+    )
+    unioned = anchors.select(
+        "user_id", "ts", "value", F.lit(1).alias("is_anchor")
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("is_anchor"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_anchor").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_anchor").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor_ts = F.when(F.col("is_anchor") == 1, F.col("ts"))
+    walked = unioned.select(
+        "user_id",
+        "ts",
+        "is_anchor",
+        F.last("value", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(anchor_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first("value", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(anchor_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+    )
+    frac = (
+        F.unix_micros("ts") - F.unix_micros("prev_ts")
+    ).cast("double") / (
+        F.unix_micros("next_ts") - F.unix_micros("prev_ts")
+    ).cast("double")
+    interp = (
+        F.when(F.col("prev_ts").isNull() | F.col("next_ts").isNull(), F.lit(None))
+        .when(F.col("next_ts") == F.col("prev_ts"), F.col("prev_val"))
+        .otherwise(F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac)
+    )
+    return (
+        walked.filter(F.col("is_anchor") == 0)
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.round(interp, 6).alias("interp_value"),
+        )
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9243,6 +9377,7 @@ _CATALOG_ORDER = [
     'tpch_q22_global_sales_opportunity',
     'dsir_importance_resample', 'vocab_oov_rate', 'k_anonymity_report',
     'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
+    'hourly_interpolated_values',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
