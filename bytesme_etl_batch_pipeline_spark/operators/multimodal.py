@@ -60,6 +60,10 @@ class MediaCodec:
     def features(self, payload: bytes, kind: str, dim: int) -> list[float]:
         raise NotImplementedError
 
+    def pixels_hash(self, payload: bytes) -> int:
+        """64-bit perceptual average hash of the decoded 8x8 grayscale."""
+        raise NotImplementedError
+
 
 class RealCodec(MediaCodec):  # pragma: no cover - codec libs not installed
     def __init__(self):
@@ -79,6 +83,9 @@ class FakeCodec(MediaCodec):
         hh = 64 + h[1] % 192
         frames = 1 if kind == "image" else 1 + h[2] % 32
         return w, hh, frames
+
+    def pixels_hash(self, payload: bytes) -> int:
+        return ahash64(_fake_pixels(payload or b""))
 
     def features(self, payload: bytes, kind: str, dim: int) -> list[float]:
         out = []
@@ -201,3 +208,77 @@ def resize_images(
 
     images = media.filter(F.col("kind") == "image")
     return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup dedup)
+# ---------------------------------------------------------------------------
+
+def ahash64(pixels: list[int]) -> int:
+    """Average hash over an 8×8 grayscale grid: bit i set iff pixel i is
+    strictly above the grid mean — the classic aHash. The ALGORITHM is
+    real (mean threshold, LSB-first packing); only pixel acquisition is
+    codec-dependent."""
+    assert len(pixels) == 64
+    mean = sum(pixels) / 64.0
+    h = 0
+    for i, p in enumerate(pixels):
+        if p > mean:
+            h |= 1 << i
+    return h
+
+
+def _fake_pixels(payload: bytes) -> list[int]:
+    """FakeCodec pixel grid. A 64-byte payload IS the raw 8×8 grid (lets
+    tests exercise true perceptual behavior: a one-pixel edit moves one
+    hash bit); anything else expands deterministically from the payload's
+    md5 HEX digest — hex-string-chained so a SQL oracle can replay it:
+    pixel_i = int(md5(hex || '|' || i)[:2], 16)."""
+    if len(payload) == 64:
+        return list(payload)
+    seed_hex = hashlib.md5(payload or b"").hexdigest()
+    return [
+        int(hashlib.md5(f"{seed_hex}|{i}".encode()).hexdigest()[:2], 16)
+        for i in range(64)
+    ]
+
+
+def phash_media(
+    media: DataFrame,
+    codec_factory=FakeCodec,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """(id, phash) via one Arrow mapInPandas pass — the decode+hash stage
+    of image near-dup dedup. Pair finding happens downstream JVM-side
+    (``neardup.hamming_pairs_banded`` on the 64-bit hash: 4×16-bit bands
+    block all pairs within Hamming ≤ 3). Production swaps the codec for
+    PIL + downscale-to-8×8; the hash/banding/dedup path is unchanged."""
+    state: dict = {}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if "c" not in state:
+            state["c"] = codec_factory()
+        codec = state["c"]
+        for pdf in batches:
+            payloads = [
+                p.encode() if isinstance(p, str) else p for p in pdf[payload_col]
+            ]
+            # two's-complement fold into int64 (bit 63 is the sign bit —
+            # pandas/Arrow LongType cannot hold 2^63..2^64-1)
+            hashes = [
+                h - (1 << 64) if h >= (1 << 63) else h
+                for h in (codec.pixels_hash(p) for p in payloads)
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].to_numpy(), "phash": hashes}
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("phash", LongType(), True),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)

@@ -435,3 +435,53 @@ def boilerplate_removal(
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def hamming_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Hamming-distance pairs over a wide (e.g. 64-bit) hash with the
+    hash's OWN bands as the blocking key — pigeonhole: any pair within
+    distance d shares at least one of d+1 untouched bands, so
+    ``n_bands > max_hamming`` guarantees zero false negatives. Explode
+    each row into its (band_index, band_value) keys, equi-join, verify
+    the full distance on the survivors. The generalization of
+    ``simhash_hamming_pairs`` (whose caller provides one external block);
+    at scale (band, value) is a bucket/partition key."""
+    assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.shiftright(F.col(hash_col), j * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                ).alias("v"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("b")
+    ).select(id_col, hash_col, F.col("b.j").alias("__j"), F.col("b.v").alias("__v"))
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "__j", "__v"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "__j", "__v"
+    )
+    return (
+        a.join(b, ["__j", "__v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

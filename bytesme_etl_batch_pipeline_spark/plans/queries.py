@@ -9245,6 +9245,104 @@ def q_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_phash_dedup",
+    oracle="""
+    WITH m AS (SELECT p_partkey AS media_id, md5(p_name) AS hx FROM part),
+    px AS (
+      SELECT media_id,
+             list_transform(range(64), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(hx || '|' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(hx || '|' || CAST(i AS VARCHAR)), 2, 1)) - 1)
+             ) AS pxs
+      FROM m
+    ),
+    hp AS (SELECT media_id, pxs, list_sum(pxs) / 64.0 AS mean FROM px),
+    bits AS (
+      SELECT media_id, u.i AS i
+      FROM hp, unnest(range(64)) u(i)
+      WHERE pxs[i + 1] > mean
+    ),
+    ph AS (
+      SELECT m.media_id, coalesce(b.ph, 0) AS phash
+      FROM m LEFT JOIN (
+        SELECT media_id,
+               bit_or(CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE CAST(1 AS BIGINT) << CAST(i AS INT) END) AS ph
+        FROM bits GROUP BY media_id
+      ) b ON m.media_id = b.media_id
+    ),
+    groups AS (
+      SELECT phash, min(media_id) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM ph GROUP BY phash
+    ),
+    bands AS (
+      SELECT canonical_id, phash, t.j AS j, (phash >> (t.j * 16)) & 65535 AS v
+      FROM groups, unnest([0, 1, 2, 3]) t(j)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.canonical_id AS id_a, b.canonical_id AS id_b
+      FROM bands a JOIN bands b ON a.j = b.j AND a.v = b.v
+      WHERE a.canonical_id < b.canonical_id
+        AND bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    near AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_near_groups FROM (
+        SELECT id_a AS cid FROM pairs UNION ALL SELECT id_b FROM pairs
+      ) t GROUP BY cid
+    )
+    SELECT g.canonical_id, g.phash, g.n_members,
+           CAST(coalesce(n.n_near_groups, 0) AS BIGINT) AS n_near_groups
+    FROM groups g LEFT JOIN near n ON g.canonical_id = n.cid
+    """,
+)
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup by perceptual average hash: decode (FakeCodec
+    stand-in; the aHash mean-threshold algorithm itself is real and the
+    DuckDB oracle replays it pixel-for-pixel) → 64-bit phash per media →
+    EXACT-equal groups collapse first (the mass of true duplicates never
+    reaches pair finding) → banded Hamming ≤ 3 pairs between group
+    REPRESENTATIVES only (``neardup.hamming_pairs_banded``: 4×16-bit
+    bands, pigeonhole-complete). Output: one row per distinct hash with
+    its canonical id, member count, and how many other groups sit within
+    Hamming 3 — the dedup observability view."""
+    from ..operators.multimodal import phash_media
+    from ..operators.neardup import hamming_pairs_banded
+
+    p = load_table(spark, sf_dir, "part")
+    media = p.select(
+        F.col("p_partkey").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("p_name"), "utf-8").alias("payload"),
+    )
+    ph = phash_media(media)
+    groups = ph.groupBy("phash").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    reps = groups.select(F.col("canonical_id").alias("media_id"), "phash")
+    pairs = hamming_pairs_banded(
+        reps, "media_id", "phash", max_hamming=3, n_bands=4, band_bits=16
+    )
+    near = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("canonical_id"))
+        .groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("n_near_groups"))
+    )
+    return (
+        groups.join(near, "canonical_id", "left")
+        .select(
+            "canonical_id",
+            "phash",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce("n_near_groups", F.lit(0)).cast("long").alias("n_near_groups"),
+        )
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9377,7 +9475,7 @@ _CATALOG_ORDER = [
     'tpch_q22_global_sales_opportunity',
     'dsir_importance_resample', 'vocab_oov_rate', 'k_anonymity_report',
     'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
-    'hourly_interpolated_values',
+    'hourly_interpolated_values', 'media_phash_dedup',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -644,3 +644,68 @@ def test_star_cc_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components_star(empty).count() == 0
+
+
+def test_ahash64_and_phash_perceptual_grouping(spark):
+    """aHash semantics + end-to-end perceptual grouping: a one-pixel edit
+    on a raw 8x8 grid keeps Hamming small and the pair is found by the
+    banded blocker; an unrelated image is not paired."""
+    from bytesme_etl_batch_pipeline_spark.operators.multimodal import (
+        ahash64,
+        phash_media,
+    )
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import (
+        hamming_pairs_banded,
+    )
+
+    # half-dark half-bright grid: exactly the bright 32 bits set
+    grid = [10] * 32 + [200] * 32
+    h = ahash64(grid)
+    assert bin(h).count("1") == 32 and h >> 32 == 0xFFFFFFFF
+
+    base = bytes(grid)
+    near = bytes([10] * 31 + [60] + [200] * 32)  # one edited pixel
+    far = bytes([0, 255] * 32)  # alternating → Hamming 32 from base
+    rows = [(1, "image", base), (2, "image", near), (3, "image", far)]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    ph = phash_media(media)
+    pairs = hamming_pairs_banded(ph, "media_id", "phash", max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.hamming <= 3 for r in pairs)
+
+
+def test_hamming_pairs_banded_matches_bruteforce(spark):
+    """Pigeonhole completeness: banded blocking finds EXACTLY the
+    brute-force pair set for any hash population, including sign-bit
+    (bit 63) differences."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    hashes = []
+    base = rng.getrandbits(64)
+    for i in range(30):
+        h = base
+        for _ in range(rng.randrange(0, 6)):  # 0-5 flipped bits
+            h ^= 1 << rng.randrange(64)
+        hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_pairs_banded_import(df).collect()
+    }
+    want = {
+        (a, b)
+        for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+        if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == want
+
+
+def hamming_pairs_banded_import(df):
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import (
+        hamming_pairs_banded,
+    )
+
+    return hamming_pairs_banded(df, "id", "h", max_hamming=3)
