@@ -15,6 +15,8 @@ Schemas are explicit by default (`inferSchema` is the fallback, SURVEY §1.3).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -232,3 +234,66 @@ def overwrite_partitions(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def merge_upsert_parquet(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> int:
+    """Copy-on-write MERGE INTO for a plain-parquet table: apply a change
+    batch (latest ``version_col`` wins per key; rows whose ``delete_col``
+    is true are removed) and publish the merged table ATOMICALLY.
+
+    Write protocol (the file-layer twin of
+    ``jdbc.write_jdbc_exactly_once``): the merged result lands in a
+    ``<base>__staging`` directory first; only after that write fully
+    succeeds does the old table move to ``<base>__retired`` and the
+    staging directory take its place — readers see the old table or the
+    new one, never a half-written mix, and a crash mid-publish leaves a
+    recoverable staging dir that the next run overwrites. ``__staging`` /
+    ``__retired`` sibling names are reserved.
+
+    Merge semantics are ``operators/cdc``-style latest-change-wins,
+    expressed as one window over the union — a keyed shuffle, no driver
+    state. Missing base (first load) bootstraps from the updates alone.
+    Returns the merged row count.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+
+    staging = base_path.rstrip("/") + "__staging"
+    retired = base_path.rstrip("/") + "__retired"
+    if os.path.exists(base_path):
+        base = spark.read.parquet(base_path)
+        # base rows rank below any update at the same version: change
+        # batches REPLACE, re-applying an already-applied batch is a no-op
+        unioned = base.select(updates.columns).withColumn(
+            "__src", _F.lit(0)
+        ).unionByName(updates.withColumn("__src", _F.lit(1)))
+    else:
+        unioned = updates.withColumn("__src", _F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        _F.col(version_col).desc(), _F.col("__src").desc()
+    )
+    merged = (
+        unioned.withColumn("__rn", _F.row_number().over(w))
+        .filter(_F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    if delete_col is not None:
+        merged = merged.filter(~_F.coalesce(_F.col(delete_col), _F.lit(False)))
+    merged.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+    if os.path.exists(base_path):
+        os.rename(base_path, retired)
+    os.rename(staging, base_path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return n

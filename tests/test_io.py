@@ -304,3 +304,45 @@ def test_dynamic_partition_overwrite_preserves_other_partitions(spark, tmp_path)
         for r in spark.read.parquet(out).collect()
     }
     assert again == got
+
+
+def test_merge_upsert_parquet_lifecycle(spark, tmp_path):
+    """MERGE INTO on plain parquet: bootstrap, update-wins, delete,
+    idempotent batch re-apply, and crash recovery from a stale staging
+    directory — readers always see a complete table."""
+    import os
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import merge_upsert_parquet
+
+    base = str(tmp_path / "tbl")
+    rows = lambda *rs: spark.createDataFrame(
+        list(rs), "k long, v string, version long, deleted boolean"
+    )
+    # bootstrap (no base yet)
+    n = merge_upsert_parquet(
+        spark, base, rows((1, "a", 1, False), (2, "b", 1, False)),
+        ["k"], "version", "deleted",
+    )
+    assert n == 2
+    # update k=1, insert k=3, delete k=2
+    batch2 = rows((1, "a2", 2, False), (3, "c", 2, False), (2, "b", 2, True))
+    n = merge_upsert_parquet(spark, base, batch2, ["k"], "version", "deleted")
+    assert n == 2
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {1: "a2", 3: "c"}
+    # re-applying the same batch is a no-op (update-beats-base at equal version)
+    n = merge_upsert_parquet(spark, base, batch2, ["k"], "version", "deleted")
+    assert n == 2
+    assert {r.k: r.v for r in spark.read.parquet(base).collect()} == {1: "a2", 3: "c"}
+    # stale staging from a simulated crash must not poison the next publish
+    staging = base + "__staging"
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "junk"), "w").write("partial")
+    n = merge_upsert_parquet(
+        spark, base, rows((4, "d", 3, False)), ["k"], "version", "deleted"
+    )
+    assert n == 3
+    assert {r.k: r.v for r in spark.read.parquet(base).collect()} == {
+        1: "a2", 3: "c", 4: "d",
+    }
+    assert not os.path.exists(base + "__retired")
