@@ -9343,6 +9343,113 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bitext_margin_mining",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS a_id, embedding AS va FROM embeddings WHERE label = 0),
+    b AS (SELECT vec_id AS b_id, embedding AS vb FROM embeddings WHERE label = 1),
+    scored AS (
+      SELECT a_id, b_id, round({_duck_cosine('va', 'vb')}, 6) AS c
+      FROM a CROSS JOIN b
+    ),
+    ka AS (
+      SELECT a_id, round(avg(c), 6) AS knn_a FROM (
+        SELECT a_id, c,
+               row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rn
+        FROM scored
+      ) t WHERE rn <= 4 GROUP BY a_id
+    ),
+    kb AS (
+      SELECT b_id, round(avg(c), 6) AS knn_b FROM (
+        SELECT b_id, c,
+               row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) AS rn
+        FROM scored
+      ) t WHERE rn <= 4 GROUP BY b_id
+    ),
+    margins AS (
+      SELECT s.a_id, s.b_id, s.c,
+             round(s.c / ((ka.knn_a + kb.knn_b) / 2), 6) AS margin
+      FROM scored s JOIN ka ON s.a_id = ka.a_id JOIN kb ON s.b_id = kb.b_id
+    ),
+    ranked AS (
+      SELECT a_id, b_id, c, margin,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY margin DESC, b_id) AS ra,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY margin DESC, a_id) AS rb
+      FROM margins
+    )
+    SELECT a_id, b_id, c AS cosine, margin
+    FROM ranked WHERE ra = 1 AND rb = 1 AND margin > 1.0
+    """,
+)
+def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus miner): between two embedding
+    populations, score every cross pair by its cosine RELATIVE to both
+    sides' 4-NN neighborhoods (margin = cos / mean-of-kNN — absolute
+    cosine thresholds fail across domains), keep MUTUAL best-margin pairs
+    above 1.0. Label groups stand in for the two languages. All ranking
+    over 1e-6-rounded bit-exact cosines with id tie-breaks. The cross
+    score is side-A×side-B bounded (never corpus²) — at 100 TB the pair
+    generation is LSH/IVF-blocked first (``ann_lsh_topk`` machinery) and
+    the margin math is unchanged."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
+    )
+    b = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+    )
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("c"),
+        )
+        .localCheckpoint(eager=True)  # three ranking branches reuse it
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.col("c").desc(), F.col("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.col("c").desc(), F.col("a_id"))
+    ka = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 4)
+        .groupBy("a_id")
+        .agg(F.round(F.avg("c"), 6).alias("knn_a"))
+    )
+    kb = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 4)
+        .groupBy("b_id")
+        .agg(F.round(F.avg("c"), 6).alias("knn_b"))
+    )
+    margins = (
+        scored.join(ka, "a_id")
+        .join(kb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "c",
+            F.round(
+                F.col("c") / ((F.col("knn_a") + F.col("knn_b")) / 2), 6
+            ).alias("margin"),
+        )
+    )
+    wma = Window.partitionBy("a_id").orderBy(F.col("margin").desc(), F.col("b_id"))
+    wmb = Window.partitionBy("b_id").orderBy(F.col("margin").desc(), F.col("a_id"))
+    return (
+        margins.withColumn("ra", F.row_number().over(wma))
+        .withColumn("rb", F.row_number().over(wmb))
+        .filter((F.col("ra") == 1) & (F.col("rb") == 1) & (F.col("margin") > 1.0))
+        .select("a_id", "b_id", F.col("c").alias("cosine"), "margin")
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9475,7 +9582,7 @@ _CATALOG_ORDER = [
     'tpch_q22_global_sales_opportunity',
     'dsir_importance_resample', 'vocab_oov_rate', 'k_anonymity_report',
     'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
-    'hourly_interpolated_values', 'media_phash_dedup',
+    'hourly_interpolated_values', 'media_phash_dedup', 'bitext_margin_mining',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

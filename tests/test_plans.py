@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "tpch_q22_global_sales_opportunity",  # single-row broadcast avg-cut scalar
     "dsir_importance_resample",  # single-row broadcast bucket totals
     "ann_recall_report",  # 20-row broadcast query batch on both eval sides
+    "bitext_margin_mining",  # side-B (~50-row) broadcast cross score
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
