@@ -138,3 +138,44 @@ def test_catalog_plan_lint(spark, sf_dir):
         if n_ex > EXCHANGE_BUDGET.get(name, 8):
             offenders.append((name, f"{n_ex} exchanges"))
     assert not offenders, offenders
+
+
+def test_driver_window_holds_rotation_priority():
+    """The driver records correctness rows for the FIRST 50 catalog
+    entries. Round 3's window must contain every query that still lacks
+    trustworthy driver evidence (never-checked, re-oracled, post-change,
+    fixed reds — COVERAGE.md ledger), and _apply_catalog_order puts
+    UNLISTED registrations at the very front — so (a) the priority block
+    stays inside the window, and (b) every registered query MUST be
+    explicitly pinned in _CATALOG_ORDER (an unlisted one would evict the
+    window tail silently)."""
+    from bytesme_etl_batch_pipeline_spark.plans.queries import (
+        _CATALOG_ORDER,
+        SPARK_QUERIES,
+    )
+
+    assert set(_CATALOG_ORDER) == set(SPARK_QUERIES), (
+        "every query must be pinned in _CATALOG_ORDER; unpinned: "
+        f"{sorted(set(SPARK_QUERIES) - set(_CATALOG_ORDER))}; stale: "
+        f"{sorted(set(_CATALOG_ORDER) - set(SPARK_QUERIES))}"
+    )
+    priority = [
+        # (1) never driver-checked, oracle-paired
+        "doc_chunking", "udtf_unit_price_explode", "repetition_signals",
+        "simhash_hamming_pairs", "cdc_apply", "join_skew_report",
+        "doc_template_vi", "decontaminate_ngram_overlap", "neardup_dedup_docs",
+        "heavy_hitter_tokens", "embedding_quantize_int8",
+        "semantic_dedup_embeddings", "neardup_clusters",
+        "range_join_balance_tiers", "streaming_windowed_counts",
+        "doc_embeddings", "semantic_search_pipeline", "media_decode",
+        # (2) declared no-oracle sketches
+        "approx_percentiles", "approx_distinct_counts",
+        # (3) evidence predates a semantic change
+        "ann_lsh_topk", "ann_ivf_topk", "rule_cascade_classify",
+        # (4) r02 reds with fixed oracles
+        "array_ops_battery", "data_quality_report", "funnel_conversion",
+        "pivot_event_counts", "corpus_stats",
+    ]
+    first50 = list(SPARK_QUERIES)[:50]
+    missing = [n for n in priority if n not in first50]
+    assert not missing, f"priority rotation block fell out of the window: {missing}"
