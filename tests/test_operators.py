@@ -709,3 +709,18 @@ def hamming_pairs_banded_import(df):
     )
 
     return hamming_pairs_banded(df, "id", "h", max_hamming=3)
+
+
+def test_phash_arrow_and_pandas_paths_identical(spark):
+    """The mapInArrow and mapInPandas codec paths must produce the same
+    hashes — callers choose by profile, never by semantics."""
+    from bytesme_etl_batch_pipeline_spark.operators.multimodal import (
+        phash_media,
+        phash_media_arrow,
+    )
+
+    rows = [(i, "image", f"payload-{i}".encode()) for i in range(40)]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    a = {r.media_id: r.phash for r in phash_media(media).collect()}
+    b = {r.media_id: r.phash for r in phash_media_arrow(media).collect()}
+    assert a == b and len(a) == 40
