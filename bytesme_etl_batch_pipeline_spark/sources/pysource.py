@@ -35,12 +35,14 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     StringContains,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -213,6 +215,91 @@ class EventReplayDataSource(DataSource):
 
 
 def register_python_sources(spark) -> None:
-    """Idempotent registration of both sources on a session."""
+    """Idempotent registration of all Python sources on a session."""
     spark.dataSource.register(PageFetchDataSource)
     spark.dataSource.register(EventReplayDataSource)
+    spark.dataSource.register(JsonLinesDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITER: JSON-lines sink with two-phase commit (the fourth quadrant
+# of the Python DataSource API — batch read / stream read are above, this
+# adds batch write with task-attempt isolation and an atomic publish).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class JsonLinesCommit(WriterCommitMessage):
+    partition_id: int
+    tmp_path: str
+    n_rows: int
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Per-task writer: each partition lands in a uniquely-named temp file
+    (task attempts never collide — speculative/retried attempts write
+    side-by-side and only the committed one survives); ``commit`` on the
+    driver renames the winners into place and writes a ``_SUCCESS``
+    marker, ``abort`` removes the orphans. The same protocol every
+    production sink uses (FileOutputCommitter v2 shape)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bytesme_jsonl writer requires path")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else uuid.uuid4().int % 10**9
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{pid:05d}-{attempt}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), ensure_ascii=False, default=str))
+                f.write("\n")
+                n += 1
+        return JsonLinesCommit(partition_id=pid, tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            final = os.path.join(
+                self.path, f"part-{m.partition_id:05d}.jsonl"
+            )
+            os.replace(m.tmp_path, final)
+        # losers of speculative execution: any leftover temp files
+        for f in os.listdir(self.path):
+            if f.startswith(".part-") and f.endswith(".tmp"):
+                os.remove(os.path.join(self.path, f))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonLinesDataSource(DataSource):
+    """``df.write.format("bytesme_jsonl").option("path", ...).save()`` —
+    newline-delimited JSON with exactly-once publish semantics."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bytesme_jsonl"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return JsonLinesWriter(self.options)

@@ -125,3 +125,35 @@ def test_event_replay_stream_exactly_once(spark):
         "from replay_test"
     ).collect()[0]
     assert (row.n, row.d, row.lo, row.hi) == (120, 120, 0, 119)
+
+
+def test_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """Python DataSource WRITER quadrant: partition temp files promote
+    atomically on commit, _SUCCESS lands, temp orphans are swept, and the
+    data round-trips through spark.read.json."""
+    import json
+    import os
+
+    from bytesme_etl_batch_pipeline_spark.sources.pysource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(100)], "id long, name string"
+    ).repartition(4)
+    df.write.format("bytesme_jsonl").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-") and f.endswith(".jsonl")]
+    assert len(parts) == 4
+    assert not [f for f in files if f.endswith(".tmp")]
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p), encoding="utf-8") as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 100
