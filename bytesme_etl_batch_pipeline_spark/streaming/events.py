@@ -211,3 +211,16 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment: every micro-batch joins against
+    the STATIC dim snapshot (broadcast — no state store, no watermark; the
+    dim is re-resolved per batch, so a dim refresh between batches is
+    picked up automatically). The production shape for enriching a Kafka
+    stream with a slowly-changing dimension when per-event freshness
+    within a batch is not required; for interval-accurate history use the
+    SCD2 table + ``interval_attribution_join`` instead."""
+    return stream.join(F.broadcast(dim), on, how)

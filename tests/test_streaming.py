@@ -355,3 +355,42 @@ def test_foreach_batch_upsert_order_col_last_writer_wins(spark, tmp_path):
         run_foreach_batch_upsert(stream, ["k"], target, ckpt, order_col="seq")
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "fresh", 2: "only"}
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: drained availableNow result equals the
+    batch join, including events whose user has no dim row (left outer)."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+    from bytesme_etl_batch_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .filter(F.col("user_id") % 2 == 0)  # odd users stay dim-less
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream_static_enrich(stream, dim, "user_id").select(
+        "event_id", "user_id", "segment"
+    )
+    run_stream_to_memory(
+        enriched, "enriched_mem", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = spark.table("enriched_mem")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "user_id", "segment")
+    )
+    g = {(r.event_id, r.user_id, r.segment) for r in got.collect()}
+    b = {(r.event_id, r.user_id, r.segment) for r in batch.collect()}
+    assert g == b
+    assert any(s is None for _, _, s in g)  # dim-less users survive the left join
