@@ -9450,6 +9450,67 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hopping_window",
+    oracle="""
+    SELECT w AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS w,
+             event_type, value
+      FROM events
+    ) t
+    GROUP BY w, event_type
+    """,
+)
+def q_events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 2-hour windows advancing by 1
+    hour, so every event lands in exactly two windows — the §2.6 shape
+    between tumbling (`events_tumbling_window`) and RANGE frames
+    (`trailing_hour_activity`). Spark's ``window(ts, len, slide)``
+    replicates rows per overlapping window map-side; one shuffle on the
+    (window, type) key, decimal-exact sums."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("string").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "nation_dual_presence_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 1000
+    """,
+)
+def q_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation (completes §2.8 beside union-all and
+    except): nations with BOTH a rich customer and a solvent supplier.
+    Catalyst plans set-intersect as a left-semi aggregate — distinct
+    shuffles on both pruned sides only."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 1000)
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9583,6 +9644,7 @@ _CATALOG_ORDER = [
     'dsir_importance_resample', 'vocab_oov_rate', 'k_anonymity_report',
     'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
     'hourly_interpolated_values', 'media_phash_dedup', 'bitext_margin_mining',
+    'events_hopping_window', 'nation_dual_presence_intersect',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
