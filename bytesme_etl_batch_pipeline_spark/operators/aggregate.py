@@ -138,3 +138,73 @@ def hll_merge_estimate(
             "approx_distinct"
         )
     )
+
+
+def incremental_rollup(
+    spark,
+    state_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    count_col: str = "n_rows",
+):
+    """Incrementally-maintained rollup: persist PARTIAL aggregate state
+    (decimal sums, counts, mins, maxes per key) and fold each delta batch
+    into it without ever rescanning history — the materialized-view
+    maintenance primitive for append-only feeds (the HLL/CMS sketch
+    persistence above is the distinct-count special case; this is the
+    algebraic SUM/COUNT/MIN/MAX general case — all self-merging
+    aggregates, which is exactly why AVG is exposed as sum÷count instead
+    of stored).
+
+    Mechanics: aggregate the delta to per-key partials (one keyed
+    shuffle over DELTA rows only), union with the stored state, re-agg
+    (state is key-cardinality-sized, not history-sized), and publish via
+    the staging-rename swap (``files.merge_upsert_parquet`` protocol), so
+    readers never see a half-merged state and a crash leaves the previous
+    state intact. Sums are decimal(28,4) — exact and associative, so N
+    small deltas produce bit-identical state to one big batch (proven in
+    tests). Returns the merged state DataFrame.
+    """
+    import os
+    import shutil
+
+    sum_cols = sum_cols or []
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+
+    def partials(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias(count_col)]
+        aggs += [
+            F.sum(F.col(c).cast("decimal(28,4)")).alias(f"sum_{c}") for c in sum_cols
+        ]
+        aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+        return df.groupBy(*keys).agg(*aggs)
+
+    fresh = partials(delta)
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        merge_aggs = [F.sum(F.col(count_col)).cast("long").alias(count_col)]
+        merge_aggs += [
+            F.sum(F.col(f"sum_{c}")).alias(f"sum_{c}") for c in sum_cols
+        ]
+        merge_aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+        merge_aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+        merged = (
+            state.unionByName(fresh).groupBy(*keys).agg(*merge_aggs)
+        )
+    else:
+        merged = fresh
+    staging = state_path.rstrip("/") + "__staging"
+    retired = state_path.rstrip("/") + "__retired"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+    if os.path.exists(state_path):
+        os.rename(state_path, retired)
+    os.rename(staging, state_path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return spark.read.parquet(state_path)

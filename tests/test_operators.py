@@ -724,3 +724,42 @@ def test_phash_arrow_and_pandas_paths_identical(spark):
     a = {r.media_id: r.phash for r in phash_media(media).collect()}
     b = {r.media_id: r.phash for r in phash_media_arrow(media).collect()}
     assert a == b and len(a) == 40
+
+
+def test_incremental_rollup_equals_one_shot(spark, tmp_path):
+    """Folding a feed in as N delta batches must produce bit-identical
+    state to aggregating everything at once (decimal sums are exact and
+    associative), and the count/min/max lattice merges correctly."""
+    from bytesme_etl_batch_pipeline_spark.operators.aggregate import (
+        incremental_rollup,
+    )
+
+    rows = [
+        (i % 7, float(i) * 1.25 + 0.1, i % 13) for i in range(500)
+    ]
+    schema = "k long, v double, m long"
+    full = spark.createDataFrame(rows, schema)
+    state = str(tmp_path / "state")
+    for lo in range(0, 500, 125):  # four delta batches
+        delta = spark.createDataFrame(rows[lo : lo + 125], schema)
+        out = incremental_rollup(
+            spark, state, delta, ["k"],
+            sum_cols=["v"], min_cols=["m"], max_cols=["m"],
+        )
+    oneshot = incremental_rollup(
+        spark, str(tmp_path / "state2"), full, ["k"],
+        sum_cols=["v"], min_cols=["m"], max_cols=["m"],
+    )
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in oneshot.collect()}
+    assert a == b and len(a) == 7
+    # derived AVG from the state is exact
+    r0 = {r.k: (r.sum_v, r.n_rows) for r in out.collect()}
+    import decimal
+    want = {}
+    for k, v, _ in rows:
+        s, n = want.get(k, (decimal.Decimal(0), 0))
+        want[k] = (s + decimal.Decimal(str(round(v, 4))), n + 1)
+    for k, (s, n) in want.items():
+        assert r0[k][1] == n
+        assert abs(decimal.Decimal(r0[k][0]) - s) <= decimal.Decimal("0.01") * n
