@@ -9511,6 +9511,49 @@ def q_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, CAST(p_partkey // 10 AS BIGINT) AS ancestor,
+             CAST(p_retailprice AS DECIMAL(18,4)) AS val
+      FROM part WHERE p_partkey > 0
+      UNION ALL
+      SELECT node, CAST(ancestor // 10 AS BIGINT), val
+      FROM anc WHERE ancestor > 0
+    )
+    SELECT ancestor AS p_partkey,
+           CAST(count(*) AS BIGINT) AS n_descendants,
+           CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) AS subtree_value
+    FROM anc GROUP BY ancestor
+    """,
+)
+def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (BOM-style) subtree rollup WITHOUT recursion: the
+    ancestor chain of key p is arithmetically enumerable (p//10, p//100,
+    …, down to 0 — a decimal-digit taxonomy), so each node EXPLODES its
+    bounded ancestor list map-side and one aggregation sums every
+    subtree — where the oracle needs a recursive CTE, the Spark plan is
+    a single shuffle. The shape that replaces per-level iterative joins
+    whenever the hierarchy is encodable in the key (decimal taxonomies,
+    path enumerations, materialized-path trees); truly dynamic graphs go
+    through ``graph.connected_components`` instead."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") > 0)
+    # ~log10(maxkey) ancestor levels, EXACT integer division (`div`); the
+    # tail repeats 0 once the chain bottoms out — array_distinct keeps the
+    # single 0 the recursive oracle also emits
+    anc = F.array_distinct(
+        F.array(*[F.expr(f"p_partkey div {10 ** i}") for i in range(1, 8)])
+    )
+    exploded = p.select(
+        F.explode(anc).alias("ancestor"), _dec("p_retailprice").alias("val")
+    )
+    return exploded.groupBy(F.col("ancestor").alias("p_partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_descendants"),
+        F.sum("val").cast("string").cast("double").alias("subtree_value"),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9645,6 +9688,7 @@ _CATALOG_ORDER = [
     'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
     'hourly_interpolated_values', 'media_phash_dedup', 'bitext_margin_mining',
     'events_hopping_window', 'nation_dual_presence_intersect',
+    'part_hierarchy_rollup',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
