@@ -9554,6 +9554,57 @@ def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "benford_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             SUM(count(*)) OVER () AS total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS expected_freq,
+           round(pow(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+    FROM counts
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit: observed digit frequencies
+    of order totals against log10(1+1/d), with per-digit chi-square
+    terms — the classic fabricated-numbers screen for financial feeds.
+    The digit extracts from the STRING form (identical double formatting
+    in this range in both engines) because the arithmetic route
+    ``floor(x/10^floor(log10 x))`` is one ulp of libm log10 away from
+    misclassifying exact powers of ten. One 9-group aggregation; the
+    window total runs over the aggregated 9-row frame, not the facts."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    from pyspark.sql import Window
+
+    d = o.select(
+        F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n").cast("double") / total
+    return counts.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_freq"),
+        F.round(exp, 6).alias("expected_freq"),
+        F.round(F.pow(obs - exp, 2) / exp, 6).alias("chi2_term"),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9688,7 +9739,7 @@ _CATALOG_ORDER = [
     'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
     'hourly_interpolated_values', 'media_phash_dedup', 'bitext_margin_mining',
     'events_hopping_window', 'nation_dual_presence_intersect',
-    'part_hierarchy_rollup',
+    'part_hierarchy_rollup', 'benford_digit_audit',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
