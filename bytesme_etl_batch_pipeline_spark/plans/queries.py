@@ -9605,6 +9605,103 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, epoch_us(ts) AS seq,
+             CASE WHEN event_type = 'signup'
+                  THEN 'tier_' || CAST(CAST(floor(value / 25.0) AS INT) AS VARCHAR)
+             END AS tier,
+             CASE WHEN event_type = 'signup' THEN 'U' ELSE 'D' END AS op
+      FROM events WHERE event_type IN ('signup', 'error')
+    ),
+    hist AS (
+      SELECT user_id, tier, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+      FROM changes QUALIFY op != 'D'
+    ),
+    probes AS (
+      SELECT event_id, user_id, epoch_us(ts) AS pseq
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, h.tier
+    FROM probes p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id AND p.pseq >= h.valid_from
+     AND (h.valid_to IS NULL OR p.pseq < h.valid_to)
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal) attribute resolution: every purchase
+    resolves the SCD2 tier version valid AT ITS TIMESTAMP — signup events
+    open versions, error events close them (a closed period resolves to
+    NULL, not the stale tier). The oracle joins on BETWEEN; the Spark
+    plan avoids the inequality join entirely with the union-walk: version
+    anchors and probes merge into one per-user stream, a single ordered
+    window carries the open version forward, and a validity check
+    nullifies carries past their ``valid_to`` — one user-keyed shuffle at
+    any scale (the same shape as ``asof_join`` / the interpolation
+    query). Anchors sort before probes at equal microseconds, matching
+    the oracle's ``>=``."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    changes = e.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id",
+        F.unix_micros("ts").alias("seq"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit("tier_"),
+                F.floor(F.col("value") / 25.0).cast("int").cast("string"),
+            ),
+        ).alias("tier"),
+        F.when(F.col("event_type") == "signup", "U").otherwise("D").alias("op"),
+    )
+    from ..operators.cdc import scd2_history
+
+    hist = scd2_history(changes, "user_id", "seq", ["tier"], op_col="op")
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("seq")
+    )
+    unioned = hist.select(
+        "user_id",
+        F.col("valid_from").alias("seq"),
+        "tier",
+        "valid_to",
+        F.lit(1).alias("is_anchor"),
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        probes.select(
+            "user_id",
+            "seq",
+            F.lit(None).cast("string").alias("tier"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(0).alias("is_anchor"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("seq"), F.col("is_anchor").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    anchor = F.when(F.col("is_anchor") == 1, F.struct("tier", "valid_to"))
+    walked = unioned.withColumn("__v", F.last(anchor, ignorenulls=True).over(w))
+    valid = F.col("__v").isNotNull() & (
+        F.col("__v.valid_to").isNull() | (F.col("seq") < F.col("__v.valid_to"))
+    )
+    return (
+        walked.filter(F.col("is_anchor") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(valid, F.col("__v.tier")).alias("tier"),
+        )
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9739,7 +9836,7 @@ _CATALOG_ORDER = [
     'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
     'hourly_interpolated_values', 'media_phash_dedup', 'bitext_margin_mining',
     'events_hopping_window', 'nation_dual_presence_intersect',
-    'part_hierarchy_rollup', 'benford_digit_audit',
+    'part_hierarchy_rollup', 'benford_digit_audit', 'scd2_point_in_time',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
