@@ -9702,6 +9702,102 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cuped_ab_adjusted_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                      THEN CAST(value AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                      THEN CAST(value AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM per_user
+    ),
+    th AS (
+      SELECT n,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n AS xbar,
+             (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS theta
+      FROM g
+    )
+    SELECT p.grp,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(CAST(SUM(p.y) AS VARCHAR) AS DOUBLE) / count(*), 6)
+             AS raw_mean,
+           round(CAST(CAST(SUM(p.y) AS VARCHAR) AS DOUBLE) / count(*)
+                 - t.theta * (CAST(CAST(SUM(p.x) AS VARCHAR) AS DOUBLE)
+                              / count(*) - t.xbar), 6) AS adjusted_mean,
+           round(t.theta, 6) AS theta
+    FROM per_user p CROSS JOIN th t
+    GROUP BY p.grp, t.theta, t.xbar
+    """,
+)
+def q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013, the
+    experimentation-platform standard): per-user pre-period covariate x
+    and post-period metric y, θ = cov(x,y)/var(x) from EXACT decimal
+    moment sums (products of decimal(18,4) stay exact), per-group
+    adjusted mean ȳ_g − θ·(x̄_g − x̄). Two keyed aggregations (user, then
+    group) + a 1-row broadcast of the moments; every division happens
+    once, in double, on identical expression trees in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,4)")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < "2024-01-15", _dec("value")).otherwise(zero)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= "2024-01-15", _dec("value")).otherwise(zero)
+        ).alias("y"),
+    ).select(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp"), "x", "y"
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dd = lambda c: F.col(c).cast("string").cast("double")
+    th = g.select(
+        "n",
+        (dd("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("n") * dd("sxy") - dd("sx") * dd("sy"))
+            / (F.col("n") * dd("sxx") - dd("sx") * dd("sx"))
+        ).alias("theta"),
+    )
+    grouped = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").alias("gy"),
+        F.sum("x").alias("gx"),
+    )
+    return grouped.crossJoin(F.broadcast(th)).select(
+        "grp",
+        "n_users",
+        F.round(dd("gy") / F.col("n_users"), 6).alias("raw_mean"),
+        F.round(
+            dd("gy") / F.col("n_users")
+            - F.col("theta") * (dd("gx") / F.col("n_users") - F.col("xbar")),
+            6,
+        ).alias("adjusted_mean"),
+        F.round("theta", 6).alias("theta"),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9837,6 +9933,7 @@ _CATALOG_ORDER = [
     'hourly_interpolated_values', 'media_phash_dedup', 'bitext_margin_mining',
     'events_hopping_window', 'nation_dual_presence_intersect',
     'part_hierarchy_rollup', 'benford_digit_audit', 'scd2_point_in_time',
+    'cuped_ab_adjusted_lift',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
