@@ -485,3 +485,40 @@ def hamming_pairs_banded(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def neardup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Quality-aware near-dup survivorship: drop every doc that has a
+    STRICTLY better near-duplicate under the total order (quality desc,
+    id asc) — so each duplicate neighborhood keeps its best copy, the
+    training-data policy when duplicates differ in extraction quality
+    (``neardup_filter`` is the id-based special case). Local pairwise
+    rule, no connected components: along any quality chain the maximum
+    survives and everything dominated by a neighbor drops — deterministic
+    on any partitioning, one symmetric explode of the pair list + one
+    anti-join; the corpus never self-joins."""
+    q = df.select(F.col(id_col), F.col(quality_col).alias("__q"))
+    sym = pairs.select(
+        F.col("doc_a").alias(id_col), F.col("doc_b").alias("__other")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias(id_col), F.col("doc_a").alias("__other")
+        )
+    )
+    oq = q.select(F.col(id_col).alias("__other"), F.col("__q").alias("__oq"))
+    dominated = (
+        sym.join(q, id_col)
+        .join(oq, "__other")
+        .filter(
+            (F.col("__oq") > F.col("__q"))
+            | ((F.col("__oq") == F.col("__q")) & (F.col("__other") < F.col(id_col)))
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(dominated, id_col, "left_anti")

@@ -9798,6 +9798,61 @@ def q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_keep_best_docs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({_DUCK_NGRAMS2}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+      ) c
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.1
+    ),
+    q AS (SELECT doc_id, n_chars AS q FROM documents),
+    sym AS (
+      SELECT doc_a AS id, doc_b AS other FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    dominated AS (
+      SELECT DISTINCT s.id FROM sym s
+      JOIN q me ON me.doc_id = s.id
+      JOIN q ot ON ot.doc_id = s.other
+      WHERE ot.q > me.q OR (ot.q = me.q AND s.other < s.id)
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM dominated)
+    """,
+)
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware fuzzy dedup: same blocked-Jaccard pair pipeline as
+    ``neardup_dedup_docs``, but each duplicate neighborhood keeps its
+    LONGEST copy (length = extraction-quality proxy; ties fall back to
+    lowest id) instead of blindly keeping the lowest id — the policy
+    training corpora actually want when the same page was scraped at
+    different fidelities. See ``neardup.neardup_keep_best``."""
+    from ..operators import neardup as N
+
+    d = _cpu_spread(spark, sf_dir, "documents")
+    # the verified pair list is tiny (dup density, not corpus size) and
+    # feeds BOTH sides of the symmetric explode — materialize it once or
+    # the whole blocked-Jaccard pipeline replays per branch (23 exchanges)
+    pairs = (
+        N.ngram_jaccard_pairs(d, "doc_id", "text", "source", n=2, threshold=0.1)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    return N.neardup_keep_best(d, pairs, "doc_id", "n_chars").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9933,7 +9988,7 @@ _CATALOG_ORDER = [
     'hourly_interpolated_values', 'media_phash_dedup', 'bitext_margin_mining',
     'events_hopping_window', 'nation_dual_presence_intersect',
     'part_hierarchy_rollup', 'benford_digit_audit', 'scd2_point_in_time',
-    'cuped_ab_adjusted_lift',
+    'cuped_ab_adjusted_lift', 'neardup_keep_best_docs',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
