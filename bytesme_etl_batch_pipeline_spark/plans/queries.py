@@ -9853,6 +9853,134 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contrastive_training_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({_DUCK_NGRAMS2}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pos AS (
+      SELECT doc_a, doc_b, 1 AS is_positive FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+      ) c
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.2
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    neg AS (
+      SELECT doc_a,
+             CASE WHEN jump = doc_a THEN (jump + 1) % n_docs ELSE jump END
+               AS doc_b,
+             0 AS is_positive
+      FROM (
+        SELECT a.doc_id AS doc_a,
+               (a.doc_id * 2654435761) % n.n_docs AS jump, n.n_docs
+        FROM documents a CROSS JOIN n
+        WHERE {_duck_hash48("concat('negpair|', CAST(a.doc_id AS VARCHAR))")}
+              % 4 = 0
+      ) t
+    )
+    SELECT doc_a, doc_b, CAST(is_positive AS INT) AS is_positive FROM pos
+    UNION ALL
+    SELECT doc_a, doc_b, CAST(is_positive AS INT) AS is_positive
+    FROM neg WHERE NOT EXISTS (
+      SELECT 1 FROM pos p WHERE p.doc_a = least(neg.doc_a, neg.doc_b)
+                            AND p.doc_b = greatest(neg.doc_a, neg.doc_b))
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair construction for embedding training (SimCSE/E5
+    recipe): POSITIVES are verified near-duplicate pairs (blocked Jaccard
+    ≥ 0.2 — same-content different-extraction, the natural free positive
+    signal in a crawl corpus); NEGATIVES sample a deterministic
+    pseudo-random partner per selected anchor (Knuth-hash jump, ~25% of
+    docs) and are SCREENED against the positive set so no negative is
+    secretly a near-dup. One pair pipeline + one seeded map-side sample —
+    no random shuffles, reproducible on any cluster."""
+    from ..operators import neardup as N
+    from ..operators.textops import md5_hash48
+
+    d = _cpu_spread(spark, sf_dir, "documents")
+    pos = (
+        N.ngram_jaccard_pairs(d, "doc_id", "text", "source", n=2, threshold=0.2)
+        .select("doc_a", "doc_b", F.lit(1).alias("is_positive"))
+        .localCheckpoint(eager=True)
+    )
+    ids = d.select("doc_id")
+    # doc ids are dense 0..N-1, so the negative partner is a Knuth-hash
+    # jump computed MAP-SIDE (self-collisions bump by one, mod N) — no
+    # candidate join at all; only the 1-row corpus count broadcasts
+    n_docs = ids.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = ids.filter(
+        md5_hash48(F.concat(F.lit("negpair|"), F.col("doc_id").cast("string"))) % 4
+        == 0
+    ).select(F.col("doc_id").alias("doc_a"))
+    jump = (F.col("doc_a") * F.lit(2654435761)) % F.col("n_docs")
+    neg = (
+        anchors.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_a",
+            F.when(jump == F.col("doc_a"), (jump + 1) % F.col("n_docs"))
+            .otherwise(jump)
+            .alias("doc_b"),
+            F.lit(0).alias("is_positive"),
+        )
+    )
+    pos_keys = pos.select(
+        F.least("doc_a", "doc_b").alias("__ka"),
+        F.greatest("doc_a", "doc_b").alias("__kb"),
+    )
+    neg_clean = neg.join(
+        pos_keys,
+        (F.least("doc_a", "doc_b") == F.col("__ka"))
+        & (F.greatest("doc_a", "doc_b") == F.col("__kb")),
+        "left_anti",
+    )
+    return pos.unionByName(neg_clean).select(
+        "doc_a", "doc_b", F.col("is_positive").cast("int").alias("is_positive")
+    )
+
+
+@register(
+    "event_burst_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type, value
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ) t
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 300 SECOND
+    """,
+)
+def q_event_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry burst dedup: drop an event identical to its predecessor
+    (same user, type, value) within 300 s — client-retry/double-click
+    suppression, the batch twin of ``streaming/dedup``'s
+    dropDuplicatesWithinWatermark. One window over the identity key; a
+    survivor RESETS the clock (lag semantics: each kept row is >300 s
+    after the previous RAW row, the standard debounce)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    return (
+        e.withColumn("__prev", F.lag("ts").over(w))
+        .filter(
+            F.col("__prev").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("__prev") > 300_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -9989,6 +10117,7 @@ _CATALOG_ORDER = [
     'events_hopping_window', 'nation_dual_presence_intersect',
     'part_hierarchy_rollup', 'benford_digit_audit', 'scd2_point_in_time',
     'cuped_ab_adjusted_lift', 'neardup_keep_best_docs',
+    'contrastive_training_pairs', 'event_burst_dedup',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

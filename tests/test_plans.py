@@ -90,6 +90,7 @@ BNLJ_ALLOWED = {
     "ann_recall_report",  # 20-row broadcast query batch on both eval sides
     "bitext_margin_mining",  # side-B (~50-row) broadcast cross score
     "cuped_ab_adjusted_lift",  # single-row broadcast moment sums (theta)
+    "contrastive_training_pairs",  # single-row broadcast corpus count
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
