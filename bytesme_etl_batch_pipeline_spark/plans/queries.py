@@ -9981,6 +9981,178 @@ def q_event_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dow_seasonality_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             isodow(ts) AS dow, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, CAST(dow AS INT) AS dow,
+             SUM(n) AS dow_events, count(*) AS dow_days
+      FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(dow_events) AS all_events, SUM(dow_days) AS all_days
+      FROM base GROUP BY 1
+    )
+    SELECT b.event_type, b.dow,
+           CAST(b.dow_events AS BIGINT) AS n_events,
+           round((CAST(b.dow_events AS DOUBLE) / b.dow_days)
+                 / (CAST(t.all_events AS DOUBLE) / t.all_days), 6)
+             AS seasonality_index
+    FROM base b JOIN tot t ON b.event_type = t.event_type
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: mean daily volume on
+    each ISO weekday relative to the type's overall daily mean (index 1.0
+    = no weekly pattern) — the additive-decomposition lite every ops
+    dashboard starts with. Normalizing by DAY COUNT, not raw totals,
+    keeps partial weeks at the range edges from faking seasonality. Two
+    nested aggregations, both map-partial."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.dayofweek("ts").alias("__dow_sun"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Spark dayofweek is Sunday=1; ISO Monday=1 mapping
+    daily = daily.withColumn(
+        "dow", ((F.col("__dow_sun") + 5) % 7 + 1).cast("int")
+    )
+    base = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("dow_events"), F.count(F.lit(1)).alias("dow_days")
+    )
+    tot = base.groupBy("event_type").agg(
+        F.sum("dow_events").alias("all_events"), F.sum("dow_days").alias("all_days")
+    )
+    return base.join(tot, "event_type").select(
+        "event_type",
+        "dow",
+        F.col("dow_events").cast("long").alias("n_events"),
+        F.round(
+            (F.col("dow_events").cast("double") / F.col("dow_days"))
+            / (F.col("all_events").cast("double") / F.col("all_days")),
+            6,
+        ).alias("seasonality_index"),
+    )
+
+
+@register(
+    "dup_cluster_size_distribution",
+    oracle="""
+    WITH clusters AS (
+      SELECT md5(lower(trim(text))) AS dg, CAST(count(*) AS BIGINT) AS sz
+      FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY sz
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: how much of the corpus
+    sits in singletons vs heavy duplicate clusters — the observability
+    view that decides whether dedup is worth a full pass (one giant
+    cluster and a long singleton tail is the classic crawl signature).
+    Two nested aggregations; the second groups on the tiny size domain."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("dg")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "bigram_pmi_collocations",
+    oracle=f"""
+    WITH w AS (SELECT {_DUCK_WORDS} AS ws FROM documents),
+    big AS (
+      SELECT p.pr['w1'] AS w1, p.pr['w2'] AS w2, count(*) AS c12
+      FROM (
+        SELECT unnest(list_transform(range(len(ws) - 1),
+                 i -> {{'w1': ws[i + 1], 'w2': ws[i + 2]}})) AS pr
+        FROM w WHERE len(ws) >= 2
+      ) p GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT token, count(*) AS c FROM (
+        SELECT unnest({_DUCK_WORDS}) AS token FROM documents
+      ) t GROUP BY token
+    ),
+    n AS (SELECT SUM(c) AS total FROM uni)
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS pair_count,
+           round(ln((CAST(b.c12 AS DOUBLE) * n.total)
+                    / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.token
+    JOIN uni u2 ON b.w2 = u2.token
+    CROSS JOIN n
+    WHERE b.c12 >= 5
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (collocation
+    mining, Church & Hanks 1990): PMI = ln(N·c12 / (c1·c2)) over pairs
+    seen ≥ 5 times — the lexical-association stat behind phrase
+    detection/tokenizer seeding. Bigram and unigram counts are two
+    dictionary-sized aggregations off the same token stream; the unigram
+    table joins back vocabulary-sized (AQE broadcast at scale) and the
+    corpus total is a 1-row broadcast."""
+    from ..operators.textops import words
+
+    d = _cpu_spread(spark, sf_dir, "documents")
+    base = d.select("doc_id", words("text").alias("__ws"))
+    big = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__ws, 1, size(__ws) - 1), "
+                    "(w, i) -> struct(w as w1, __ws[i + 1] as w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    # the unigram table feeds THREE consumers (both join sides + the
+    # corpus total) — materialize the vocabulary-sized frame once
+    uni = (
+        base.select(F.explode("__ws").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n = uni.agg(F.sum("c").alias("total"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("total"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10118,6 +10290,8 @@ _CATALOG_ORDER = [
     'part_hierarchy_rollup', 'benford_digit_audit', 'scd2_point_in_time',
     'cuped_ab_adjusted_lift', 'neardup_keep_best_docs',
     'contrastive_training_pairs', 'event_burst_dedup',
+    'dow_seasonality_index', 'dup_cluster_size_distribution',
+    'bigram_pmi_collocations',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

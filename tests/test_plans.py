@@ -91,6 +91,7 @@ BNLJ_ALLOWED = {
     "bitext_margin_mining",  # side-B (~50-row) broadcast cross score
     "cuped_ab_adjusted_lift",  # single-row broadcast moment sums (theta)
     "contrastive_training_pairs",  # single-row broadcast corpus count
+    "bigram_pmi_collocations",  # single-row broadcast corpus token total
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
