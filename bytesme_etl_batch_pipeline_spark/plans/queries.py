@@ -10153,6 +10153,81 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "purchase_linear_regression",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx,
+             SUM(y) AS sy,
+             SUM(x * x) AS sxx,
+             SUM(x * y) AS sxy,
+             SUM(y * y) AS syy
+      FROM per_cust
+    )
+    SELECT n,
+           round((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope,
+           round((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                  - ((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+           round(pow(n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sy AS VARCHAR) AS DOUBLE))), 6) AS r2
+    FROM m
+    """,
+)
+def q_purchase_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS in one aggregation pass: spend ~ order-count per
+    customer via the normal equations — slope, intercept and R² all
+    derive from five moment sums (counts exact as BIGINT, revenue sums
+    exact as DECIMAL, products of the two exact until the single final
+    double conversion). The scale shape for any single-feature fit: one
+    keyed agg + one 1-row reduction; nothing iterative, nothing
+    collected except the coefficients."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(_dec("o_totalprice")).alias("y"),
+    )
+    m = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dd = lambda c: F.col(c).cast("string").cast("double")
+    num = F.col("n") * dd("sxy") - F.col("sx").cast("double") * dd("sy")
+    den = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    slope = num / den
+    intercept = (dd("sy") - slope * F.col("sx").cast("double")) / F.col("n")
+    r2 = F.pow(num, 2) / (
+        den * (F.col("n") * dd("syy") - dd("sy") * dd("sy"))
+    )
+    return m.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10291,7 +10366,7 @@ _CATALOG_ORDER = [
     'cuped_ab_adjusted_lift', 'neardup_keep_best_docs',
     'contrastive_training_pairs', 'event_burst_dedup',
     'dow_seasonality_index', 'dup_cluster_size_distribution',
-    'bigram_pmi_collocations',
+    'bigram_pmi_collocations', 'purchase_linear_regression',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
