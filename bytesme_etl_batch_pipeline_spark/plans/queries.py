@@ -10228,6 +10228,103 @@ def q_purchase_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cusum_changepoint_scan",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT CAST(SUM(n) AS DOUBLE) / count(*) AS mu FROM daily),
+    c AS (
+      SELECT day, n,
+             round(SUM(n - m.mu) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cusum
+      FROM daily CROSS JOIN m
+    )
+    SELECT day, n, cusum,
+           abs(cusum) = (SELECT max(abs(cusum)) FROM c) AS is_changepoint
+    FROM c
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily volumes (Page 1954): cumulative
+    sum of deviations from the global mean; the |CUSUM| maximum marks the
+    most likely level-shift day — the first-pass regime-change detector
+    for feed monitoring. Day rows are bounded (one per calendar day), so
+    the ordered window and the max-scalar comparison both run on a tiny
+    frame; only the daily rollup touches the facts."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = daily.agg((F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = (
+        daily.crossJoin(F.broadcast(m))
+        .withColumn("cusum", F.round(F.sum(F.col("n") - F.col("mu")).over(w), 6))
+        .select("day", "n", "cusum")
+        .localCheckpoint(eager=True)  # scalar-max branch reuses it
+    )
+    mx = c.agg(F.max(F.abs("cusum")).alias("mx"))
+    return c.crossJoin(F.broadcast(mx)).select(
+        "day", "n", "cusum", (F.abs("cusum") == F.col("mx")).alias("is_changepoint")
+    )
+
+
+@register(
+    "order_interarrival_percentiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                                      o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(gap_days, 0.9) AS BIGINT) AS p90,
+           CAST(quantile_disc(gap_days, 0.99) AS BIGINT) AS p99,
+           CAST(min(gap_days) AS BIGINT) AS min_gap,
+           CAST(max(gap_days) AS BIGINT) AS max_gap
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def q_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution: days between consecutive orders per
+    customer, summarized as exact discrete percentiles — the repeat-
+    purchase cadence stat behind churn windows and CLV horizon choices.
+    One lag window on the customer key, one global percentile aggregate
+    (exact ``percentile`` on the integer gap domain — discrete quantile
+    semantics match DuckDB's quantile_disc)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("percentile_approx(gap_days, 0.5, 2147483647)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_approx(gap_days, 0.9, 2147483647)")
+        .cast("long")
+        .alias("p90"),
+        F.expr("percentile_approx(gap_days, 0.99, 2147483647)")
+        .cast("long")
+        .alias("p99"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10367,6 +10464,7 @@ _CATALOG_ORDER = [
     'contrastive_training_pairs', 'event_burst_dedup',
     'dow_seasonality_index', 'dup_cluster_size_distribution',
     'bigram_pmi_collocations', 'purchase_linear_regression',
+    'cusum_changepoint_scan', 'order_interarrival_percentiles',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
