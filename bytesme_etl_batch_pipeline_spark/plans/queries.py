@@ -10325,6 +10325,60 @@ def q_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, label,
+             round(sqrt({_duck_dot('embedding', 'embedding')}), 6) AS l2
+      FROM embeddings
+    ),
+    med AS (SELECT quantile_disc(l2, 0.5) AS m FROM norms),
+    mad AS (
+      SELECT quantile_disc(abs(l2 - med.m), 0.5) AS d, med.m AS m
+      FROM norms CROSS JOIN med GROUP BY med.m
+    )
+    SELECT n.vec_id, n.label, n.l2,
+           round(abs(n.l2 - mad.m) / nullif(mad.d, 0), 6) AS mad_score,
+           coalesce(abs(n.l2 - mad.m) / nullif(mad.d, 0) > 5.0, FALSE)
+             AS is_outlier
+    FROM norms n CROSS JOIN mad
+    """,
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store health check: per-vector L2 norm scored against the
+    corpus median/MAD (robust — a batch of zero vectors or an
+    fp16-overflow burst can't drag the baseline the way mean/std would);
+    vectors beyond 5 MAD flag as outliers, the standard pre-index screen
+    for a vector pipeline. Norms fold in index order (bit-exact), the
+    median/MAD scalars broadcast as one row, discrete-quantile semantics
+    match DuckDB's quantile_disc."""
+    from ..operators.similarity import _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id", "label", F.round(_norm(F.col("embedding")), 6).alias("l2")
+    ).localCheckpoint(eager=True)  # median, MAD and the report all reuse it
+    med = norms.agg(
+        F.expr("percentile_approx(l2, 0.5, 2147483647)").alias("m")
+    )
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "m", F.abs(F.col("l2") - F.col("m")).alias("__dev")
+    )
+    mad = dev.agg(
+        F.expr("percentile_approx(__dev, 0.5, 2147483647)").alias("d"),
+        F.first("m").alias("m"),
+    )
+    score = F.abs(F.col("l2") - F.col("m")) / F.nullif(F.col("d"), F.lit(0))
+    return norms.crossJoin(F.broadcast(mad)).select(
+        "vec_id",
+        "label",
+        "l2",
+        F.round(score, 6).alias("mad_score"),
+        F.coalesce(score > 5.0, F.lit(False)).alias("is_outlier"),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10465,6 +10519,7 @@ _CATALOG_ORDER = [
     'dow_seasonality_index', 'dup_cluster_size_distribution',
     'bigram_pmi_collocations', 'purchase_linear_regression',
     'cusum_changepoint_scan', 'order_interarrival_percentiles',
+    'embedding_norm_outliers',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

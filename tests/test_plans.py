@@ -93,6 +93,7 @@ BNLJ_ALLOWED = {
     "contrastive_training_pairs",  # single-row broadcast corpus count
     "bigram_pmi_collocations",  # single-row broadcast corpus token total
     "cusum_changepoint_scan",  # 1-row broadcast mean + 1-row broadcast max
+    "embedding_norm_outliers",  # 1-row broadcast median + MAD scalars
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
