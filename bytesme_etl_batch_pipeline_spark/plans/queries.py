@@ -10379,6 +10379,118 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heaps_law_curve",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    dt AS (
+      SELECT doc_id, len({_DUCK_WORDS}) AS n_tok,
+             least(doc_id * 10 // n.n_docs, 9) AS bucket
+      FROM documents CROSS JOIN n
+    ),
+    per_bucket AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS docs,
+             CAST(SUM(n_tok) AS BIGINT) AS toks
+      FROM dt GROUP BY bucket
+    ),
+    tf AS (
+      SELECT token, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents
+      ) t GROUP BY token
+    ),
+    nf AS (
+      SELECT least(first_doc * 10 // n.n_docs, 9) AS bucket,
+             CAST(count(*) AS BIGINT) AS new_tokens
+      FROM tf CROSS JOIN n GROUP BY 1
+    )
+    SELECT CAST(b.bucket AS INT) AS decile,
+           CAST(SUM(p.docs) AS BIGINT) AS cum_docs,
+           CAST(SUM(p.toks) AS BIGINT) AS cum_tokens,
+           CAST(coalesce((SELECT SUM(new_tokens) FROM nf
+                          WHERE nf.bucket <= b.bucket), 0) AS BIGINT)
+             AS cum_distinct_tokens
+    FROM (SELECT DISTINCT bucket FROM per_bucket) b
+    JOIN per_bucket p ON p.bucket <= b.bucket
+    GROUP BY b.bucket
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative docs, tokens and
+    DISTINCT tokens at each corpus decile — the sub-linearity of the
+    third column is what sizes tokenizer vocabularies and predicts dedup
+    yield on more data. No global ordered scan: each doc/first-seen
+    token contributes to its decile bucket and the ≤-cumulation happens
+    on the TEN-row bucket frame (the contribute-explode trick from
+    ``rolling_7d_active_users``, here as a tiny triangular join)."""
+    d = _cpu_spread(spark, sf_dir, "documents")
+    from ..operators.textops import words
+
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dt = d.select(
+        "doc_id", F.size(words("text")).alias("n_tok")
+    ).crossJoin(F.broadcast(n)).select(
+        "n_tok",
+        F.least(
+            (F.col("doc_id") * 10).cast("long") / F.col("n_docs"), F.lit(9.0)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    per_bucket = dt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tok").alias("toks")
+    ).localCheckpoint(eager=True)
+    tf = (
+        d.select("doc_id", F.explode(words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nf = (
+        tf.crossJoin(F.broadcast(n))
+        .select(
+            F.least(
+                (F.col("first_doc") * 10).cast("long") / F.col("n_docs"),
+                F.lit(9.0),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    buckets = per_bucket.select("bucket").distinct()
+    cum = (
+        buckets.alias("b")
+        .join(
+            per_bucket.alias("p"), F.col("p.bucket") <= F.col("b.bucket")
+        )
+        .groupBy(F.col("b.bucket").alias("decile"))
+        .agg(
+            F.sum("p.docs").cast("long").alias("cum_docs"),
+            F.sum("p.toks").cast("long").alias("cum_tokens"),
+        )
+    )
+    cum_nf = (
+        buckets.alias("b2")
+        .join(nf.alias("f"), F.col("f.bucket") <= F.col("b2.bucket"), "left")
+        .groupBy(F.col("b2.bucket").alias("decile"))
+        .agg(
+            F.coalesce(F.sum("f.new_tokens"), F.lit(0))
+            .cast("long")
+            .alias("cum_distinct_tokens")
+        )
+    )
+    return (
+        cum.join(cum_nf, "decile")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "cum_docs",
+            "cum_tokens",
+            "cum_distinct_tokens",
+        )
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10519,7 +10631,7 @@ _CATALOG_ORDER = [
     'dow_seasonality_index', 'dup_cluster_size_distribution',
     'bigram_pmi_collocations', 'purchase_linear_regression',
     'cusum_changepoint_scan', 'order_interarrival_percentiles',
-    'embedding_norm_outliers',
+    'embedding_norm_outliers', 'heaps_law_curve',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -94,6 +94,7 @@ BNLJ_ALLOWED = {
     "bigram_pmi_collocations",  # single-row broadcast corpus token total
     "cusum_changepoint_scan",  # 1-row broadcast mean + 1-row broadcast max
     "embedding_norm_outliers",  # 1-row broadcast median + MAD scalars
+    "heaps_law_curve",  # 10-row bucket frame triangular cumulation
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
