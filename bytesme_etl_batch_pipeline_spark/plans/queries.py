@@ -10491,6 +10491,92 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "extraction_artifact_screen",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT) AS n_tags,
+           CAST(len(regexp_extract_all(text, '&[a-z]+;')) AS BIGINT)
+             AS n_entities,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text, '\\\\[a-z]')) AS BIGINT)
+             AS n_escapes,
+           coalesce(len(regexp_extract_all(text, '<[^>]+>'))
+                    + len(regexp_extract_all(text, '&[a-z]+;'))
+                    + len(regexp_extract_all(text, '\\\\[a-z]')) > 0, FALSE)
+             AS needs_recleaning
+    FROM documents
+    """,
+)
+def q_extraction_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-artifact screen: per-doc counts of HTML tag residue,
+    entity escapes, live URLs and backslash escapes — the signals that an
+    HTML→text extraction failed and the doc should re-enter the cleaning
+    pipeline rather than the training mix (complements
+    ``quality_filter_chain``'s statistical screens with mechanical ones).
+    Pure codegen'd regexp counts, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    tags = F.size(F.expr(r"regexp_extract_all(text, '<[^>]+>', 0)"))
+    ents = F.size(F.expr(r"regexp_extract_all(text, '&[a-z]+;', 0)"))
+    urls = F.size(F.expr(r"regexp_extract_all(text, 'https?://[^ ]+', 0)"))
+    escs = F.size(F.expr(r"regexp_extract_all(text, '\\\\[a-z]', 0)"))
+    return d.select(
+        "doc_id",
+        tags.cast("long").alias("n_tags"),
+        ents.cast("long").alias("n_entities"),
+        urls.cast("long").alias("n_urls"),
+        escs.cast("long").alias("n_escapes"),
+        F.coalesce((tags + ents + escs) > 0, F.lit(False)).alias(
+            "needs_recleaning"
+        ),
+    )
+
+
+@register("source_overlap_estimate")
+def q_source_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra set overlap: estimated |A ∩ B| of the trigram-shingle
+    vocabularies of two sources (src0/src1) by HLL inclusion-exclusion
+    (|A| + |B| − |A∪B|) — the constant-memory way to size cross-source
+    contamination before an exact join, and the reason the engine
+    persists HLL sketches (``aggregate.hll_partial_sketches``): union is
+    lossless on sketch state, so the three cardinalities come from ONE
+    sketch pass per source. Declared no-oracle (estimates); the error
+    bound versus the exact intersection is property-tested
+    (``tests/test_functions.py``)."""
+    from ..operators.neardup import word_ngrams
+    from ..operators.textops import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(word_ngrams(words("text"), 3)).alias("token")
+    ).filter(F.col("source").isin("src0", "src1"))
+    sketches = tok.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("token"), F.lit(14)).alias("sk"),
+        F.countDistinct("token").alias("exact_distinct"),
+    )
+    singles = sketches.select(
+        "source", F.hll_sketch_estimate("sk").alias("est"), "exact_distinct"
+    )
+    union_est = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+    )
+    pair = (
+        singles.groupBy()
+        .pivot("source", ["src0", "src1"])
+        .agg(F.first("est"))
+        .crossJoin(F.broadcast(union_est))
+    )
+    return pair.select(
+        F.round("src0", 1).alias("est_src0"),
+        F.round("src1", 1).alias("est_src1"),
+        F.round("u", 1).alias("est_union"),
+        F.round(F.col("src0") + F.col("src1") - F.col("u"), 1).alias(
+            "est_intersection"
+        ),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10632,6 +10718,7 @@ _CATALOG_ORDER = [
     'bigram_pmi_collocations', 'purchase_linear_regression',
     'cusum_changepoint_scan', 'order_interarrival_percentiles',
     'embedding_norm_outliers', 'heaps_law_curve',
+    'extraction_artifact_screen', 'source_overlap_estimate',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

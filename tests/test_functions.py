@@ -338,3 +338,29 @@ def test_canonicalize_url_edge_cases(spark):
     got = {r.i: r.c for r in df.select("i", canonicalize_url("u").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i], got[i])
+
+
+def test_source_overlap_estimate_error_bound(spark, sf_dir):
+    """HLL inclusion-exclusion overlap: each estimated cardinality within
+    ~3σ of the lg_k=14 sketch error (0.81/√2^14 ≈ 0.63%) of its exact
+    value; the intersection inherits the summed absolute errors."""
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import word_ngrams
+    from bytesme_etl_batch_pipeline_spark.operators.textops import words
+    from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    row = catalog.SPARK_QUERIES["source_overlap_estimate"](spark, sf_dir).collect()[0]
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(word_ngrams(words("text"), 3)).alias("t")
+    ).filter(F.col("source").isin("src0", "src1"))
+    a = {r.t for r in tok.filter(F.col("source") == "src0").select("t").distinct().collect()}
+    b = {r.t for r in tok.filter(F.col("source") == "src1").select("t").distinct().collect()}
+    rel = 3 * 0.0064
+    assert abs(row.est_src0 - len(a)) <= rel * len(a) + 2
+    assert abs(row.est_src1 - len(b)) <= rel * len(b) + 2
+    assert abs(row.est_union - len(a | b)) <= rel * len(a | b) + 2
+    tol = rel * (len(a) + len(b) + len(a | b)) + 6
+    assert abs(row.est_intersection - len(a & b)) <= tol

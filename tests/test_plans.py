@@ -95,6 +95,7 @@ BNLJ_ALLOWED = {
     "cusum_changepoint_scan",  # 1-row broadcast mean + 1-row broadcast max
     "embedding_norm_outliers",  # 1-row broadcast median + MAD scalars
     "heaps_law_curve",  # 10-row bucket frame triangular cumulation
+    "source_overlap_estimate",  # 1-row broadcast union-sketch estimate
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
