@@ -10241,7 +10241,7 @@ def q_purchase_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, n,
              round(SUM(n - m.mu) OVER (ORDER BY day
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-               AS cusum
+               + 0.0 AS cusum
       FROM daily CROSS JOIN m
     )
     SELECT day, n, cusum,
@@ -10266,7 +10266,12 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = (
         daily.crossJoin(F.broadcast(m))
-        .withColumn("cusum", F.round(F.sum(F.col("n") - F.col("mu")).over(w), 6))
+        .withColumn(
+            # + 0.0 folds IEEE negative zero to +0.0 — a zero-sum tail day
+            # otherwise prints -0.0 in one engine and 0.0 in the other
+            "cusum",
+            F.round(F.sum(F.col("n") - F.col("mu")).over(w), 6) + F.lit(0.0),
+        )
         .select("day", "n", "cusum")
         .localCheckpoint(eager=True)  # scalar-max branch reuses it
     )
