@@ -10582,6 +10582,118 @@ def q_source_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_share_of_parent",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN NULL
+                  ELSE c_mktsegment END AS segment,
+             CASE WHEN GROUPING(c_nationkey) = 1 THEN NULL
+                  ELSE c_nationkey END AS nationkey,
+             GROUPING(c_mktsegment) + GROUPING(c_nationkey) * 2 AS gid,
+             SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS bal
+      FROM customer
+      GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    )
+    SELECT child.segment, child.nationkey,
+           CAST(CAST(child.bal AS VARCHAR) AS DOUBLE) AS balance,
+           round(CAST(CAST(child.bal AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(parent.bal AS VARCHAR) AS DOUBLE), 6)
+             AS share_of_parent
+    FROM r child JOIN r parent
+      ON (child.gid = 0 AND parent.gid = 2
+          AND child.segment = parent.segment)
+      OR (child.gid = 2 AND parent.gid = 3)
+    """,
+)
+def q_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent over a ROLLUP lattice: each (segment, nation) leaf
+    as a fraction of its segment subtotal, each segment subtotal as a
+    fraction of the grand total — the drill-down ratio view pivot tables
+    want, computed from ONE rollup pass (the lattice self-join runs on
+    the tiny aggregated frame, never the facts). Exact-decimal balances;
+    one division per row at the end."""
+    c = load_table(spark, sf_dir, "customer")
+    r = (
+        c.rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.sum(_dec("c_acctbal")).alias("bal"),
+            F.grouping("c_mktsegment").alias("g1"),
+            F.grouping("c_nationkey").alias("g2"),
+        )
+        .select(
+            F.when(F.col("g1") == 1, F.lit(None)).otherwise(
+                F.col("c_mktsegment")
+            ).alias("segment"),
+            F.when(F.col("g2") == 1, F.lit(None)).otherwise(
+                F.col("c_nationkey")
+            ).alias("nationkey"),
+            (F.col("g1") + F.col("g2") * 2).alias("gid"),
+            "bal",
+        )
+        .localCheckpoint(eager=True)  # child and parent sides reuse it
+    )
+    child = r.select(
+        F.col("segment"), F.col("nationkey"), F.col("gid"), F.col("bal")
+    )
+    parent = r.select(
+        F.col("segment").alias("p_segment"),
+        F.col("gid").alias("p_gid"),
+        F.col("bal").alias("p_bal"),
+    )
+    cond = (
+        (F.col("gid") == 0)
+        & (F.col("p_gid") == 2)
+        & (F.col("segment") == F.col("p_segment"))
+    ) | ((F.col("gid") == 2) & (F.col("p_gid") == 3))
+    return child.join(F.broadcast(parent), cond).select(
+        "segment",
+        "nationkey",
+        F.col("bal").cast("string").cast("double").alias("balance"),
+        F.round(
+            F.col("bal").cast("string").cast("double")
+            / F.col("p_bal").cast("string").cast("double"),
+            6,
+        ).alias("share_of_parent"),
+    )
+
+
+@register(
+    "part_skyline_pareto",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM (
+      SELECT p_partkey, p_name, p_retailprice, p_size,
+             max(p_size) OVER (ORDER BY p_retailprice, p_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS best_before
+      FROM part
+    ) t
+    WHERE best_before IS NULL OR p_size > best_before
+    """,
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (BNL-free): parts not dominated on (price ↓, size ↑)
+    — a part survives iff its size strictly exceeds the best size among
+    all strictly-cheaper-or-tied-earlier parts, which ONE running-max
+    window over the price order answers; the naive skyline is an O(n²)
+    self-join. The (price, partkey) total order makes the dominance
+    frontier deterministic under ties. At 100 TB the same window runs
+    after a range partition on price."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        Window.orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        p.withColumn("__best", F.max("p_size").over(w))
+        .filter(F.col("__best").isNull() | (F.col("p_size") > F.col("__best")))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10724,6 +10836,7 @@ _CATALOG_ORDER = [
     'cusum_changepoint_scan', 'order_interarrival_percentiles',
     'embedding_norm_outliers', 'heaps_law_curve',
     'extraction_artifact_screen', 'source_overlap_estimate',
+    'rollup_share_of_parent', 'part_skyline_pareto',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

@@ -96,6 +96,7 @@ BNLJ_ALLOWED = {
     "embedding_norm_outliers",  # 1-row broadcast median + MAD scalars
     "heaps_law_curve",  # 10-row bucket frame triangular cumulation
     "source_overlap_estimate",  # 1-row broadcast union-sketch estimate
+    "rollup_share_of_parent",  # lattice self-join on the tiny rollup frame
 }
 # Streaming query starts a real stream — no static plan to lint.
 PLAN_LINT_SKIP = {"streaming_windowed_counts"}
