@@ -9353,14 +9353,16 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a CROSS JOIN b
     ),
     ka AS (
-      SELECT a_id, round(avg(c), 6) AS knn_a FROM (
+      -- 1e-6-scaled INTEGER sum of the top-4 cosines: a 4-double mean is
+      -- shuffle-order-sensitive in its last ulp (diverged at sf0.1)
+      SELECT a_id, SUM(CAST(round(c * 1000000) AS BIGINT)) AS ksum_a FROM (
         SELECT a_id, c,
                row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rn
         FROM scored
       ) t WHERE rn <= 4 GROUP BY a_id
     ),
     kb AS (
-      SELECT b_id, round(avg(c), 6) AS knn_b FROM (
+      SELECT b_id, SUM(CAST(round(c * 1000000) AS BIGINT)) AS ksum_b FROM (
         SELECT b_id, c,
                row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) AS rn
         FROM scored
@@ -9368,7 +9370,7 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     margins AS (
       SELECT s.a_id, s.b_id, s.c,
-             round(s.c / ((ka.knn_a + kb.knn_b) / 2), 6) AS margin
+             round(s.c * 8000000.0 / (ka.ksum_a + kb.ksum_b), 6) AS margin
       FROM scored s JOIN ka ON s.a_id = ka.a_id JOIN kb ON s.b_id = kb.b_id
     ),
     ranked AS (
@@ -9416,17 +9418,21 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = Window.partitionBy("a_id").orderBy(F.col("c").desc(), F.col("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.col("c").desc(), F.col("a_id"))
+    # 1e-6-scaled INTEGER top-4 sums — a 4-double mean is shuffle-order-
+    # sensitive in its last ulp (diverged at sf0.1); integer sums are
+    # associative, and the single division happens once in double
+    ci = F.round(F.col("c") * 1000000).cast("long")
     ka = (
         scored.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") <= 4)
         .groupBy("a_id")
-        .agg(F.round(F.avg("c"), 6).alias("knn_a"))
+        .agg(F.sum(ci).alias("ksum_a"))
     )
     kb = (
         scored.withColumn("rn", F.row_number().over(wb))
         .filter(F.col("rn") <= 4)
         .groupBy("b_id")
-        .agg(F.round(F.avg("c"), 6).alias("knn_b"))
+        .agg(F.sum(ci).alias("ksum_b"))
     )
     margins = (
         scored.join(ka, "a_id")
@@ -9436,7 +9442,7 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             "c",
             F.round(
-                F.col("c") / ((F.col("knn_a") + F.col("knn_b")) / 2), 6
+                F.col("c") * 8000000.0 / (F.col("ksum_a") + F.col("ksum_b")), 6
             ).alias("margin"),
         )
     )
