@@ -10700,6 +10700,53 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_num
+    """,
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path of sessionization: ``session_window`` with a
+    watermark on a file-source readStream, drained availableNow — session
+    state merges across micro-batches in the state store, and the result
+    must equal the batch sessionizer (shared oracle), checkpointing
+    included. The second driver-visible streaming query beside
+    ``streaming_windowed_counts``."""
+    import tempfile
+    import uuid
+
+    from ..streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    agg = SE.sessionized_counts(stream).select(
+        "user_id", "session_start", "n_events"
+    )
+    qname = f"sess_counts_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        SE.run_stream_to_memory(agg, qname, ckpt)
+    result = spark.table(qname)
+    rows, schema = result.collect(), result.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10843,6 +10890,7 @@ _CATALOG_ORDER = [
     'embedding_norm_outliers', 'heaps_law_curve',
     'extraction_artifact_screen', 'source_overlap_estimate',
     'rollup_share_of_parent', 'part_skyline_pareto',
+    'streaming_session_counts',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

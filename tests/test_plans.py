@@ -99,7 +99,7 @@ BNLJ_ALLOWED = {
     "rollup_share_of_parent",  # lattice self-join on the tiny rollup frame
 }
 # Streaming query starts a real stream — no static plan to lint.
-PLAN_LINT_SKIP = {"streaming_windowed_counts"}
+PLAN_LINT_SKIP = {"streaming_windowed_counts", "streaming_session_counts"}
 
 # Per-query exchange-budget overrides: the default 8 assumes a single
 # operator family; a deliberate COMPOSITE chains several stages whose
