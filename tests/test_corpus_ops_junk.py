@@ -191,3 +191,59 @@ def test_variant_json_on_junk_props(spark, tmp_path):
     r = compare(out, con, catalog.ORACLE_SQL["variant_json_events"])
     assert r["values_match"], r
     con.close()
+
+
+@pytest.fixture(scope="module")
+def junk_events_dir(spark, tmp_path_factory):
+    """Events with NULL user/value/type, duplicate microseconds, and one
+    lonely user — ts itself stays NON-NULL (event time is an ingest
+    invariant; a NULL ts row is dropped at the landing zone, and window
+    NULL-ordering defaults differ between Spark and DuckDB so no query
+    should ever order by a nullable ts)."""
+    import datetime
+
+    d = str(tmp_path_factory.mktemp("junk_events"))
+    t0 = datetime.datetime(2024, 1, 8, 0, 0, 0)
+
+    def ts(**kw):
+        return t0 + datetime.timedelta(**kw)
+
+    rows = [
+        (1, ts(minutes=1), 7, "signup", 10.0, None),
+        (2, ts(minutes=1), 7, "signup", 10.0, None),   # same-µs duplicate
+        (3, ts(minutes=2), 7, "purchase", None, None), # NULL value
+        (4, ts(minutes=3), None, "purchase", 5.0, None),  # NULL user
+        (5, ts(minutes=4), 7, None, 5.0, None),        # NULL type
+        (6, ts(hours=2), 8, "error", 1.0, None),       # close then probe
+        (7, ts(hours=3), 8, "purchase", 2.0, None),
+        (8, ts(days=10), 9, "view", 0.0, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def test_event_queries_junk_oracle_parity(spark, junk_events_dir):
+    """NULL user/value/type and duplicate-µs rows must hash-match the
+    DuckDB oracles for the event-query family — NULL keys group/join as
+    their own class in BOTH engines, never crash, never divide by zero."""
+    from tests.oracle import compare, duckdb_con
+
+    con = duckdb_con(junk_events_dir)
+    for name in [
+        "event_burst_dedup",        # duplicate-µs rows tie-break on event_id
+        "scd2_point_in_time",       # close-without-reopen resolves NULL tier
+        "hourly_interpolated_values",  # NULL-value anchors interpolate to NULL
+        "cusum_changepoint_scan",   # 3-day frame, zero-sum tail stays +0.0
+        "dow_seasonality_index",    # NULL event_type is its own group
+        "sessionization",           # NULL user partitions as its own key
+    ]:
+        r = compare(
+            catalog.SPARK_QUERIES[name](spark, junk_events_dir),
+            con,
+            catalog.ORACLE_SQL[name],
+        )
+        assert r["values_match"], (name, r)
