@@ -10747,6 +10747,78 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "zipf_fit_report",
+    oracle=f"""
+    WITH counts AS (
+      SELECT token, count(*) AS c FROM (
+        SELECT unnest({_DUCK_WORDS}) AS token FROM documents
+      ) t GROUP BY token
+    ),
+    ranked AS (
+      SELECT CAST(round(ln(row_number() OVER (ORDER BY c DESC, token)), 6)
+                  AS DECIMAL(18,6)) AS lx,
+             CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS ly
+      FROM counts QUALIFY row_number() OVER (ORDER BY c DESC, token) <= 50
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM ranked
+    )
+    SELECT n,
+           round((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(sx AS VARCHAR) AS DOUBLE)), 6)
+             AS zipf_exponent
+    FROM m
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: the log-log OLS slope of the top-50 token
+    rank-frequency curve (natural corpora sit near −1; a flat slope flags
+    templated/synthetic text — the distribution twin of
+    ``heaps_law_curve``). ln(rank)/ln(count) round to 1e-6 and sum as
+    EXACT decimals (the bitext last-ulp lesson: never average raw doubles
+    across a shuffle); the rank window runs on the 50-row head of the
+    vocabulary after a TakeOrdered prune, not a global sort."""
+    from pyspark.sql import Window
+
+    from ..operators.textops import words
+
+    d = _cpu_spread(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    head = counts.orderBy(F.col("c").desc(), F.col("token")).limit(50)
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    ranked = head.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lx"),
+        F.round(F.log(F.col("c").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("ly"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    dd = lambda c: F.col(c).cast("string").cast("double")
+    slope = (F.col("n") * dd("sxy") - dd("sx") * dd("sy")) / (
+        F.col("n") * dd("sxx") - dd("sx") * dd("sx")
+    )
+    return m.select("n", F.round(slope, 6).alias("zipf_exponent"))
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10890,7 +10962,7 @@ _CATALOG_ORDER = [
     'embedding_norm_outliers', 'heaps_law_curve',
     'extraction_artifact_screen', 'source_overlap_estimate',
     'rollup_share_of_parent', 'part_skyline_pareto',
-    'streaming_session_counts',
+    'streaming_session_counts', 'zipf_fit_report',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
