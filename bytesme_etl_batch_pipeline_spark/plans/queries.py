@@ -10819,6 +10819,162 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("n", F.round(slope, 6).alias("zipf_exponent"))
 
 
+@register(
+    "session_path_topk",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM flagged
+    ),
+    paths AS (
+      SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path3
+      FROM (
+        SELECT user_id, session_num, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_num
+                                  ORDER BY ts, event_id) AS rn
+        FROM numbered
+      ) t WHERE rn <= 3
+      GROUP BY user_id, session_num
+      HAVING count(*) = 3
+    )
+    SELECT path3, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path3
+    ORDER BY n_sessions DESC, path3 LIMIT 15
+    """,
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the 15 most common first-three-event
+    sequences across 30-minute sessions (the UX-flow mining view;
+    sessions shorter than 3 events are excluded so every path is
+    comparable). Everything rides ONE user-keyed shuffle — session
+    numbering, ranking and path assembly are windows over the same
+    partition — then a path-count aggregation and TakeOrderedAndProject;
+    ties on the path string."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(wu).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            >= 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    numbered = e.withColumn(
+        "session_num",
+        F.sum(new_sess).over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_num").orderBy("ts", "event_id")
+    paths = (
+        numbered.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path3"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == 3)
+    )
+    return (
+        paths.groupBy("path3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path3"))
+        .limit(15)
+    )
+
+
+@register(
+    "revenue_gini_by_nation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, rev,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY rev, c_custkey) AS i,
+             count(*) OVER (PARTITION BY nationkey) AS n
+      FROM per_cust
+    )
+    SELECT nationkey, CAST(max(n) AS BIGINT) AS n_customers,
+           round((2.0 * CAST(CAST(SUM(i * rev) AS VARCHAR) AS DOUBLE)
+                  / (max(n) * CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)))
+                 - (CAST(max(n) AS DOUBLE) + 1) / max(n), 6) AS gini
+    FROM ranked GROUP BY nationkey
+    """,
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation as a Gini coefficient — the
+    inequality statistic behind "whales vs long tail" risk views,
+    computed by the rank formula G = 2·Σ(i·rev_i)/(n·Σrev) − (n+1)/n over
+    revenue-sorted customers. Ranks are per-nation windows (bounded
+    groups); Σ(i·rev) multiplies exact decimals by integer ranks so the
+    only doubles are the two final divisions (HHI's distribution-shaped
+    sibling — ``supplier_hhi_by_type`` ignores the tail, Gini measures
+    it)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), F.col("c_custkey")
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("rev", "c_custkey")
+    wn = Window.partitionBy("nationkey")
+    ranked = per_cust.select(
+        "nationkey",
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("nationkey").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            (
+                F.lit(2.0)
+                * F.sum(F.col("i") * F.col("rev")).cast("string").cast("double")
+                / (
+                    F.max("n")
+                    * F.sum("rev").cast("string").cast("double")
+                )
+            )
+            - (F.max("n").cast("double") + 1) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -10963,6 +11119,7 @@ _CATALOG_ORDER = [
     'extraction_artifact_screen', 'source_overlap_estimate',
     'rollup_share_of_parent', 'part_skyline_pareto',
     'streaming_session_counts', 'zipf_fit_report',
+    'session_path_topk', 'revenue_gini_by_nation',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
