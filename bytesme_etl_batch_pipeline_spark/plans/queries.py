@@ -10975,6 +10975,66 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "new_vs_returning_revenue",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(o_orderdate) AS first_order FROM orders GROUP BY 1
+    )
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CAST(CAST(SUM(CASE WHEN date_trunc('month', f.first_order)
+                                   = date_trunc('month', o.o_orderdate)
+                              THEN CAST(o.o_totalprice AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS VARCHAR) AS DOUBLE) AS new_revenue,
+           CAST(CAST(SUM(CASE WHEN date_trunc('month', f.first_order)
+                                   <> date_trunc('month', o.o_orderdate)
+                              THEN CAST(o.o_totalprice AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS VARCHAR) AS DOUBLE) AS returning_revenue,
+           CAST(count(DISTINCT CASE WHEN date_trunc('month', f.first_order)
+                                         = date_trunc('month', o.o_orderdate)
+                                    THEN o.o_custkey END) AS BIGINT)
+             AS new_customers
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split between customers in their FIRST month and
+    returning ones — the growth-accounting view behind every acquisition
+    dashboard. The first-order date is a window over the SAME orders
+    stream (no second scan, no self-join): one custkey shuffle carries
+    min(o_orderdate), then the month rollup conditions on it;
+    decimal-exact revenue."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    month = F.date_trunc("month", "o_orderdate")
+    first_m = F.date_trunc("month", F.min("o_orderdate").over(w))
+    zero = F.lit(0).cast("decimal(18,4)")
+    flagged = o.select(
+        F.to_date(month).alias("month"),
+        "o_custkey",
+        (first_m == month).alias("is_new"),
+        _dec("o_totalprice").alias("rev"),
+    )
+    return flagged.groupBy("month").agg(
+        F.sum(F.when(F.col("is_new"), F.col("rev")).otherwise(zero))
+        .cast("string")
+        .cast("double")
+        .alias("new_revenue"),
+        F.sum(F.when(~F.col("is_new"), F.col("rev")).otherwise(zero))
+        .cast("string")
+        .cast("double")
+        .alias("returning_revenue"),
+        F.countDistinct(F.when(F.col("is_new"), F.col("o_custkey")))
+        .cast("long")
+        .alias("new_customers"),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -11119,7 +11179,7 @@ _CATALOG_ORDER = [
     'extraction_artifact_screen', 'source_overlap_estimate',
     'rollup_share_of_parent', 'part_skyline_pareto',
     'streaming_session_counts', 'zipf_fit_report',
-    'session_path_topk', 'revenue_gini_by_nation',
+    'session_path_topk', 'revenue_gini_by_nation', 'new_vs_returning_revenue',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
