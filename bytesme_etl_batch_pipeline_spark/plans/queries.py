@@ -11035,6 +11035,113 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_DUCK_NGRAMS2}) AS gram FROM documents
+    ),
+    per_doc_gram AS (SELECT DISTINCT doc_id, gram FROM g),
+    first_seen AS (SELECT gram, min(doc_id) AS fd FROM per_doc_gram GROUP BY gram),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM per_doc_gram p JOIN first_seen f ON p.gram = f.gram
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(s.n_novel AS DOUBLE) / s.n_grams, 6) AS novelty
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    bigrams NOT seen in any earlier doc (ingestion order = doc_id) — the
+    marginal-information score that ranks what new data actually adds
+    beyond the corpus so far (novelty ~0 = the doc is recombination; the
+    dedup family catches copies, this catches saturation). One
+    first-seen aggregation over the distinct (doc, gram) stream and a
+    vocabulary-sized join back; empty docs keep NULL novelty."""
+    from ..operators.neardup import word_ngrams
+    from ..operators.textops import words
+
+    d = _cpu_spread(spark, sf_dir, "documents")
+    pdg = (
+        d.select("doc_id", F.explode(word_ngrams(words("text"), 2)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)  # first-seen + scoring reuse it
+    )
+    first_seen = pdg.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    scored = (
+        pdg.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "supplier_delivery_reliability",
+    oracle="""
+    SELECT l_suppkey AS s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+           round(CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                                    <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS on_time_rate,
+           round(CAST(SUM(date_diff('day', o_orderdate, l_shipdate))
+                      AS DOUBLE) / count(*), 6) AS mean_latency_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    """,
+)
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier delivery-reliability scorecard: on-time (≤30 days
+    order→ship) rate and mean latency per supplier — the vendor-SLA
+    rollup. The latency sum stays an exact BIGINT day count until the
+    single division; one fact-fact join (orderkey) + one supplier-keyed
+    aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = F.datediff("l_shipdate", "o_orderdate")
+    on_time = F.when(lat <= 30, 1).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(on_time).cast("long").alias("n_on_time"),
+            F.round(
+                F.sum(on_time).cast("double") / F.count(F.lit(1)), 6
+            ).alias("on_time_rate"),
+            F.round(F.sum(lat).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_latency_days"
+            ),
+        )
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -11180,6 +11287,7 @@ _CATALOG_ORDER = [
     'rollup_share_of_parent', 'part_skyline_pareto',
     'streaming_session_counts', 'zipf_fit_report',
     'session_path_topk', 'revenue_gini_by_nation', 'new_vs_returning_revenue',
+    'doc_ngram_novelty', 'supplier_delivery_reliability',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
