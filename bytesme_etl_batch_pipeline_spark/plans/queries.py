@@ -2740,16 +2740,16 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_num
       FROM flagged
     )
@@ -9614,13 +9614,23 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scd2_point_in_time",
     oracle="""
-    WITH changes AS (
-      SELECT user_id, epoch_us(ts) AS seq,
+    WITH raw_changes AS (
+      SELECT user_id, epoch_us(ts) AS seq, event_id,
              CASE WHEN event_type = 'signup'
                   THEN 'tier_' || CAST(CAST(floor(value / 25.0) AS INT) AS VARCHAR)
              END AS tier,
              CASE WHEN event_type = 'signup' THEN 'U' ELSE 'D' END AS op
       FROM events WHERE event_type IN ('signup', 'error')
+    ),
+    changes AS (
+      -- simultaneous changes collapse to the lowest event_id: scd2 history
+      -- requires a UNIQUE seq per key (tie order is engine-nondeterministic);
+      -- min-id join, not arg_min, because NULL tiers must survive the pick
+      SELECT r.user_id, r.seq, r.tier, r.op
+      FROM raw_changes r
+      JOIN (SELECT user_id, seq, min(event_id) AS event_id
+            FROM raw_changes GROUP BY user_id, seq) k
+        ON r.user_id = k.user_id AND r.seq = k.seq AND r.event_id = k.event_id
     ),
     hist AS (
       SELECT user_id, tier, seq AS valid_from,
@@ -9653,9 +9663,10 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    changes = e.filter(F.col("event_type").isin("signup", "error")).select(
+    raw_changes = e.filter(F.col("event_type").isin("signup", "error")).select(
         "user_id",
         F.unix_micros("ts").alias("seq"),
+        "event_id",
         F.when(
             F.col("event_type") == "signup",
             F.concat(
@@ -9664,6 +9675,15 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("tier"),
         F.when(F.col("event_type") == "signup", "U").otherwise("D").alias("op"),
+    )
+    # simultaneous changes collapse to the lowest event_id — scd2_history
+    # requires a UNIQUE seq per key (tie order is engine-nondeterministic);
+    # a min-id join, not min_by, because NULL tiers must survive the pick
+    keep = raw_changes.groupBy("user_id", "seq").agg(
+        F.min("event_id").alias("event_id")
+    )
+    changes = raw_changes.join(keep, ["user_id", "seq", "event_id"]).select(
+        "user_id", "seq", "tier", "op"
     )
     from ..operators.cdc import scd2_history
 
@@ -10704,16 +10724,16 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_counts",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_num
       FROM flagged
     )
