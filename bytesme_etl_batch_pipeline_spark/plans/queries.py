@@ -11162,6 +11162,26 @@ def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_compression_screen")
+def q_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality screen (RefinedWeb/MassiveText
+    family): per-doc compressed/raw byte ratio — repetitive boilerplate
+    compresses far below natural prose even when its token statistics
+    look normal, making this the cheap catch-all the statistical screens
+    (``gopher_quality_rules``, ``repetition_signals``) miss. Declared
+    no-oracle (no SQL zlib); determinism and the
+    repetitive-vs-natural-ordering property are unit-tested
+    (``tests/test_functions.py``). Flags docs below 0.35."""
+    from ..operators.textops import compression_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    out = compression_ratio(d)
+    return out.withColumn(
+        "too_compressible",
+        F.coalesce(F.col("compression_ratio") < 0.35, F.lit(False)),
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -11308,6 +11328,7 @@ _CATALOG_ORDER = [
     'streaming_session_counts', 'zipf_fit_report',
     'session_path_topk', 'revenue_gini_by_nation', 'new_vs_returning_revenue',
     'doc_ngram_novelty', 'supplier_delivery_reliability',
+    'doc_compression_screen',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',

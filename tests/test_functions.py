@@ -364,3 +364,24 @@ def test_source_overlap_estimate_error_bound(spark, sf_dir):
     assert abs(row.est_union - len(a | b)) <= rel * len(a | b) + 2
     tol = rel * (len(a) + len(b) + len(a | b)) + 6
     assert abs(row.est_intersection - len(a & b)) <= tol
+
+
+def test_compression_ratio_screen(spark):
+    """zlib compressibility: repetitive text scores far below natural
+    prose, NULL text propagates, and the score is run-to-run identical."""
+    from bytesme_etl_batch_pipeline_spark.operators.textops import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam spam spam " * 50),
+        (2, "the quick brown fox jumps over a lazy dog while seven wizards "
+            "brew quartz elixirs under a pale moon tonight"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    b = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert a[1].compression_ratio == b[1].compression_ratio  # deterministic
+    assert a[1].compression_ratio < 0.2 < a[2].compression_ratio
+    assert a[3].compression_ratio is None and a[3].raw_len is None
