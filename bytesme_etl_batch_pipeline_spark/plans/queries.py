@@ -11182,6 +11182,83 @@ def q_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_quality_scorecard",
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) - count(DISTINCT md5(lower(trim(text))))
+                  AS BIGINT) AS n_exact_dups,
+             round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+      FROM documents GROUP BY source
+    ),
+    langs AS (
+      SELECT source, lang, count(*) AS c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn,
+             SUM(count(*)) OVER (PARTITION BY source) AS tot
+      FROM documents GROUP BY source, lang
+    )
+    SELECT b.source, b.n_docs,
+           round(CAST(b.n_exact_dups AS DOUBLE) / b.n_docs, 6) AS dup_rate,
+           b.mean_chars,
+           l.lang AS majority_lang,
+           round(CAST(l.c AS DOUBLE) / l.tot, 6) AS majority_lang_share
+    FROM base b JOIN langs l ON b.source = l.source AND l.rn = 1
+    """,
+)
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus scorecard — the one-row-per-feed triage view an
+    ingest operator reads first: volume, exact-duplicate rate, mean
+    length, and the majority language with its purity share (each signal
+    has a deeper dedicated query — `dup_rate_by_source`,
+    `lang_purity_by_source`, `corpus_stats` — this is their composed
+    dashboard). Two source-keyed aggregations over one scan; the
+    majority-language pick is rank-1 of a per-source window with
+    deterministic ties."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.md5(F.lower(F.trim(F.col("text")))))
+        )
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_chars"),
+    )
+    langs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    wl = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang"))
+    wt = Window.partitionBy("source")
+    top_lang = (
+        langs.withColumn("rn", F.row_number().over(wl))
+        .withColumn("tot", F.sum("c").over(wt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("majority_lang"),
+            F.round(F.col("c").cast("double") / F.col("tot"), 6).alias(
+                "majority_lang_share"
+            ),
+        )
+    )
+    return base.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        F.round(
+            F.col("n_exact_dups").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        "mean_chars",
+        "majority_lang",
+        "majority_lang_share",
+    )
+
+
 @register("bpe_train_encode")
 def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training + encode (Sennrich et al. 2016;
@@ -11328,7 +11405,7 @@ _CATALOG_ORDER = [
     'streaming_session_counts', 'zipf_fit_report',
     'session_path_topk', 'revenue_gini_by_nation', 'new_vs_returning_revenue',
     'doc_ngram_novelty', 'supplier_delivery_reliability',
-    'doc_compression_screen',
+    'doc_compression_screen', 'source_quality_scorecard',
     # -- (5) driver-green in r01/r02 from a window at/after last change --
     'regex_extract_battery', 'casts_battery', 'salted_counts',
     'distinct_counts', 'train_val_test_split', 'ranking_battery',
