@@ -185,6 +185,13 @@ def incremental_rollup(
         return df.groupBy(*keys).agg(*aggs)
 
     fresh = partials(delta)
+    retired = state_path.rstrip("/") + "__retired"
+    # Crash recovery (same window as files.merge_upsert_parquet): if a
+    # prior run died between retiring the old state and promoting the
+    # staging dir, __retired holds the only copy — restore it so this
+    # delta merges into it instead of silently rebuilding from scratch.
+    if not os.path.exists(state_path) and os.path.exists(retired):
+        os.rename(retired, state_path)
     if os.path.exists(state_path):
         state = spark.read.parquet(state_path)
         merge_aggs = [F.sum(F.col(count_col)).cast("long").alias(count_col)]
@@ -199,7 +206,6 @@ def incremental_rollup(
     else:
         merged = fresh
     staging = state_path.rstrip("/") + "__staging"
-    retired = state_path.rstrip("/") + "__retired"
     merged.write.mode("overwrite").parquet(staging)
     if os.path.exists(retired):
         shutil.rmtree(retired)

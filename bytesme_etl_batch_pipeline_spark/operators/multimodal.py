@@ -105,7 +105,8 @@ def decode_and_featurize(
     kind_col: str = "kind",
 ) -> DataFrame:
     """Decode + feature-extract as one mapInPandas pass. One codec instance
-    per executor (closure cache), Arrow batches in/out."""
+    per executor (closure cache), Arrow batches in/out. The output id
+    column is named after ``id_col`` (type preserved from the input)."""
     state: dict = {}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,7 +125,7 @@ def decode_and_featurize(
             probes = [codec.probe(p, k) for p, k in zip(payloads, kinds)]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "kind": kinds.to_numpy(),
                     "width": [w for w, _, _ in probes],
                     "height": [h for _, h, _ in probes],
@@ -136,7 +137,11 @@ def decode_and_featurize(
                 }
             )
 
-    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+    schema = StructType(
+        [StructField(id_col, media.schema[id_col].dataType, False)]
+        + [f for f in DECODED_SCHEMA.fields if f.name != "media_id"]
+    )
+    return media.mapInPandas(run, schema=schema)
 
 
 def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
@@ -196,7 +201,7 @@ def resize_images(
             )
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "width": np.full(len(pdf), target_w, dtype="int32"),
                     "height": np.full(len(pdf), target_h, dtype="int32"),
                     "payload": [
@@ -207,7 +212,11 @@ def resize_images(
             )
 
     images = media.filter(F.col("kind") == "image")
-    return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+    schema = StructType(
+        [StructField(id_col, media.schema[id_col].dataType, False)]
+        + [f for f in RESIZED_SCHEMA.fields if f.name != "media_id"]
+    )
+    return images.mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -272,12 +281,14 @@ def phash_media(
                 for h in (codec.pixels_hash(p) for p in payloads)
             ]
             yield pd.DataFrame(
-                {"media_id": pdf[id_col].to_numpy(), "phash": hashes}
+                {id_col: pdf[id_col].to_numpy(), "phash": hashes}
             )
 
+    # output id column keeps the caller's name AND type — a caller passing
+    # id_col="doc_id" gets (doc_id, phash), not values under "media_id"
     schema = StructType(
         [
-            StructField("media_id", LongType(), False),
+            StructField(id_col, media.schema[id_col].dataType, False),
             StructField("phash", LongType(), True),
         ]
     )
@@ -315,7 +326,7 @@ def phash_media_arrow(
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(hashes, type=pa.int64())],
-                names=["media_id", "phash"],
+                names=[id_col, "phash"],
             )
 
     schema = StructType(

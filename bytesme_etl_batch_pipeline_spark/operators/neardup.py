@@ -444,6 +444,7 @@ def hamming_pairs_banded(
     max_hamming: int = 3,
     n_bands: int = 4,
     band_bits: int = 16,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Hamming-distance pairs over a wide (e.g. 64-bit) hash with the
     hash's OWN bands as the blocking key — pigeonhole: any pair within
@@ -454,6 +455,11 @@ def hamming_pairs_banded(
     ``simhash_hamming_pairs`` (whose caller provides one external block);
     at scale (band, value) is a bucket/partition key."""
     assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
+    # Pigeonhole only holds if the bands COVER the hash: unbanded high
+    # bits would silently turn into false negatives.
+    assert n_bands * band_bits >= hash_bits, (
+        f"bands cover only {n_bands * band_bits} of {hash_bits} hash bits"
+    )
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[

@@ -273,9 +273,10 @@ def compression_ratio(
         StructType,
     )
 
+    # output id column keeps the caller's name AND type (ADVICE r3)
     schema = StructType(
         [
-            StructField("doc_id", LongType(), False),
+            StructField(id_col, docs.schema[id_col].dataType, False),
             StructField("raw_len", LongType(), True),
             StructField("compressed_len", LongType(), True),
             StructField("compression_ratio", DoubleType(), True),
@@ -299,7 +300,7 @@ def compression_ratio(
                 ratio.append(round(c / len(b), 6) if b else None)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "raw_len": pd.array(raw, dtype="Int64"),
                     "compressed_len": pd.array(comp, dtype="Int64"),
                     "compression_ratio": pd.array(ratio, dtype="float64"),

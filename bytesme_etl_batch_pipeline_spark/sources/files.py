@@ -269,6 +269,13 @@ def merge_upsert_parquet(
 
     staging = base_path.rstrip("/") + "__staging"
     retired = base_path.rstrip("/") + "__retired"
+    # Crash recovery: a crash between rename(base -> __retired) and
+    # rename(__staging -> base) leaves no base but a complete copy under
+    # __retired. Restore it before merging — otherwise this run would
+    # treat the table as a first load and the sole surviving copy would
+    # be deleted at publish time.
+    if not os.path.exists(base_path) and os.path.exists(retired):
+        os.rename(retired, base_path)
     if os.path.exists(base_path):
         base = spark.read.parquet(base_path)
         # base rows rank below any update at the same version: change

@@ -243,10 +243,18 @@ class JsonLinesWriter(DataSourceWriter):
     marker, ``abort`` removes the orphans. The same protocol every
     production sink uses (FileOutputCommitter v2 shape)."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("bytesme_jsonl writer requires path")
+        self.overwrite = overwrite
+        # Distinct names per job: append mode promotes to
+        # part-{job_id}-{pid}.jsonl so a second write never replaces a
+        # prior job's same-index parts (the driver constructs the writer,
+        # so this id is consistent across all task attempts of one job).
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json
@@ -271,9 +279,20 @@ class JsonLinesWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
 
+        if self.overwrite:
+            # Clear the previous job's output BEFORE promoting, so a
+            # smaller second write can never leave stale higher-index
+            # parts mixed under a fresh _SUCCESS.
+            live_tmps = {m.tmp_path for m in messages}
+            for f in os.listdir(self.path):
+                p = os.path.join(self.path, f)
+                if p in live_tmps:
+                    continue
+                if (f.endswith(".jsonl") and f.startswith("part-")) or f == "_SUCCESS":
+                    os.remove(p)
         for m in messages:
             final = os.path.join(
-                self.path, f"part-{m.partition_id:05d}.jsonl"
+                self.path, f"part-{self.job_id}-{m.partition_id:05d}.jsonl"
             )
             os.replace(m.tmp_path, final)
         # losers of speculative execution: any leftover temp files
@@ -302,4 +321,4 @@ class JsonLinesDataSource(DataSource):
         return "bytesme_jsonl"
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
-        return JsonLinesWriter(self.options)
+        return JsonLinesWriter(self.options, overwrite=overwrite)

@@ -346,3 +346,50 @@ def test_merge_upsert_parquet_lifecycle(spark, tmp_path):
         1: "a2", 3: "c", 4: "d",
     }
     assert not os.path.exists(base + "__retired")
+
+
+def test_merge_upsert_recovers_retired_after_crash(spark, tmp_path):
+    """ADVICE r3 (medium): a crash between rename(base->__retired) and
+    rename(__staging->base) leaves __retired as the ONLY copy. The next
+    run must restore it instead of treating the table as a first load."""
+    import os
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import merge_upsert_parquet
+
+    base = str(tmp_path / "tbl")
+    rows = lambda *rs: spark.createDataFrame(
+        list(rs), "k long, v string, version long, deleted boolean"
+    )
+    merge_upsert_parquet(
+        spark, base, rows((1, "a", 1, False), (2, "b", 1, False)),
+        ["k"], "version", "deleted",
+    )
+    # simulate the crash window: base retired, staging lost, no new base
+    os.rename(base, base + "__retired")
+    n = merge_upsert_parquet(
+        spark, base, rows((3, "c", 2, False)), ["k"], "version", "deleted"
+    )
+    assert n == 3  # old rows survived the crash
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    assert not os.path.exists(base + "__retired")
+
+
+def test_incremental_rollup_recovers_retired_after_crash(spark, tmp_path):
+    """Same crash window for the rollup-state publish."""
+    import os
+
+    from bytesme_etl_batch_pipeline_spark.operators.aggregate import (
+        incremental_rollup,
+    )
+
+    state = str(tmp_path / "state")
+    d1 = spark.createDataFrame([("x", 10), ("y", 20)], "k string, v long")
+    incremental_rollup(spark, state, d1, keys=["k"], sum_cols=["v"])
+    os.rename(state, state + "__retired")
+    d2 = spark.createDataFrame([("x", 5)], "k string, v long")
+    out = incremental_rollup(spark, state, d2, keys=["k"], sum_cols=["v"])
+    got = {r.k: int(r.sum_v) for r in out.collect()}
+    assert got == {"x": 15, "y": 20}  # first delta survived the crash
+    assert not os.path.exists(state + "__retired")

@@ -157,3 +157,36 @@ def test_jsonl_writer_two_phase_commit(spark, tmp_path):
     assert sorted(r["id"] for r in rows) == list(range(100))
     back = spark.read.json(os.path.join(out, "part-*.jsonl"))
     assert back.count() == 100
+
+
+def test_jsonl_writer_overwrite_and_append_modes(spark, tmp_path):
+    """ADVICE r3 (high): mode('overwrite') must clear the prior job's
+    parts (a smaller second write can't leave stale high-index parts
+    under a fresh _SUCCESS), and mode('append') must promote to unique
+    per-job names so same-index parts never silently replace."""
+    import os
+
+    from bytesme_etl_batch_pipeline_spark.sources.pysource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = str(tmp_path / "sink2")
+    big = spark.createDataFrame(
+        [(i,) for i in range(40)], "id long"
+    ).repartition(4)
+    one = spark.createDataFrame([(999,)], "id long").coalesce(1)
+
+    big.write.format("bytesme_jsonl").option("path", out).mode("append").save()
+    assert spark.read.json(os.path.join(out, "part-*.jsonl")).count() == 40
+
+    # overwrite with a smaller job: exactly 1 row must remain
+    one.write.format("bytesme_jsonl").option("path", out).mode("overwrite").save()
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 1
+    assert back.collect()[0].id == 999
+
+    # append twice: rows accumulate, nothing replaced
+    big.write.format("bytesme_jsonl").option("path", out).mode("append").save()
+    big.write.format("bytesme_jsonl").option("path", out).mode("append").save()
+    assert spark.read.json(os.path.join(out, "part-*.jsonl")).count() == 81
