@@ -11327,14 +11327,67 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after its r01 green. The five r02 reds (driver-comparator HUGEINT/list
 # type sensitivity, fixed this round by BIGINT casts / array_to_string in the
 # oracles) also re-enter the window. That is 28 slots; the remaining 22 are
-# intentionally left for round-3 additions, which ``_apply_catalog_order``
-# puts at the very front (new-registrations-first) — KEEP NEW ADDITIONS ≤ 22
-# or explicitly pin them here, or the priority tail falls out of the window.
+# ``_apply_catalog_order`` puts UNLISTED registrations at the very front —
+# every new query MUST be pinned here explicitly or it silently evicts the
+# tail of the 50-slot driver window (enforced by
+# tests/test_plans.py::test_driver_window_holds_rotation_priority).
 # Registration order in this file is unchanged — only dict key order.
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- (1) never driver-checked, oracle-paired (18) --
+    # -- ROUND-4 DRIVER WINDOW (first 50 = the driver's correctness
+    #    window): oracle-paired queries that have NEVER had a driver row
+    #    (r01|r02|r03). Order follows VERDICT r3 item 1: the 9 TPC-H
+    #    completions, the remaining TPC-H shapes, the named high-risk
+    #    LLM-data/analytics tail, then the rest of the never-checked set.
+    'tpch_q2_min_cost_supplier', 'tpch_q7_volume_shipping',
+    'tpch_q9_product_type_profit', 'tpch_q11_important_stock',
+    'tpch_q12_shipmode_priority', 'tpch_q13_customer_distribution',
+    'tpch_q20_part_share_suppliers', 'tpch_q21_waiting_supplier',
+    'tpch_q22_global_sales_opportunity', 'tpch_q6_forecast_revenue',
+    'tpch_q10_returned_items', 'tpch_q14_promo_share',
+    'tpch_q15_top_supplier', 'tpch_q17_small_qty_revenue',
+    'tpch_q18_big_orders', 'tpch_q19_disjunctive_revenue',
+    'llm_corpus_pipeline', 'kmeans_lloyd_step', 'bigram_logprob_quality',
+    'cms_heavy_hitters', 'ccnet_quality_buckets', 'boilerplate_purge_docs',
+    'bitext_margin_mining', 'media_phash_dedup', 'scd2_point_in_time',
+    'cuped_ab_adjusted_lift', 'dsir_importance_resample',
+    'gopher_quality_rules', 'ann_recall_report',
+    'hourly_interpolated_values', 'streaming_session_counts',
+    'neardup_keep_best_docs', 'events_hopping_window',
+    'nation_dual_presence_intersect', 'part_hierarchy_rollup',
+    'benford_digit_audit', 'contrastive_training_pairs', 'event_burst_dedup',
+    'cusum_changepoint_scan', 'bigram_pmi_collocations', 'column_profile',
+    'media_frame_sample', 'basket_lift_rules', 'session_funnel',
+    'customer_rfm_scores', 'vocab_oov_rate', 'k_anonymity_report',
+    'minhash_estimator_quality', 'shingle_containment_pairs',
+    'purchase_linear_regression',
+    # -- ROUND-5 QUEUE: remaining never-driver-checked oracle-paired
+    #    queries (rotate these into the r05 window) --
+    'running_distinct_event_types', 'purchase_attribution',
+    'missing_activity_days', 'tpch_q8_nation_market_share',
+    'inverted_token_index', 'copurchase_triangles', 'daily_activity_spine',
+    'hour_weekday_heatmap', 'daily_volume_anomalies',
+    'revenue_pareto_deciles', 'cohort_ltv_matrix', 'monthly_revenue_growth',
+    'supplier_hhi_by_type', 'orders_keyset_page',
+    'dedup_effectiveness_report', 'session_bounce_rate',
+    'linear_touch_attribution', 'order_total_reconciliation',
+    'returns_rate_by_brand', 'lang_id_confusion_matrix',
+    'weekly_engagement_segments', 'dup_rate_by_source', 'doc_token_entropy',
+    'size_price_correlation', 'winsorized_value_stats',
+    'source_token_divergence', 'lang_purity_by_source',
+    'partition_skew_report', 'token_position_bias', 'dow_seasonality_index',
+    'dup_cluster_size_distribution', 'order_interarrival_percentiles',
+    'embedding_norm_outliers', 'heaps_law_curve',
+    'extraction_artifact_screen', 'rollup_share_of_parent',
+    'part_skyline_pareto', 'zipf_fit_report', 'session_path_topk',
+    'revenue_gini_by_nation', 'new_vs_returning_revenue',
+    'doc_ngram_novelty', 'supplier_delivery_reliability',
+    'source_quality_scorecard',
+    # -- never-checked rows-only (weaker driver check by design) --
+    'pq_adc_search', 'ivfpq_topk', 'bpe_train_encode',
+    'source_overlap_estimate', 'doc_compression_screen',
+    # -- driver-green in r01|r02|r03 (evidence on file; order preserved) --
     'doc_chunking', 'udtf_unit_price_explode', 'repetition_signals',
     'simhash_hamming_pairs', 'cdc_apply', 'join_skew_report',
     'doc_template_vi', 'decontaminate_ngram_overlap', 'neardup_dedup_docs',
@@ -11342,105 +11395,49 @@ _CATALOG_ORDER = [
     'semantic_dedup_embeddings', 'neardup_clusters',
     'range_join_balance_tiers', 'streaming_windowed_counts',
     'doc_embeddings', 'semantic_search_pipeline', 'media_decode',
-    # -- (2) never driver-checked, declared no-oracle (rows-only row) (2) --
-    'approx_percentiles', 'approx_distinct_counts',
-    # -- (3) evidence predates a semantic change (3) --
-    'ann_lsh_topk', 'ann_ivf_topk', 'rule_cascade_classify',
-    # -- (4) r02 reds, oracles fixed this round (5) --
-    'array_ops_battery', 'data_quality_report', 'funnel_conversion',
-    'pivot_event_counts', 'corpus_stats',
-    # -- (4b) round-3 additions (pinned here so they stay inside the
-    #    50-slot window WITHOUT evicting the priority block above) --
-    'scd2_history', 'snapshot_diff_orders', 'content_checksums',
-    'per_group_sample_docs', 'equidepth_histogram', 'token_bigram_counts',
-    'multires_rollup', 'cumulative_new_users', 'rolling_7d_active_users',
-    'tpch_q3_shipping_priority', 'tpch_q5_local_supplier', 'fuzzy_name_pairs',
-    'neardup_clusters_star',
-    'longest_user_streaks', 'part_supplier_variety', 'modal_quantity_per_flag',
-    'top_tokens_per_lang', 'event_transition_matrix',
-    'weekly_cohort_retention', 'label_centroids', 'dau_wau_stickiness',
-    # -- (4c) round-3 additions pinned OUTSIDE the 50-slot window (locally
-    #    oracle-verified now; rotate into the round-4 driver window) --
-    'intra_doc_span_dedup', 'column_profile', 'media_frame_sample',
-    'tpch_q10_returned_items', 'tpch_q14_promo_share', 'tpch_q18_big_orders',
-    'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bigram_logprob_quality',
-    'cms_heavy_hitters', 'llm_corpus_pipeline', 'kmeans_lloyd_step',
-    'tpch_q6_forecast_revenue', 'tpch_q17_small_qty_revenue',
-    'tpch_q19_disjunctive_revenue', 'basket_lift_rules',
-    'running_distinct_event_types', 'pq_adc_search',
-    'purchase_attribution', 'missing_activity_days', 'ivfpq_topk',
-    'tpch_q8_nation_market_share', 'session_funnel',
-    'inverted_token_index', 'customer_rfm_scores', 'copurchase_triangles',
-    'daily_activity_spine', 'hour_weekday_heatmap',
-    'daily_volume_anomalies', 'revenue_pareto_deciles',
-    'cohort_ltv_matrix', 'monthly_revenue_growth',
-    'supplier_hhi_by_type', 'orders_keyset_page',
-    'dedup_effectiveness_report', 'session_bounce_rate',
-    'linear_touch_attribution', 'order_total_reconciliation',
-    'returns_rate_by_brand', 'lang_id_confusion_matrix',
-    'weekly_engagement_segments', 'dup_rate_by_source',
-    'doc_token_entropy', 'size_price_correlation',
-    'winsorized_value_stats', 'tpch_q15_top_supplier',
-    'minhash_estimator_quality', 'shingle_containment_pairs',
-    'source_token_divergence', 'lang_purity_by_source', 'partition_skew_report',
-    'token_position_bias',
-    'tpch_q2_min_cost_supplier', 'tpch_q7_volume_shipping',
-    'tpch_q9_product_type_profit', 'tpch_q11_important_stock',
-    'tpch_q12_shipmode_priority', 'tpch_q13_customer_distribution',
-    'tpch_q20_part_share_suppliers', 'tpch_q21_waiting_supplier',
-    'tpch_q22_global_sales_opportunity',
-    'dsir_importance_resample', 'vocab_oov_rate', 'k_anonymity_report',
-    'bpe_train_encode', 'gopher_quality_rules', 'ann_recall_report',
-    'hourly_interpolated_values', 'media_phash_dedup', 'bitext_margin_mining',
-    'events_hopping_window', 'nation_dual_presence_intersect',
-    'part_hierarchy_rollup', 'benford_digit_audit', 'scd2_point_in_time',
-    'cuped_ab_adjusted_lift', 'neardup_keep_best_docs',
-    'contrastive_training_pairs', 'event_burst_dedup',
-    'dow_seasonality_index', 'dup_cluster_size_distribution',
-    'bigram_pmi_collocations', 'purchase_linear_regression',
-    'cusum_changepoint_scan', 'order_interarrival_percentiles',
-    'embedding_norm_outliers', 'heaps_law_curve',
-    'extraction_artifact_screen', 'source_overlap_estimate',
-    'rollup_share_of_parent', 'part_skyline_pareto',
-    'streaming_session_counts', 'zipf_fit_report',
-    'session_path_topk', 'revenue_gini_by_nation', 'new_vs_returning_revenue',
-    'doc_ngram_novelty', 'supplier_delivery_reliability',
-    'doc_compression_screen', 'source_quality_scorecard',
-    # -- (5) driver-green in r01/r02 from a window at/after last change --
-    'regex_extract_battery', 'casts_battery', 'salted_counts',
-    'distinct_counts', 'train_val_test_split', 'ranking_battery',
-    'fill_forward_props',
+    'approx_percentiles', 'approx_distinct_counts', 'ann_lsh_topk',
+    'ann_ivf_topk', 'rule_cascade_classify', 'array_ops_battery',
+    'data_quality_report', 'funnel_conversion', 'pivot_event_counts',
+    'corpus_stats', 'scd2_history', 'snapshot_diff_orders',
+    'content_checksums', 'per_group_sample_docs', 'equidepth_histogram',
+    'token_bigram_counts', 'multires_rollup', 'cumulative_new_users',
+    'rolling_7d_active_users', 'tpch_q3_shipping_priority',
+    'tpch_q5_local_supplier', 'fuzzy_name_pairs', 'neardup_clusters_star',
+    'longest_user_streaks', 'part_supplier_variety',
+    'modal_quantity_per_flag', 'top_tokens_per_lang',
+    'event_transition_matrix', 'weekly_cohort_retention', 'label_centroids',
+    'dau_wau_stickiness', 'intra_doc_span_dedup', 'regex_extract_battery',
+    'casts_battery', 'salted_counts', 'distinct_counts',
+    'train_val_test_split', 'ranking_battery', 'fill_forward_props',
     'quantity_percentiles', 'stratified_sample_docs', 'grouped_string_agg',
-    'date_battery', 'stats_moments',
-    'trailing_hour_activity', 'left_outer_order_counts', 'grouping_sets_sales',
-    'unpivot_part_metrics',
-    'scalar_subquery_above_avg', 'asof_join_last_purchase', 'snowflake_children',
-    'variant_json_events', 'anomaly_events', 'order_lineitem_revenue',
-    'full_outer_nation_presence', 'winnow_fingerprints', 'quality_filter_chain',
-    'pii_redact', 'temperature_sample_mix', 'sequence_packing',
-    'zorder_layout_key', 'grouped_robust_zscore', 'domain_cap',
-    'tfidf_top_terms',
-    'line_dedup_docs', 'bloom_decontaminate', 'late_shipment_priority_counts',
-    'copurchase_pairs', 'weighted_sample_docs', 'next_day_retention',
-    'order_total_histogram', 'url_canonical_dedup', 'sql_market_share',
-    'percentile_quality_gate', 'unicode_normalize_docs',
-    'unigram_logprob_quality', 'global_shuffle_shards',
-    'lag_lead_deltas', 'running_total', 'doc_fingerprint', 'stars_beta',
-    'token_stats', 'ratings_exponential',
-    'doc_template', 'doc_quality', 'seeded_enrichment',
-    'lang_id', 'nation_set_ops', 'l2_topk',
-    'snowflake_dims', 'events_tumbling_window', 'snowflake_facts',
-    'pricing_summary', 'dedup_keep_first', 'dup_report',
-    'distinct_projection', 'dim_join_rollup', 'anti_join_customers_without_orders',
-    'semi_join_active_customers', 'topk_orders', 'window_topk_per_customer',
-    'group_sequence_codes', 'dense_dim_ids', 'union_all_entities',
-    'string_normalize', 'truncate_preview', 'json_extract_events',
-    'tolerant_json_parse', 'month_rollup', 'conditional_rewrite',
-    'membership_filter', 'wordcount', 'zip_explode_pairs',
-    'cube_sales', 'cosine_topk', 'rollup_sales',
+    'date_battery', 'stats_moments', 'trailing_hour_activity',
+    'left_outer_order_counts', 'grouping_sets_sales', 'unpivot_part_metrics',
+    'scalar_subquery_above_avg', 'asof_join_last_purchase',
+    'snowflake_children', 'variant_json_events', 'anomaly_events',
+    'order_lineitem_revenue', 'full_outer_nation_presence',
+    'winnow_fingerprints', 'quality_filter_chain', 'pii_redact',
+    'temperature_sample_mix', 'sequence_packing', 'zorder_layout_key',
+    'grouped_robust_zscore', 'domain_cap', 'tfidf_top_terms',
+    'line_dedup_docs', 'bloom_decontaminate',
+    'late_shipment_priority_counts', 'copurchase_pairs',
+    'weighted_sample_docs', 'next_day_retention', 'order_total_histogram',
+    'url_canonical_dedup', 'sql_market_share', 'percentile_quality_gate',
+    'unicode_normalize_docs', 'unigram_logprob_quality',
+    'global_shuffle_shards', 'lag_lead_deltas', 'running_total',
+    'doc_fingerprint', 'stars_beta', 'token_stats', 'ratings_exponential',
+    'doc_template', 'doc_quality', 'seeded_enrichment', 'lang_id',
+    'nation_set_ops', 'l2_topk', 'snowflake_dims', 'events_tumbling_window',
+    'snowflake_facts', 'pricing_summary', 'dedup_keep_first', 'dup_report',
+    'distinct_projection', 'dim_join_rollup',
+    'anti_join_customers_without_orders', 'semi_join_active_customers',
+    'topk_orders', 'window_topk_per_customer', 'group_sequence_codes',
+    'dense_dim_ids', 'union_all_entities', 'string_normalize',
+    'truncate_preview', 'json_extract_events', 'tolerant_json_parse',
+    'month_rollup', 'conditional_rewrite', 'membership_filter', 'wordcount',
+    'zip_explode_pairs', 'cube_sales', 'cosine_topk', 'rollup_sales',
     'exact_dedup_docs', 'sessionization', 'simhash16',
-    'llm_enrich_descriptions',
-    'minhash_signatures', 'embedding_pairs_blocked', 'minhash_lsh_candidates',
+    'llm_enrich_descriptions', 'minhash_signatures',
+    'embedding_pairs_blocked', 'minhash_lsh_candidates',
     'ngram_jaccard_pairs',
 ]
 

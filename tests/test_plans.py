@@ -150,15 +150,15 @@ def test_catalog_plan_lint(spark, sf_dir):
 
 def test_driver_window_holds_rotation_priority():
     """The driver records correctness rows for the FIRST 50 catalog
-    entries. Round 3's window must contain every query that still lacks
-    trustworthy driver evidence (never-checked, re-oracled, post-change,
-    fixed reds — COVERAGE.md ledger), and _apply_catalog_order puts
-    UNLISTED registrations at the very front — so (a) the priority block
-    stays inside the window, and (b) every registered query MUST be
-    explicitly pinned in _CATALOG_ORDER (an unlisted one would evict the
-    window tail silently)."""
+    entries. Round 4's window must hold exactly the 50 oracle-paired
+    never-driver-checked queries chosen per VERDICT r3 item 1, and
+    _apply_catalog_order puts UNLISTED registrations at the very front —
+    so (a) the window is bit-for-bit the planned rotation, and (b) every
+    registered query MUST be explicitly pinned in _CATALOG_ORDER (an
+    unlisted one would evict the window tail silently)."""
     from bytesme_etl_batch_pipeline_spark.plans.queries import (
         _CATALOG_ORDER,
+        ORACLE_SQL,
         SPARK_QUERIES,
     )
 
@@ -167,23 +167,37 @@ def test_driver_window_holds_rotation_priority():
         f"{sorted(set(SPARK_QUERIES) - set(_CATALOG_ORDER))}; stale: "
         f"{sorted(set(_CATALOG_ORDER) - set(SPARK_QUERIES))}"
     )
-    priority = [
-        # (1) never driver-checked, oracle-paired
-        "doc_chunking", "udtf_unit_price_explode", "repetition_signals",
-        "simhash_hamming_pairs", "cdc_apply", "join_skew_report",
-        "doc_template_vi", "decontaminate_ngram_overlap", "neardup_dedup_docs",
-        "heavy_hitter_tokens", "embedding_quantize_int8",
-        "semantic_dedup_embeddings", "neardup_clusters",
-        "range_join_balance_tiers", "streaming_windowed_counts",
-        "doc_embeddings", "semantic_search_pipeline", "media_decode",
-        # (2) declared no-oracle sketches
-        "approx_percentiles", "approx_distinct_counts",
-        # (3) evidence predates a semantic change
-        "ann_lsh_topk", "ann_ivf_topk", "rule_cascade_classify",
-        # (4) r02 reds with fixed oracles
-        "array_ops_battery", "data_quality_report", "funnel_conversion",
-        "pivot_event_counts", "corpus_stats",
+    r04_window = [
+        "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
+        "tpch_q9_product_type_profit", "tpch_q11_important_stock",
+        "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+        "tpch_q20_part_share_suppliers", "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales_opportunity", "tpch_q6_forecast_revenue",
+        "tpch_q10_returned_items", "tpch_q14_promo_share",
+        "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
+        "tpch_q18_big_orders", "tpch_q19_disjunctive_revenue",
+        "llm_corpus_pipeline", "kmeans_lloyd_step", "bigram_logprob_quality",
+        "cms_heavy_hitters", "ccnet_quality_buckets",
+        "boilerplate_purge_docs", "bitext_margin_mining",
+        "media_phash_dedup", "scd2_point_in_time", "cuped_ab_adjusted_lift",
+        "dsir_importance_resample", "gopher_quality_rules",
+        "ann_recall_report", "hourly_interpolated_values",
+        "streaming_session_counts", "neardup_keep_best_docs",
+        "events_hopping_window", "nation_dual_presence_intersect",
+        "part_hierarchy_rollup", "benford_digit_audit",
+        "contrastive_training_pairs", "event_burst_dedup",
+        "cusum_changepoint_scan", "bigram_pmi_collocations",
+        "column_profile", "media_frame_sample", "basket_lift_rules",
+        "session_funnel", "customer_rfm_scores", "vocab_oov_rate",
+        "k_anonymity_report", "minhash_estimator_quality",
+        "shingle_containment_pairs", "purchase_linear_regression",
     ]
+    assert len(r04_window) == 50
     first50 = list(SPARK_QUERIES)[:50]
-    missing = [n for n in priority if n not in first50]
-    assert not missing, f"priority rotation block fell out of the window: {missing}"
+    assert first50 == r04_window, (
+        "driver window drifted from the planned r04 rotation: "
+        f"{[n for n in r04_window if n not in first50]} fell out; "
+        f"{[n for n in first50 if n not in r04_window]} crept in"
+    )
+    # every window slot must carry the hard signal (an oracle pair)
+    assert all(n in ORACLE_SQL for n in first50)
