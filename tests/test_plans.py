@@ -201,3 +201,38 @@ def test_driver_window_holds_rotation_priority():
     )
     # every window slot must carry the hard signal (an oracle pair)
     assert all(n in ORACLE_SQL for n in first50)
+
+
+def test_catalog_counts_match_coverage_doc():
+    """VERDICT r3 item 5: COVERAGE.md's ledger counts must be derived from
+    the catalog, not hand-tallied (two rounds in a row had a miscount).
+    Parses the 'Final catalog state' line and compares every number and
+    the named rows-only set against the live registry."""
+    import os
+    import re
+
+    from bytesme_etl_batch_pipeline_spark.plans.queries import (
+        ORACLE_SQL,
+        SPARK_QUERIES,
+    )
+
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md"),
+        encoding="utf-8",
+    ).read()
+    m = re.search(
+        r"Final catalog state: \*\*(\d+) queries, (\d+) oracle-paired\*\*, (\d+)\n"
+        r"declared rows-only \((.*?)\)",
+        doc,
+        re.S,
+    )
+    assert m, "COVERAGE.md lost its 'Final catalog state' tally line"
+    n_q, n_o, n_ro = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    named = set(re.findall(r"`([a-z0-9_]+)`", m.group(4)))
+    rows_only = {n for n in SPARK_QUERIES if n not in ORACLE_SQL}
+    assert n_q == len(SPARK_QUERIES), (n_q, len(SPARK_QUERIES))
+    assert n_o == len(ORACLE_SQL), (n_o, len(ORACLE_SQL))
+    assert n_ro == len(rows_only), (n_ro, sorted(rows_only))
+    assert named == rows_only, (
+        f"doc names {sorted(named)} but catalog rows-only is {sorted(rows_only)}"
+    )
