@@ -763,3 +763,35 @@ def test_incremental_rollup_equals_one_shot(spark, tmp_path):
     for k, (s, n) in want.items():
         assert r0[k][1] == n
         assert abs(decimal.Decimal(r0[k][0]) - s) <= decimal.Decimal("0.01") * n
+
+
+def test_connected_components_auto_matches_both_variants(spark):
+    """The adaptive entry point must return the same fixpoint as each
+    explicit variant on both a shallow dup-cluster graph (propagation
+    path) and a long chain (escalates to star)."""
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_auto,
+        connected_components_star,
+    )
+
+    def run(fn, edges, **kw):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            (r.node, r.cluster_id) for r in fn(df, "src", "dst", **kw).collect()
+        }
+
+    # shallow: two triangles + an isolated pair
+    shallow = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
+    assert (
+        run(connected_components_auto, shallow)
+        == run(connected_components, shallow)
+        == run(connected_components_star, shallow)
+    )
+
+    # pathological: a 40-node chain — diameter 40 forces the escalation
+    # (propagation_rounds=3 cannot converge), star must still finish
+    chain = [(i, i + 1) for i in range(40)]
+    got = run(connected_components_auto, chain, propagation_rounds=3)
+    assert got == run(connected_components_star, chain)
+    assert {c for _, c in got} == {0}
