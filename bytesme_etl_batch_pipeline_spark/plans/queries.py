@@ -9059,24 +9059,35 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled corpus slice, the LSH side is the production path."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import cosine_similarity, lsh_signature
+    from ..operators.similarity import _dots, _norm, lsh_signature
 
     e = load_table(spark, sf_dir, "embeddings")
-    sig = e.withColumn("sig", lsh_signature(F.col("embedding"), 64, 8, seed=7))
+    # Precompute each vector's norm ONCE inside the checkpoint (same
+    # double as folding it per pair — sqrt∘fold is deterministic — so the
+    # 1e-6-rounded scores are bit-identical): the exact side scores
+    # |queries|·|corpus| pairs, and per-pair norms would triple the fold
+    # work on that O(n·q) stage.
+    sig = e.withColumn(
+        "sig", lsh_signature(F.col("embedding"), 64, 8, seed=7)
+    ).withColumn("nrm", _norm(F.col("embedding")))
     sig = sig.localCheckpoint(eager=True)  # corpus + query side reuse it
     qs = sig.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
         F.col("sig").alias("qsig"),
+        F.col("nrm").alias("qnrm"),
     )
-    score = F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+    denom = F.col("nrm") * F.col("qnrm")
+    score = F.round(
+        F.when(denom != 0, _dots(F.col("embedding"), F.col("qv")) / denom), 6
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     # both ranked lists are EVAL-BATCH-sized (≤ 20·corpus-rows before the
     # rank cut, ≤ 20·10 after) — materialize each once so the four metric
     # branches below don't replay the scoring pipelines (the plan would
     # otherwise spend 17 exchanges recomputing them)
     exact = (
-        e.crossJoin(F.broadcast(qs.select("q_id", "qv")))
+        sig.crossJoin(F.broadcast(qs.select("q_id", "qv", "qnrm")))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", score.alias("score"))
         .withColumn("rn", F.row_number().over(w))
