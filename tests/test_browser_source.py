@@ -1,0 +1,145 @@
+"""S7 browser-driven source: the reference's three Selenium interaction
+patterns (tab clicks, pagination, progressive load-more —
+products_scraping.py:139-314) re-expressed as a distributable Spark stage
+with an injectable browser. The FakeBrowser is a deterministic DOM model;
+the loops, dedup policy, retry handling, schema and partitioning under
+test are the production code paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from bytesme_etl_batch_pipeline_spark.sources.browser import (
+    MAX_PAGES,
+    FakeBrowser,
+    FakeSite,
+    crawl_pagination,
+    crawl_products,
+    crawl_progressive,
+    crawl_tab_based,
+    selenium_browser_factory,
+)
+
+
+def _p(i, price="10k"):
+    return {
+        "product_url": f"/p/{i}",
+        "product_name": f"Prod {i}",
+        "product_price": price,
+    }
+
+
+def test_tab_crawl_keep_first_dedup_and_retry():
+    """Initial page harvested first; each further tab clicked and
+    harvested; duplicate product_urls keep their FIRST occurrence (the
+    reference's processed_urls set); an intercepted tab click succeeds on
+    the one retry; a dead tab is skipped without aborting the site."""
+    site = FakeSite(
+        tabs=[
+            [_p(1), _p(2)],
+            [_p(2, price="SHOULD NOT WIN"), _p(3)],  # p2 dup: first wins
+            [_p(4)],   # intercepted once, retry lands
+            [_p(99)],  # dead: never harvested
+            [_p(5)],
+        ],
+        intercept_tabs={2},
+        dead_tabs={3},
+    )
+    b = FakeBrowser({"https://site-a": site})
+    got = crawl_tab_based(b, "https://site-a")
+    urls = [p["product_url"] for p in got]
+    assert urls == ["/p/1", "/p/2", "/p/3", "/p/4", "/p/5"]
+    assert got[1]["product_price"] == "10k"  # keep-FIRST, not last
+    assert [p["tab"] for p in got] == [0, 0, 1, 2, 4]
+
+
+def test_tab_crawl_no_tabs_harvests_initial_page_only():
+    b = FakeBrowser({"u": FakeSite(tabs=[[_p(1)]])})
+    assert [p["product_url"] for p in crawl_tab_based(b, "u")] == ["/p/1"]
+
+
+def test_pagination_follows_next_and_caps_at_max_pages():
+    """A 25-page chain stops at MAX_PAGES=20 (the reference's guard), and
+    a product repeated across pages is kept once."""
+    pages = {}
+    for i in range(25):
+        nxt = f"u{i+1}" if i < 24 else None
+        prods = [_p(i), _p("repeat")]
+        pages[f"u{i}"] = (prods, nxt)
+    b = FakeBrowser({f"u{i}": FakeSite(pages=pages) for i in range(25)})
+    got = crawl_pagination(b, "u0")
+    urls = {p["product_url"] for p in got}
+    assert "/p/repeat" in urls
+    assert len(got) == MAX_PAGES + 1  # 20 uniques + the one repeat
+    assert max(p["page"] for p in got) == MAX_PAGES - 1
+
+
+def test_pagination_single_page_without_next():
+    b = FakeBrowser({"u": FakeSite(pages={"u": ([_p(1)], None)})})
+    assert len(crawl_pagination(b, "u")) == 1
+
+
+def test_progressive_clicks_until_button_hides_then_harvests_once():
+    """Three load-more batches: the loop clicks twice (batch 0 is the
+    initial DOM), then ONE harvest sees the fully-expanded DOM."""
+    site = FakeSite(batches=[[_p(1)], [_p(2)], [_p(3), _p(1)]])
+    b = FakeBrowser({"u": site})
+    got = crawl_progressive(b, "u")
+    assert [p["product_url"] for p in got] == ["/p/1", "/p/2", "/p/3"]
+    assert b.n_opens == 1  # never re-navigates; the DOM grows in place
+
+
+def test_crawl_products_distributed_over_sites(spark):
+    """The Spark stage: a 3-site frontier (one per interaction mode)
+    crawled via mapInPandas — every site's rows come back with stable
+    positions, and the whole thing runs partition-parallel."""
+    paged = FakeSite(
+        pages={
+            "https://pages": ([_p("g1")], "https://pages/2"),
+            "https://pages/2": ([_p("g2")], None),
+        }
+    )
+    sites = {
+        "https://tabs": FakeSite(tabs=[[_p("t1")], [_p("t2")]]),
+        "https://pages": paged,
+        "https://pages/2": paged,
+        "https://prog": FakeSite(batches=[[_p("m1")], [_p("m2")]]),
+    }
+    frontier = spark.createDataFrame(
+        [
+            ("tabs-site", "https://tabs", "tab"),
+            ("pages-site", "https://pages", "pagination"),
+            ("prog-site", "https://prog", "progressive"),
+        ],
+        "site string, url string, mode string",
+    ).repartition(3)
+    out = crawl_products(frontier, lambda: FakeBrowser(sites))
+    rows = out.collect()
+    by_site = {}
+    for r in rows:
+        by_site.setdefault(r.site, []).append(r)
+    assert {s: len(v) for s, v in by_site.items()} == {
+        "tabs-site": 2, "pages-site": 2, "prog-site": 2,
+    }
+    for v in by_site.values():
+        assert [r.position for r in sorted(v, key=lambda r: r.position)] == [0, 1]
+    # schema contract: the landing zone gets typed columns, not dicts
+    assert dict(out.dtypes) == {
+        "site": "string", "product_url": "string", "product_name": "string",
+        "product_price": "string", "tab": "int", "page": "int",
+        "position": "int",
+    }
+
+
+def test_crawl_products_unknown_mode_fails_loud(spark):
+    frontier = spark.createDataFrame(
+        [("s", "u", "scrollhack")], "site string, url string, mode string"
+    )
+    out = crawl_products(frontier, lambda: FakeBrowser({}))
+    with pytest.raises(Exception, match="unknown crawl mode"):
+        out.collect()
+
+
+def test_selenium_factory_is_an_honest_gate():
+    with pytest.raises(NotImplementedError, match="selenium"):
+        selenium_browser_factory()
