@@ -143,3 +143,25 @@ def test_crawl_products_unknown_mode_fails_loud(spark):
 def test_selenium_factory_is_an_honest_gate():
     with pytest.raises(NotImplementedError, match="selenium"):
         selenium_browser_factory()
+
+
+def test_crawl_feeds_config_pipeline_end_to_end(spark):
+    """S7 end-to-end: the crawl output (which carries product_name /
+    product_url) flows straight into the config-driven runner's
+    remove_duplicates stage — browser extraction is a first-class INPUT
+    to the same pipeline the reference's YAML drives."""
+    from bytesme_etl_batch_pipeline_spark.plans.pipeline import (
+        register_reference_stages,
+        run_pipeline,
+    )
+
+    register_reference_stages()
+    site = FakeSite(tabs=[[_p(1), _p(2)], [_p(2), _p(3)]])
+    frontier = spark.createDataFrame(
+        [("s", "u", "tab")], "site string, url string, mode string"
+    )
+    crawled = crawl_products(frontier, lambda: FakeBrowser({"u": site}))
+    outputs, report = run_pipeline({"scraped": crawled}, ["remove_duplicates"])
+    assert report.summary() == {"total": 1, "success": 1, "error": 0}
+    rows = outputs["scraped"].collect()
+    assert sorted(r.product_url for r in rows) == ["/p/1", "/p/2", "/p/3"]
