@@ -34,6 +34,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when a bounded iterative algorithm hits ``max_iter`` without
+    reaching its fixpoint. A dedicated type so adaptive callers
+    (``connected_components_auto``) can distinguish "needs more rounds /
+    a different strategy" from unrelated runtime failures (Arrow, conf,
+    codegen) that must surface, not trigger a silent re-run."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -127,7 +135,7 @@ def connected_components(
                 # break lineage through the cached chain before unpersisting
                 final = labels.localCheckpoint(eager=True)
                 return final.select("node", F.col("label").alias("cluster_id"))
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components did not converge in {max_iter} rounds — "
             "candidate graph diameter is unexpectedly large"
         )
@@ -254,7 +262,7 @@ def connected_components_star(
                     .agg(F.min(F.least(F.col("node"), F.col("nbr"))).alias("cluster_id"))
                 )
             cur_sig = new_sig
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
     finally:
@@ -285,5 +293,5 @@ def connected_components_auto(
     """
     try:
         return connected_components(edges, src, dst, max_iter=propagation_rounds)
-    except RuntimeError:
+    except ConvergenceError:
         return connected_components_star(edges, src, dst, max_iter=max_iter)

@@ -329,9 +329,10 @@ def phash_media_arrow(
                 names=[id_col, "phash"],
             )
 
+    # same id_col contract as the pandas twin: caller's name AND type
     schema = StructType(
         [
-            StructField("media_id", LongType(), False),
+            StructField(id_col, media.schema[id_col].dataType, False),
             StructField("phash", LongType(), True),
         ]
     )

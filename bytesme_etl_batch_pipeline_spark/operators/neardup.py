@@ -453,8 +453,15 @@ def hamming_pairs_banded(
     each row into its (band_index, band_value) keys, equi-join, verify
     the full distance on the survivors. The generalization of
     ``simhash_hamming_pairs`` (whose caller provides one external block);
-    at scale (band, value) is a bucket/partition key."""
+    at scale (band, value) is a bucket/partition key.
+
+    ``hash_bits`` is the EFFECTIVE width of ``hash_col`` — it defaults to
+    64 (the full width of a Spark long, the widest this column can be)
+    so omitting it is always safe: a caller whose hash genuinely uses
+    fewer bits (e.g. a 16-bit simhash stored in a long) must pass the
+    narrower width explicitly to use fewer/smaller bands."""
     assert n_bands > max_hamming, "need n_bands > max_hamming (pigeonhole)"
+    assert 0 < hash_bits <= 64, "hash_col is a long: hash_bits in (0, 64]"
     # Pigeonhole only holds if the bands COVER the hash: unbanded high
     # bits would silently turn into false negatives.
     assert n_bands * band_bits >= hash_bits, (

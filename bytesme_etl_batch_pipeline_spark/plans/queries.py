@@ -69,7 +69,15 @@ def _neardup_lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir) via ``localCheckpoint`` and memoized, so whichever CC variant
     runs second skips the whole shingle→minhash→band cascade (~2 s of a
     ~3 s query at sf0.1). Each query still stands alone: the first caller
-    in a fresh session computes the cascade itself."""
+    in a fresh session computes the cascade itself.
+
+    Contract: the parquet under ``sf_dir`` is immutable for the life of
+    the app (true for the driver, bench, and test fixtures — testdata is
+    generated once). A session that regenerates the files must call
+    ``_LSH_EDGES_MEMO.clear()`` to invalidate. Evicted entries release
+    their checkpoint blocks via the ContextCleaner once the dropped
+    reference is GC'd; entries are keyed by applicationId so nothing
+    survives an app restart."""
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _LSH_EDGES_MEMO.get(key)
     if got is None:

@@ -241,6 +241,10 @@ class FakeBrowser:
         self._site = self._sites.get(url)
         self._tab = 0
         self._revealed = 1
+        # fail-once intercept state is per-page-load: a session reused
+        # across sites must model each site's first click failing, not
+        # leak "already failed" from a previously crawled site
+        self._failed_once.clear()
 
     def tab_count(self) -> int:
         return len(self._site.tabs) if self._site and self._site.tabs else 0

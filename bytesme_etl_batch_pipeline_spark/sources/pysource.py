@@ -279,27 +279,40 @@ class JsonLinesWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
 
-        if self.overwrite:
-            # Clear the previous job's output BEFORE promoting, so a
-            # smaller second write can never leave stale higher-index
-            # parts mixed under a fresh _SUCCESS.
-            live_tmps = {m.tmp_path for m in messages}
-            for f in os.listdir(self.path):
-                p = os.path.join(self.path, f)
-                if p in live_tmps:
-                    continue
-                if (f.endswith(".jsonl") and f.startswith("part-")) or f == "_SUCCESS":
-                    os.remove(p)
+        # Loss-proof publish ordering for overwrite: (1) snapshot the
+        # prior job's part names, (2) drop _SUCCESS so the directory is
+        # visibly mid-publish, (3) promote this job's parts under
+        # job-unique names (never collide with prior parts), (4) only
+        # THEN remove the prior parts, (5) re-mark _SUCCESS. A crash at
+        # any point leaves every committed row on disk — worst case a
+        # mixed directory with no _SUCCESS, which a re-run converges.
+        # (Deleting before promoting would open a window where the old
+        # data is gone and the new data is only dot-prefixed temps that
+        # the next job sweeps as speculative losers.)
+        success = os.path.join(self.path, "_SUCCESS")
+        stale = (
+            [
+                f
+                for f in os.listdir(self.path)
+                if f.startswith("part-") and f.endswith(".jsonl")
+            ]
+            if self.overwrite
+            else []
+        )
+        if self.overwrite and os.path.exists(success):
+            os.remove(success)
         for m in messages:
             final = os.path.join(
                 self.path, f"part-{self.job_id}-{m.partition_id:05d}.jsonl"
             )
             os.replace(m.tmp_path, final)
+        for f in stale:
+            os.remove(os.path.join(self.path, f))
         # losers of speculative execution: any leftover temp files
         for f in os.listdir(self.path):
             if f.startswith(".part-") and f.endswith(".tmp"):
                 os.remove(os.path.join(self.path, f))
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        with open(success, "w") as f:
             f.write("")
 
     def abort(self, messages) -> None:

@@ -53,6 +53,22 @@ def test_tab_crawl_keep_first_dedup_and_retry():
     assert [p["tab"] for p in got] == [0, 0, 1, 2, 4]
 
 
+def test_fake_browser_intercept_fires_per_site_not_per_session():
+    """One browser session crawls many sites (the per-partition model):
+    the fail-once intercept is page-load state, so site B's intercepted
+    tab must fail its first click even though site A's same-index tab
+    already failed earlier in the session — otherwise multi-site tests
+    silently stop exercising the retry path after the first site."""
+    site = lambda i: FakeSite(
+        tabs=[[_p(f"{i}-0")], [_p(f"{i}-1")]], intercept_tabs={1}
+    )
+    b = FakeBrowser({"a": site("a"), "b": site("b")})
+    for url in ("a", "b"):
+        b.open(url)
+        assert not b.select_tab(1)  # first click intercepted, EVERY site
+        assert b.select_tab(1)      # retry lands
+
+
 def test_tab_crawl_no_tabs_harvests_initial_page_only():
     b = FakeBrowser({"u": FakeSite(tabs=[[_p(1)]])})
     assert [p["product_url"] for p in crawl_tab_based(b, "u")] == ["/p/1"]

@@ -372,12 +372,18 @@ def test_connected_components_nonconvergence_raises(spark):
     """A long chain must exceed a tiny max_iter and raise, not mislabel."""
     import pytest
 
-    from bytesme_etl_batch_pipeline_spark.operators.graph import connected_components
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        ConvergenceError,
+        connected_components,
+    )
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["src", "dst"]
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
+    # the dedicated type, not a bare RuntimeError: the auto variant's
+    # escalation catch is scoped to ConvergenceError only, so unrelated
+    # runtime failures surface instead of triggering a silent star re-run
+    with pytest.raises(ConvergenceError, match="did not converge"):
         connected_components(chain, max_iter=2)
 
 
@@ -724,6 +730,19 @@ def test_phash_arrow_and_pandas_paths_identical(spark):
     a = {r.media_id: r.phash for r in phash_media(media).collect()}
     b = {r.media_id: r.phash for r in phash_media_arrow(media).collect()}
     assert a == b and len(a) == 40
+    # the twins must also agree on the id_col contract: caller's column
+    # name AND type flow through to the output (ADVICE r3 fix applies to
+    # BOTH paths — the arrow path once hardcoded media_id/long)
+    named = media.withColumnRenamed("media_id", "doc_key").withColumn(
+        "doc_key", F.col("doc_key").cast("string")
+    )
+    pa_cols = phash_media(named, id_col="doc_key").columns
+    ar = phash_media_arrow(named, id_col="doc_key")
+    assert pa_cols == ar.columns == ["doc_key", "phash"]
+    assert dict(ar.dtypes)["doc_key"] == "string"
+    assert {r.doc_key: r.phash for r in ar.collect()} == {
+        str(k): v for k, v in b.items()
+    }
 
 
 def test_incremental_rollup_equals_one_shot(spark, tmp_path):

@@ -190,3 +190,68 @@ def test_jsonl_writer_overwrite_and_append_modes(spark, tmp_path):
     big.write.format("bytesme_jsonl").option("path", out).mode("append").save()
     big.write.format("bytesme_jsonl").option("path", out).mode("append").save()
     assert spark.read.json(os.path.join(out, "part-*.jsonl")).count() == 81
+
+
+def test_jsonl_writer_crash_mid_commit_loses_nothing(tmp_path):
+    """The overwrite publish must promote BEFORE deleting the prior parts:
+    a driver crash at any point inside commit() leaves every committed
+    row on disk (worst case a mixed dir with no _SUCCESS that a re-run
+    converges) — never the delete-first window where the old data is gone
+    and the new exists only as sweepable .tmp files."""
+    import json
+    import os
+
+    from bytesme_etl_batch_pipeline_spark.sources.pysource import (
+        JsonLinesCommit,
+        JsonLinesWriter,
+    )
+
+    out = str(tmp_path / "sink3")
+    os.makedirs(out)
+    # a prior successful job: 2 parts + _SUCCESS
+    for i, payload in enumerate([[1, 2], [3]]):
+        with open(os.path.join(out, f"part-oldjob-{i:05d}.jsonl"), "w") as f:
+            for v in payload:
+                f.write(json.dumps({"id": v}) + "\n")
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+
+    # a second overwrite job whose commit crashes mid-promotion
+    w = JsonLinesWriter({"path": out}, overwrite=True)
+    tmp = os.path.join(out, ".part-00000-7.jsonl.tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"id": 99}) + "\n")
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(a, b):
+        calls["n"] += 1
+        raise OSError("simulated driver crash during promotion")
+
+    os.replace = crashing_replace
+    try:
+        try:
+            w.commit([JsonLinesCommit(partition_id=0, tmp_path=tmp, n_rows=1)])
+            raise AssertionError("commit should have crashed")
+        except OSError:
+            pass
+    finally:
+        os.replace = real_replace
+    assert calls["n"] == 1
+    files = set(os.listdir(out))
+    # the old job's data is fully intact — nothing was deleted pre-promote
+    assert {"part-oldjob-00000.jsonl", "part-oldjob-00001.jsonl"} <= files
+    # _SUCCESS was dropped first: the directory is visibly mid-publish
+    assert "_SUCCESS" not in files
+    # the new data still exists as its temp — a re-run converges
+    assert ".part-00000-7.jsonl.tmp" in files
+
+    # and a clean re-run of the overwrite commit converges the directory
+    w2 = JsonLinesWriter({"path": out}, overwrite=True)
+    w2.commit([JsonLinesCommit(partition_id=0, tmp_path=tmp, n_rows=1)])
+    files = sorted(os.listdir(out))
+    parts = [f for f in files if f.startswith("part-") and f.endswith(".jsonl")]
+    assert len(parts) == 1 and "_SUCCESS" in files
+    assert not [f for f in files if f.endswith(".tmp")]
+    with open(os.path.join(out, parts[0])) as f:
+        assert [json.loads(l)["id"] for l in f] == [99]
