@@ -5,8 +5,9 @@ per-file try/except and a success/error summary
 (``scripts/pipeline.py:17-112``, ``utils/etl_config.yml:6-10``). Engine
 shape: a declarative spec — ordered named stages, each a pure
 ``DataFrame -> DataFrame`` — composed into ONE lazy DAG per input (Catalyst
-sees the whole plan; nothing materializes between stages), with per-input
-isolation and a job report.
+sees the whole plan; nothing materializes between stages unless the config
+says so via the built-in ``persist``/``checkpoint`` barrier stages), with
+per-input isolation and a job report.
 
 Unlike the reference (module-level mutable state, mid-pipeline staging-dir
 read — SURVEY §2.15 hazards), stages are pure and the DAG is explicit.
@@ -25,6 +26,37 @@ Stage = Callable[[DataFrame], DataFrame]
 # Named stage registry — the engine twin of the reference's string-dispatched
 # transform names (``scripts/pipeline.py:52-83``).
 STAGES: dict[str, Stage] = {}
+
+
+def _materialize_stage(spec: str) -> Stage | None:
+    """Built-in materialization barriers, usable by name in any stage list.
+
+    The stages themselves compose into ONE lazy DAG, which is right until a
+    stage's output feeds multiple downstream scans (the dedup family
+    re-reads its corpus 3-5×) — then the pipeline AUTHOR owns the
+    CPU-vs-storage tradeoff, declared in config rather than baked into
+    operators:
+
+    * ``persist`` / ``persist:memory`` / ``persist:disk`` — lazy
+      ``.persist`` at the matching StorageLevel; the first action
+      populates the cache, later branches reuse it. Spark evicts under
+      pressure and ContextCleaner frees it when the frame is dropped.
+    * ``checkpoint`` — eager ``localCheckpoint``: materializes NOW and
+      truncates lineage, the right barrier before iterative consumers
+      (CC loops) or when a long plan would otherwise replay per branch.
+    """
+    from pyspark import StorageLevel
+
+    levels = {
+        "persist": StorageLevel.MEMORY_AND_DISK,
+        "persist:memory": StorageLevel.MEMORY_ONLY,
+        "persist:disk": StorageLevel.DISK_ONLY,
+    }
+    if spec in levels:
+        return lambda df: df.persist(levels[spec])
+    if spec == "checkpoint":
+        return lambda df: df.localCheckpoint(eager=True)
+    return None
 
 
 def register_stage(name: str) -> Callable[[Stage], Stage]:
@@ -91,9 +123,10 @@ def run_pipeline(
         try:
             out = df
             for sname in stage_names:
-                if sname not in STAGES:
+                stage = STAGES.get(sname) or _materialize_stage(sname)
+                if stage is None:
                     raise KeyError(f"unknown stage: {sname!r}")
-                out = STAGES[sname](out)
+                out = stage(out)
             if sink is not None:
                 sink(name, out)
                 rows = None

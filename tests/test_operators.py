@@ -143,6 +143,54 @@ def test_run_pipeline_isolation_and_report(spark):
     assert "unknown stage" in report3.results[0].error
 
 
+def test_run_pipeline_materialization_barriers(spark):
+    """The built-in persist/checkpoint barrier stages are the pipeline
+    author's declared CPU-vs-storage tradeoff: an expensive stage followed
+    by a barrier executes ONCE even when its output feeds multiple
+    downstream actions; without the barrier every action replays it."""
+    sc = spark.sparkContext
+    with_acc = sc.accumulator(0)
+    without_acc = sc.accumulator(0)
+
+    def counting_stage(acc):
+        def stage(df):
+            def tick(batches):
+                for pdf in batches:
+                    acc.add(len(pdf))
+                    yield pdf
+
+            return df.mapInPandas(tick, schema=df.schema)
+
+        return stage
+
+    STAGES["count_with"] = counting_stage(with_acc)
+    STAGES["count_without"] = counting_stage(without_acc)
+    try:
+        src = spark.createDataFrame([(i,) for i in range(10)], ["v"]).coalesce(1)
+        outputs, report = run_pipeline({"a": src}, ["count_with", "checkpoint"])
+        assert report.n_success == 1
+        # run_pipeline's own count() already executed the plan once
+        # (checkpoint is eager, so exactly once); two more actions must
+        # NOT re-run the counted stage
+        outputs["a"].count()
+        outputs["a"].count()
+        assert with_acc.value == 10
+
+        outputs2, _ = run_pipeline({"a": src}, ["count_without"])
+        outputs2["a"].count()
+        outputs2["a"].count()
+        assert without_acc.value == 30  # replayed per action — the contrast
+
+        # persist is the lazy variant: storage level is set on the output
+        outputs3, _ = run_pipeline({"a": src}, ["count_with", "persist:disk"])
+        assert outputs3["a"].storageLevel.useDisk
+        assert not outputs3["a"].storageLevel.useMemory
+        outputs3["a"].unpersist()
+    finally:
+        STAGES.pop("count_with", None)
+        STAGES.pop("count_without", None)
+
+
 def test_run_pipeline_on_error_hook(spark):
     """The injectable alert hook (the reference's webhook-on-error twin)
     fires once per failed input, and a notifier that itself raises never
