@@ -289,12 +289,21 @@ class JsonLinesWriter(DataSourceWriter):
         # (Deleting before promoting would open a window where the old
         # data is gone and the new data is only dot-prefixed temps that
         # the next job sweeps as speculative losers.)
+        #
+        # The whole method is IDEMPOTENT for one job (property-tested with
+        # crash injection at every os-call index): a retried commit after
+        # a partial promotion must (a) skip messages whose temp already
+        # promoted — os.replace would raise on the missing source — and
+        # (b) never count this job's OWN freshly-promoted parts as stale.
         success = os.path.join(self.path, "_SUCCESS")
+        own_prefix = f"part-{self.job_id}-"
         stale = (
             [
                 f
                 for f in os.listdir(self.path)
-                if f.startswith("part-") and f.endswith(".jsonl")
+                if f.startswith("part-")
+                and f.endswith(".jsonl")
+                and not f.startswith(own_prefix)
             ]
             if self.overwrite
             else []
@@ -303,11 +312,20 @@ class JsonLinesWriter(DataSourceWriter):
             os.remove(success)
         for m in messages:
             final = os.path.join(
-                self.path, f"part-{self.job_id}-{m.partition_id:05d}.jsonl"
+                self.path, f"{own_prefix}{m.partition_id:05d}.jsonl"
             )
-            os.replace(m.tmp_path, final)
+            if os.path.exists(m.tmp_path):
+                os.replace(m.tmp_path, final)
+            elif not os.path.exists(final):
+                raise OSError(
+                    f"lost part {m.partition_id}: neither {m.tmp_path} "
+                    f"nor {final} exists"
+                )
         for f in stale:
-            os.remove(os.path.join(self.path, f))
+            try:
+                os.remove(os.path.join(self.path, f))
+            except FileNotFoundError:
+                pass  # a prior partially-crashed commit already removed it
         # losers of speculative execution: any leftover temp files
         for f in os.listdir(self.path):
             if f.startswith(".part-") and f.endswith(".tmp"):

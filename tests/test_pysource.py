@@ -255,3 +255,99 @@ def test_jsonl_writer_crash_mid_commit_loses_nothing(tmp_path):
     assert not [f for f in files if f.endswith(".tmp")]
     with open(os.path.join(out, parts[0])) as f:
         assert [json.loads(l)["id"] for l in f] == [99]
+
+
+def test_jsonl_commit_crash_retry_property():
+    """Protocol-level property (no Spark needed): for ANY sequence of
+    append/overwrite jobs, a driver crash after ANY number of os-level
+    mutations inside commit() followed by one clean retry of the SAME
+    job converges the directory to exactly the model state — commit is
+    idempotent (already-promoted parts are skipped, a job never sweeps
+    its own freshly-promoted parts as stale) and never loses a row."""
+    import json
+    import os
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bytesme_etl_batch_pipeline_spark.sources.pysource import (
+        JsonLinesCommit,
+        JsonLinesWriter,
+    )
+
+    def read_rows(out):
+        rows = []
+        for f in os.listdir(out):
+            if f.startswith("part-") and f.endswith(".jsonl"):
+                with open(os.path.join(out, f), encoding="utf-8") as fh:
+                    rows += [json.loads(line)["id"] for line in fh]
+        return sorted(rows)
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def run(data):
+        with tempfile.TemporaryDirectory() as out:
+            expected: list = []
+            next_id = [0]
+            n_jobs = data.draw(st.integers(1, 3), label="n_jobs")
+            for j in range(n_jobs):
+                overwrite = data.draw(st.booleans(), label=f"ovr{j}")
+                n_parts = data.draw(st.integers(1, 3), label=f"nparts{j}")
+                w = JsonLinesWriter({"path": out}, overwrite=overwrite)
+                msgs, job_rows = [], []
+                for p in range(n_parts):
+                    n = data.draw(st.integers(0, 3), label=f"rows{j}_{p}")
+                    ids = list(range(next_id[0], next_id[0] + n))
+                    next_id[0] += n
+                    job_rows += ids
+                    tmp = os.path.join(out, f".part-{p:05d}-{j}.jsonl.tmp")
+                    with open(tmp, "w") as fh:
+                        for i in ids:
+                            fh.write(json.dumps({"id": i}) + "\n")
+                    msgs.append(
+                        JsonLinesCommit(partition_id=p, tmp_path=tmp, n_rows=n)
+                    )
+
+                # crash after `budget` successful replace/remove calls
+                # (a large budget means the commit completes uncrashed)
+                budget = data.draw(st.integers(0, 12), label=f"crash{j}")
+                calls = [0]
+                real_replace, real_remove = os.replace, os.remove
+
+                def guarded(fn):
+                    def g(*a, **k):
+                        if calls[0] >= budget:
+                            raise OSError("injected crash")
+                        calls[0] += 1
+                        return fn(*a, **k)
+
+                    return g
+
+                os.replace, os.remove = guarded(real_replace), guarded(real_remove)
+                crashed = False
+                try:
+                    w.commit(msgs)
+                except OSError:
+                    crashed = True
+                finally:
+                    os.replace, os.remove = real_replace, real_remove
+                if crashed:
+                    # invariant at the crash point: nothing is lost — the
+                    # union of tmps + promoted parts holds every expected
+                    # row (old data still present unless already replaced
+                    # by this job's promoted parts)
+                    w.commit(msgs)  # the clean retry of the SAME job
+
+                expected = job_rows if overwrite else expected + job_rows
+                assert read_rows(out) == sorted(expected)
+                assert os.path.exists(os.path.join(out, "_SUCCESS"))
+                assert not [
+                    f for f in os.listdir(out) if f.endswith(".tmp")
+                ]
+
+    run()
