@@ -149,6 +149,7 @@ def incremental_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     count_col: str = "n_rows",
+    batch_id: str | None = None,
 ):
     """Incrementally-maintained rollup: persist PARTIAL aggregate state
     (decimal sums, counts, mins, maxes per key) and fold each delta batch
@@ -167,6 +168,17 @@ def incremental_rollup(
     state intact. Sums are decimal(28,4) — exact and associative, so N
     small deltas produce bit-identical state to one big batch (proven in
     tests). Returns the merged state DataFrame.
+
+    Exactly-once across crash+retry needs ``batch_id``: unlike
+    ``merge_upsert_parquet`` (version-latest-wins, so re-applying a batch
+    is a semantic no-op), these aggregates are ADDITIVE — a crash after
+    the staging→state promotion followed by a blind retry of the same
+    delta would double-count it. With ``batch_id`` set, the id is written
+    to an ``_applied_batch`` marker INSIDE the staging dir (it rides the
+    rename atomically, and parquet readers ignore underscore files); a
+    retry that finds the current state already carrying its batch_id
+    returns the state untouched. Callers without stable batch ids must
+    track delta application themselves.
     """
     import os
     import shutil
@@ -192,6 +204,15 @@ def incremental_rollup(
     # delta merges into it instead of silently rebuilding from scratch.
     if not os.path.exists(state_path) and os.path.exists(retired):
         os.rename(retired, state_path)
+    marker = os.path.join(state_path, "_applied_batch")
+    if batch_id is not None and os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == batch_id:
+                # this exact delta already promoted (retry after a crash
+                # in the post-promotion cleanup): re-applying would
+                # double-count — return the state untouched
+                shutil.rmtree(retired, ignore_errors=True)
+                return spark.read.parquet(state_path)
     if os.path.exists(state_path):
         state = spark.read.parquet(state_path)
         merge_aggs = [F.sum(F.col(count_col)).cast("long").alias(count_col)]
@@ -207,6 +228,9 @@ def incremental_rollup(
         merged = fresh
     staging = state_path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
+    if batch_id is not None:
+        with open(os.path.join(staging, "_applied_batch"), "w", encoding="utf-8") as f:
+            f.write(batch_id)
     if os.path.exists(retired):
         shutil.rmtree(retired)
     if os.path.exists(state_path):

@@ -393,3 +393,53 @@ def test_incremental_rollup_recovers_retired_after_crash(spark, tmp_path):
     got = {r.k: int(r.sum_v) for r in out.collect()}
     assert got == {"x": 15, "y": 20}  # first delta survived the crash
     assert not os.path.exists(state + "__retired")
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2])
+def test_incremental_rollup_exactly_once_crash_retry(spark, tmp_path, crash_after):
+    """Exactly-once across crash+retry via batch_id: crash the publish
+    after each possible os-mutation count (0 = before retiring the old
+    state, 1 = the ADVICE r3 retired-only window, 2 = AFTER promotion —
+    the double-count window: additive sums would re-apply the delta on a
+    blind retry), then retry the SAME delta with the SAME batch_id and
+    require the exactly-once result every time."""
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.operators.aggregate import (
+        incremental_rollup,
+    )
+
+    state = str(tmp_path / "state")
+    d1 = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    incremental_rollup(
+        spark, state, d1, keys=["k"], sum_cols=["v"], batch_id="b1"
+    )
+    d2 = spark.createDataFrame([("a", 10)], ["k", "v"])
+
+    calls = [0]
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+
+    def crashing(fn):
+        def g(*a, **kw):
+            if calls[0] >= crash_after:
+                raise OSError("injected crash")
+            calls[0] += 1
+            return fn(*a, **kw)
+
+        return g
+
+    os.rename, shutil.rmtree = crashing(real_rename), crashing(real_rmtree)
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            incremental_rollup(
+                spark, state, d2, keys=["k"], sum_cols=["v"], batch_id="b2"
+            )
+    finally:
+        os.rename, shutil.rmtree = real_rename, real_rmtree
+
+    out = incremental_rollup(
+        spark, state, d2, keys=["k"], sum_cols=["v"], batch_id="b2"
+    )
+    got = {r["k"]: float(r["sum_v"]) for r in out.collect()}
+    assert got == {"a": 11.0, "b": 2.0}  # never 21.0: no double-apply
+    assert not os.path.exists(state + "__retired")
