@@ -105,7 +105,10 @@ def write_jdbc_exactly_once(
 
     ``<table>_retired`` is RESERVED by this sink: it is the parking name
     for the previous generation during the swap and is dropped on the next
-    publish — never point application data at it.
+    publish — never point application data at it. A crash between the two
+    renames leaves the generation parked there; the next publish restores
+    it FIRST, so readers serve the old data throughout the retry's staging
+    rewrite instead of hitting a missing table.
     """
     import re
 
@@ -117,25 +120,49 @@ def write_jdbc_exactly_once(
     staging = f"{table}{staging_suffix}"
     retired = f"{table}_retired"
 
+    # Driver-side connections via the JVM's DriverManager (the same
+    # classloader Spark's JDBC writer uses, so no extra client library is
+    # needed).
+    jvm = df.sparkSession._jvm
+
+    def _with_conn(fn):
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            meta = conn.getMetaData()
+
+            def exists(name: str) -> bool:
+                rs = meta.getTables(None, None, name.upper(), None)
+                try:
+                    return rs.next()
+                finally:
+                    rs.close()
+
+            try:
+                return fn(stmt, exists)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    # Crash recovery BEFORE the (slow) staging rewrite: a crash between
+    # RENAME(table -> retired) and RENAME(staging -> table) leaves no live
+    # table; restoring the retired generation here means readers keep the
+    # OLD data for the whole rewrite instead of a table-not-found window
+    # until this retry's publish lands. (Exactly-once is unaffected either
+    # way — staging overwrite is idempotent — this closes the
+    # availability gap the parquet merge's __retired recovery closes.)
+    def _recover(stmt, exists):
+        if not exists(table) and exists(retired):
+            stmt.executeUpdate(f"RENAME TABLE {retired} TO {table}")
+
+    _with_conn(_recover)
+
     write_jdbc(
         df, url, staging, mode="overwrite", batch_size=batch_size, properties=properties
     )
 
-    # Driver-side publish via the JVM's DriverManager (the same classloader
-    # Spark's JDBC writer uses, so no extra client library is needed).
-    jvm = df.sparkSession._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
-    try:
-        stmt = conn.createStatement()
-        meta = conn.getMetaData()
-
-        def exists(name: str) -> bool:
-            rs = meta.getTables(None, None, name.upper(), None)
-            try:
-                return rs.next()
-            finally:
-                rs.close()
-
+    def _publish(stmt, exists):
         if exists(retired):
             stmt.executeUpdate(f"DROP TABLE {retired}")
         if exists(table):
@@ -143,6 +170,5 @@ def write_jdbc_exactly_once(
         stmt.executeUpdate(f"RENAME TABLE {staging} TO {table}")
         if exists(retired):
             stmt.executeUpdate(f"DROP TABLE {retired}")
-        stmt.close()
-    finally:
-        conn.close()
+
+    _with_conn(_publish)

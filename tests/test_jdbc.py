@@ -106,3 +106,48 @@ def test_exactly_once_rejects_qualified_names(spark, tmp_path):
     df = spark.range(1)
     with pytest.raises(ValueError):
         write_jdbc_exactly_once(df, _url(tmp_path, "x"), "bad.name", properties=DRIVER)
+
+
+def test_exactly_once_recovers_availability_after_crash_window(spark, tmp_path):
+    """A crash between RENAME(table->retired) and RENAME(staging->table)
+    leaves no live table. The next publish must restore the retired
+    generation BEFORE the slow staging rewrite (readers keep the old data
+    the whole time) — proven by making the rewrite itself fail: after the
+    failed retry the table is back, serving the previous generation."""
+    from bytesme_etl_batch_pipeline_spark.sources.jdbc import (
+        write_jdbc_exactly_once,
+    )
+
+    url = _url(tmp_path, "eor")
+    v1 = spark.range(0, 30).select(F.col("id"), F.lit("v1").alias("ver"))
+    write_jdbc_exactly_once(v1, url, "t_r", batch_size=10, properties=DRIVER)
+
+    # simulate the mid-swap crash: table parked under _retired, no table
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate("RENAME TABLE t_r TO t_r_retired")
+        st.close()
+    finally:
+        conn.close()
+    with pytest.raises(Exception):
+        read_jdbc(spark, url, "t_r", properties=DRIVER).count()  # gap is real
+
+    # retry whose staging rewrite FAILS — only the entry recovery ran
+    boom = spark.range(0, 10).select(
+        (F.col("id") / F.lit(0)).cast("long").alias("id"),  # ANSI: div by zero
+        F.lit("v2").alias("ver"),
+    )
+    with pytest.raises(Exception):
+        write_jdbc_exactly_once(boom, url, "t_r", batch_size=10, properties=DRIVER)
+    back = read_jdbc(spark, url, "t_r", properties=DRIVER)
+    assert back.count() == 30  # old generation restored and readable
+    assert {r["ver"] for r in back.select("ver").distinct().collect()} == {"v1"}
+
+    # and a clean retry converges to the new generation
+    v2 = spark.range(0, 12).select(F.col("id"), F.lit("v2").alias("ver"))
+    write_jdbc_exactly_once(v2, url, "t_r", batch_size=10, properties=DRIVER)
+    back = read_jdbc(spark, url, "t_r", properties=DRIVER)
+    assert back.count() == 12
+    assert {r["ver"] for r in back.select("ver").distinct().collect()} == {"v2"}
