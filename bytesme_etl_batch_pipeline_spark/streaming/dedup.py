@@ -12,7 +12,11 @@ at-least-once redelivery:
 * the digest set lands at ``digests/v=N``, and batch N always reads the
   newest version < N — so a redelivery recomputes the SAME fresh set even
   if the crash happened after the digest write (reading one's own output
-  would instead drop the whole batch on retry).
+  would instead drop the whole batch on retry);
+* old versions are pruned after each write (each ``v=N`` is the FULL
+  seen-set; retaining them all would grow storage as O(batches ×
+  corpus)) — only the latest 2 are needed: the new version plus the one
+  a redelivery of the last uncommitted batch re-reads.
 
 On a lakehouse the two writes collapse into one Delta/Iceberg transaction;
 this is the dependency-free form with the same guarantees.
@@ -41,9 +45,21 @@ def _latest_digest_version(digests_path: str, before: int) -> int | None:
 
 
 def make_incremental_dedup_step(
-    text_col: str, corpus_path: str, digests_path: str
+    text_col: str,
+    corpus_path: str,
+    digests_path: str,
+    retain_digest_versions: int = 2,
 ):
-    """Build the foreachBatch body (exposed for direct idempotence tests)."""
+    """Build the foreachBatch body (exposed for direct idempotence tests).
+
+    ``retain_digest_versions`` prunes old digest versions after each
+    successful write — every ``v=N`` is the FULL seen-set, so keeping all
+    of them grows storage as O(batches × corpus); only the newest version
+    ``< batch_id`` is ever read, and the structured-streaming checkpoint
+    can redeliver at most the last uncommitted batch, so 2 (the new
+    version plus the one a redelivery of THIS batch would re-read) is the
+    correctness minimum. Pruning is idempotent — a crash mid-prune just
+    leaves extra versions for the next batch to remove."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -73,6 +89,13 @@ def make_incremental_dedup_step(
         fresh, updated = incremental_dedup(batch_df, seen, text_col)
         fresh.write.mode("overwrite").parquet(f"{corpus_path}/batch_id={batch_id}")
         updated.write.mode("overwrite").parquet(f"{digests_path}/v={batch_id}")
+        if retain_digest_versions is not None:
+            import shutil
+
+            cutoff = batch_id - (retain_digest_versions - 1)
+            for d in os.listdir(digests_path):
+                if (m := re.fullmatch(r"v=(\d+)", d)) and int(m.group(1)) < cutoff:
+                    shutil.rmtree(os.path.join(digests_path, d), ignore_errors=True)
 
     return step
 
@@ -83,11 +106,17 @@ def run_incremental_dedup_stream(
     corpus_path: str,
     digests_path: str,
     checkpoint_dir: str,
+    retain_digest_versions: int = 2,
 ) -> None:
     """Drain a document stream into an exactly-once deduped corpus."""
     q = (
         stream.writeStream.foreachBatch(
-            make_incremental_dedup_step(text_col, corpus_path, digests_path)
+            make_incremental_dedup_step(
+                text_col,
+                corpus_path,
+                digests_path,
+                retain_digest_versions=retain_digest_versions,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -334,6 +334,19 @@ def test_incremental_dedup_stream_exactly_once(spark, tmp_path):
     got2 = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
     assert got2 == got
 
+    # digest retention: each v=N is the FULL seen-set, so old versions
+    # must be pruned — after a third batch only the latest 2 remain, and
+    # a redelivery of that batch still reproduces the same corpus from
+    # the surviving prior version
+    import os as _os2
+
+    b3 = [(6, "gamma doc"), (7, "delta doc")]
+    step(spark.createDataFrame(b3, schema), 2)
+    assert sorted(_os2.listdir(digests)) == ["v=1", "v=2"]  # v=0 pruned
+    step(spark.createDataFrame(b3, schema), 2)  # redelivery after prune
+    got3 = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
+    assert got3 == ["alpha doc", "beta doc", "delta doc", "gamma doc"]
+
 
 def test_foreach_batch_upsert_order_col_last_writer_wins(spark, tmp_path):
     """With order_col, a key updated twice within ONE micro-batch keeps the
