@@ -113,14 +113,14 @@ def interval_attribution_join(
     )
 
 
-def run_foreach_batch_upsert(
-    stream: DataFrame,
+def make_upsert_step(
     key_cols: list[str],
     target_path: str,
-    checkpoint_dir: str,
     order_col: str | None = None,
-) -> None:
-    """Keyed upsert sink via ``foreachBatch``: per micro-batch, new keys are
+):
+    """Build the keyed-upsert foreachBatch body (exposed, like
+    ``streaming.dedup.make_incremental_dedup_step``, so crash-window
+    behavior is directly testable): per micro-batch, new keys are
     appended and existing keys are replaced (batch-wins). Plain-parquet
     merge: read current target, anti-join away rows whose key re-arrived,
     union the (deduped) batch, swap in crash-safely.
@@ -134,10 +134,12 @@ def run_foreach_batch_upsert(
     Crash safety: the target is swapped via rename-aside (target → .old,
     tmp → target, drop .old), and the read path falls back to ``.old`` if a
     crash landed between the renames — so at-least-once redelivery rebuilds
-    from the pre-batch state instead of clobbering it. A read failure with
-    the target PRESENT propagates (fails the batch for retry) rather than
-    silently restarting the store from one batch. On a production lakehouse
-    the whole body becomes a Delta/Iceberg ``MERGE INTO``.
+    from the pre-batch state instead of clobbering it; ``.old`` is only
+    ever deleted while ``target`` exists, so no crash sequence can leave
+    neither copy. A read failure with the target PRESENT propagates (fails
+    the batch for retry) rather than silently restarting the store from
+    one batch. On a production lakehouse the whole body becomes a
+    Delta/Iceberg ``MERGE INTO``.
     """
     import os
     import shutil
@@ -176,14 +178,35 @@ def run_foreach_batch_upsert(
             merged = fresh
 
         merged.write.mode("overwrite").parquet(tmp_path)
-        shutil.rmtree(old_path, ignore_errors=True)
+        # Publish order invariant: at every instant at least one of
+        # {target, .old} holds the pre-batch-or-newer state. .old is only
+        # removed while target exists — removing it first (the previous
+        # order) opened a two-crash window on a redelivery from the
+        # mid-swap state where the sole surviving copy was deleted before
+        # tmp promoted, and the NEXT retry would silently rebuild the
+        # store from one micro-batch.
         if os.path.isdir(target_path):
+            shutil.rmtree(old_path, ignore_errors=True)  # superseded copy
             shutil.move(target_path, old_path)
         shutil.move(tmp_path, target_path)
         shutil.rmtree(old_path, ignore_errors=True)
 
+    return upsert
+
+
+def run_foreach_batch_upsert(
+    stream: DataFrame,
+    key_cols: list[str],
+    target_path: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+) -> None:
+    """Drain a stream through the keyed-upsert sink (``make_upsert_step``
+    for the merge/publish semantics and crash-safety contract)."""
     q = (
-        stream.writeStream.foreachBatch(upsert)
+        stream.writeStream.foreachBatch(
+            make_upsert_step(key_cols, target_path, order_col=order_col)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

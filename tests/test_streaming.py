@@ -3,7 +3,10 @@ the stream is drained with availableNow (bounded input ⇒ identical output)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
+
+import pytest
 
 from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
 from bytesme_etl_batch_pipeline_spark.streaming import events as stream_events
@@ -535,3 +538,93 @@ def test_streaming_session_restart_recovers_state(spark, sf_dir, tmp_path):
         "no session spans the restart boundary — split point is not "
         "exercising state recovery"
     )
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2, 3])
+def test_upsert_sink_crash_retry_never_loses_store(spark, tmp_path, crash_after):
+    """Crash the upsert publish after each possible mutation count: a
+    readable pre-batch-or-newer copy (target or .old) must survive every
+    window, and a clean redelivery must converge to the batch-wins
+    result."""
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.streaming.events import make_upsert_step
+
+    target = str(tmp_path / "t")
+    step = make_upsert_step(["k"], target)
+    step(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+
+    calls = [0]
+    real_move, real_rmtree = shutil.move, shutil.rmtree
+
+    def crashing(fn):
+        def g(*a, **kw):
+            if calls[0] >= crash_after:
+                raise OSError("injected crash")
+            calls[0] += 1
+            return fn(*a, **kw)
+
+        return g
+
+    shutil.move, shutil.rmtree = crashing(real_move), crashing(real_rmtree)
+    try:
+        try:
+            step(b2, 1)
+            crashed = False
+        except OSError:
+            crashed = True
+    finally:
+        shutil.move, shutil.rmtree = real_move, real_rmtree
+
+    assert os.path.isdir(target) or os.path.isdir(target + ".old")
+    if crashed:
+        step(b2, 1)  # the clean at-least-once redelivery
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert not os.path.isdir(target + ".old")
+
+
+def test_upsert_sink_double_crash_keeps_a_copy(spark, tmp_path):
+    """The two-crash sequence the previous publish order lost: crash
+    mid-swap (only .old survives), then crash the REDELIVERY after its
+    first mutation. .old must still be deleted only after target is back,
+    so a copy survives and the third attempt converges."""
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.streaming.events import make_upsert_step
+
+    target = str(tmp_path / "t2")
+    step = make_upsert_step(["k"], target)
+    step(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+
+    real_move, real_rmtree = shutil.move, shutil.rmtree
+
+    def crash_at(n):
+        calls = [0]
+
+        def crashing(fn):
+            def g(*a, **kw):
+                if calls[0] >= n:
+                    raise OSError("injected crash")
+                calls[0] += 1
+                return fn(*a, **kw)
+
+            return g
+
+        return crashing
+
+    for n in (2, 1):  # mid-swap crash, then crash retry after 1 mutation
+        c = crash_at(n)
+        shutil.move, shutil.rmtree = c(real_move), c(real_rmtree)
+        try:
+            with pytest.raises(OSError, match="injected crash"):
+                step(b2, 1)
+        finally:
+            shutil.move, shutil.rmtree = real_move, real_rmtree
+        assert os.path.isdir(target) or os.path.isdir(target + ".old")
+
+    step(b2, 1)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
