@@ -443,3 +443,51 @@ def test_incremental_rollup_exactly_once_crash_retry(spark, tmp_path, crash_afte
     got = {r["k"]: float(r["sum_v"]) for r in out.collect()}
     assert got == {"a": 11.0, "b": 2.0}  # never 21.0: no double-apply
     assert not os.path.exists(state + "__retired")
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2])
+def test_merge_upsert_crash_retry_converges(spark, tmp_path, crash_after):
+    """Crash the MERGE publish after each possible os-mutation count and
+    retry the same change batch: version-latest-wins makes the re-apply a
+    semantic no-op, so every window must converge to the same table with
+    no sibling dirs left behind."""
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import merge_upsert_parquet
+
+    base = str(tmp_path / "t")
+    schema = "k long, v string, version long, deleted boolean"
+    b1 = spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False)], schema
+    )
+    merge_upsert_parquet(spark, base, b1, ["k"], "version", "deleted")
+    b2 = spark.createDataFrame(
+        [(2, "B", 2, False), (3, "c", 2, False), (1, "a", 2, True)], schema
+    )
+
+    calls = [0]
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+
+    def crashing(fn):
+        def g(*a, **kw):
+            if calls[0] >= crash_after:
+                raise OSError("injected crash")
+            calls[0] += 1
+            return fn(*a, **kw)
+
+        return g
+
+    os.rename, shutil.rmtree = crashing(real_rename), crashing(real_rmtree)
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            merge_upsert_parquet(spark, base, b2, ["k"], "version", "deleted")
+    finally:
+        os.rename, shutil.rmtree = real_rename, real_rmtree
+
+    # some complete copy (pre- or post-merge) is always readable
+    assert os.path.exists(base) or os.path.exists(base + "__retired")
+    n = merge_upsert_parquet(spark, base, b2, ["k"], "version", "deleted")
+    assert n == 2
+    got = {r["k"]: r["v"] for r in spark.read.parquet(base).collect()}
+    assert got == {2: "B", 3: "c"}  # k=1 deleted, k=2 replaced, k=3 new
+    assert not os.path.exists(base + "__retired")
