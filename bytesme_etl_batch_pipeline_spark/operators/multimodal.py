@@ -284,11 +284,13 @@ def phash_media(
                 {id_col: pdf[id_col].to_numpy(), "phash": hashes}
             )
 
-    # output id column keeps the caller's name AND type — a caller passing
-    # id_col="doc_id" gets (doc_id, phash), not values under "media_id"
+    # output id column keeps the caller's name, type AND nullability — a
+    # caller passing id_col="doc_id" gets (doc_id, phash), not values
+    # under "media_id", and a nullable id stays declared nullable
+    f = media.schema[id_col]
     schema = StructType(
         [
-            StructField(id_col, media.schema[id_col].dataType, False),
+            StructField(id_col, f.dataType, f.nullable),
             StructField("phash", LongType(), True),
         ]
     )
@@ -329,10 +331,12 @@ def phash_media_arrow(
                 names=[id_col, "phash"],
             )
 
-    # same id_col contract as the pandas twin: caller's name AND type
+    # same id_col contract as the pandas twin: caller's name, type and
+    # nullability flow through
+    f = media.schema[id_col]
     schema = StructType(
         [
-            StructField(id_col, media.schema[id_col].dataType, False),
+            StructField(id_col, f.dataType, f.nullable),
             StructField("phash", LongType(), True),
         ]
     )

@@ -308,7 +308,10 @@ class JsonLinesWriter(DataSourceWriter):
             if self.overwrite
             else []
         )
-        if self.overwrite and os.path.exists(success):
+        # BOTH modes drop _SUCCESS before promoting: an append that
+        # crashes mid-promotion must not leave a half-appended directory
+        # under the previous job's still-valid marker.
+        if os.path.exists(success):
             os.remove(success)
         for m in messages:
             final = os.path.join(

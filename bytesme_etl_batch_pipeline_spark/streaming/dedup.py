@@ -48,7 +48,7 @@ def make_incremental_dedup_step(
     text_col: str,
     corpus_path: str,
     digests_path: str,
-    retain_digest_versions: int = 2,
+    retain_digest_versions: int | None = 2,
 ):
     """Build the foreachBatch body (exposed for direct idempotence tests).
 
@@ -59,7 +59,16 @@ def make_incremental_dedup_step(
     can redeliver at most the last uncommitted batch, so 2 (the new
     version plus the one a redelivery of THIS batch would re-read) is the
     correctness minimum. Pruning is idempotent — a crash mid-prune just
-    leaves extra versions for the next batch to remove."""
+    leaves extra versions for the next batch to remove. ``None`` disables
+    pruning; values below 2 are rejected — 1 would delete the version a
+    redelivery of the current batch must re-read (silently re-admitting
+    every historical duplicate and then overwriting the seen-set with one
+    batch's digests), and 0 would delete the version just written."""
+    if retain_digest_versions is not None and retain_digest_versions < 2:
+        raise ValueError(
+            "retain_digest_versions must be None (keep all) or >= 2: the "
+            "newest version plus the one a redelivered batch re-reads"
+        )
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -106,7 +115,7 @@ def run_incremental_dedup_stream(
     corpus_path: str,
     digests_path: str,
     checkpoint_dir: str,
-    retain_digest_versions: int = 2,
+    retain_digest_versions: int | None = 2,
 ) -> None:
     """Drain a document stream into an exactly-once deduped corpus."""
     q = (

@@ -416,26 +416,13 @@ def test_incremental_rollup_exactly_once_crash_retry(spark, tmp_path, crash_afte
     )
     d2 = spark.createDataFrame([("a", 10)], ["k", "v"])
 
-    calls = [0]
-    real_rename, real_rmtree = os.rename, shutil.rmtree
+    from tests.crashinject import crash_after as _crash
 
-    def crashing(fn):
-        def g(*a, **kw):
-            if calls[0] >= crash_after:
-                raise OSError("injected crash")
-            calls[0] += 1
-            return fn(*a, **kw)
-
-        return g
-
-    os.rename, shutil.rmtree = crashing(real_rename), crashing(real_rmtree)
-    try:
+    with _crash(crash_after, (os, "rename"), (shutil, "rmtree")):
         with pytest.raises(OSError, match="injected crash"):
             incremental_rollup(
                 spark, state, d2, keys=["k"], sum_cols=["v"], batch_id="b2"
             )
-    finally:
-        os.rename, shutil.rmtree = real_rename, real_rmtree
 
     out = incremental_rollup(
         spark, state, d2, keys=["k"], sum_cols=["v"], batch_id="b2"
@@ -465,24 +452,11 @@ def test_merge_upsert_crash_retry_converges(spark, tmp_path, crash_after):
         [(2, "B", 2, False), (3, "c", 2, False), (1, "a", 2, True)], schema
     )
 
-    calls = [0]
-    real_rename, real_rmtree = os.rename, shutil.rmtree
+    from tests.crashinject import crash_after as _crash
 
-    def crashing(fn):
-        def g(*a, **kw):
-            if calls[0] >= crash_after:
-                raise OSError("injected crash")
-            calls[0] += 1
-            return fn(*a, **kw)
-
-        return g
-
-    os.rename, shutil.rmtree = crashing(real_rename), crashing(real_rmtree)
-    try:
+    with _crash(crash_after, (os, "rename"), (shutil, "rmtree")):
         with pytest.raises(OSError, match="injected crash"):
             merge_upsert_parquet(spark, base, b2, ["k"], "version", "deleted")
-    finally:
-        os.rename, shutil.rmtree = real_rename, real_rmtree
 
     # some complete copy (pre- or post-merge) is always readable
     assert os.path.exists(base) or os.path.exists(base + "__retired")

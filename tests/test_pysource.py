@@ -221,23 +221,15 @@ def test_jsonl_writer_crash_mid_commit_loses_nothing(tmp_path):
     with open(tmp, "w") as f:
         f.write(json.dumps({"id": 99}) + "\n")
 
-    real_replace = os.replace
-    calls = {"n": 0}
+    from tests.crashinject import crash_after
 
-    def crashing_replace(a, b):
-        calls["n"] += 1
-        raise OSError("simulated driver crash during promotion")
-
-    os.replace = crashing_replace
-    try:
+    with crash_after(0, (os, "replace")) as calls:
         try:
             w.commit([JsonLinesCommit(partition_id=0, tmp_path=tmp, n_rows=1)])
             raise AssertionError("commit should have crashed")
         except OSError:
             pass
-    finally:
-        os.replace = real_replace
-    assert calls["n"] == 1
+    assert calls[0] == 0  # promotion was the first mutation attempted
     files = set(os.listdir(out))
     # the old job's data is fully intact — nothing was deleted pre-promote
     assert {"part-oldjob-00000.jsonl", "part-oldjob-00001.jsonl"} <= files
@@ -255,6 +247,22 @@ def test_jsonl_writer_crash_mid_commit_loses_nothing(tmp_path):
     assert not [f for f in files if f.endswith(".tmp")]
     with open(os.path.join(out, parts[0])) as f:
         assert [json.loads(l)["id"] for l in f] == [99]
+
+    # APPEND mode drops _SUCCESS before promoting too: a crashed partial
+    # append must not leave mixed content under the prior job's marker
+    w3 = JsonLinesWriter({"path": out}, overwrite=False)
+    tmp3 = os.path.join(out, ".part-00000-9.jsonl.tmp")
+    with open(tmp3, "w") as f:
+        f.write(json.dumps({"id": 7}) + "\n")
+    with crash_after(0, (os, "replace")):
+        try:
+            w3.commit([JsonLinesCommit(partition_id=0, tmp_path=tmp3, n_rows=1)])
+            raise AssertionError("commit should have crashed")
+        except OSError:
+            pass
+    assert "_SUCCESS" not in os.listdir(out)  # visibly mid-publish
+    w3.commit([JsonLinesCommit(partition_id=0, tmp_path=tmp3, n_rows=1)])
+    assert "_SUCCESS" in os.listdir(out)
 
 
 def test_jsonl_commit_crash_retry_property():
@@ -275,6 +283,7 @@ def test_jsonl_commit_crash_retry_property():
         JsonLinesCommit,
         JsonLinesWriter,
     )
+    from tests.crashinject import crash_after
 
     def read_rows(out):
         rows = []
@@ -316,26 +325,12 @@ def test_jsonl_commit_crash_retry_property():
                 # crash after `budget` successful replace/remove calls
                 # (a large budget means the commit completes uncrashed)
                 budget = data.draw(st.integers(0, 12), label=f"crash{j}")
-                calls = [0]
-                real_replace, real_remove = os.replace, os.remove
-
-                def guarded(fn):
-                    def g(*a, **k):
-                        if calls[0] >= budget:
-                            raise OSError("injected crash")
-                        calls[0] += 1
-                        return fn(*a, **k)
-
-                    return g
-
-                os.replace, os.remove = guarded(real_replace), guarded(real_remove)
                 crashed = False
-                try:
-                    w.commit(msgs)
-                except OSError:
-                    crashed = True
-                finally:
-                    os.replace, os.remove = real_replace, real_remove
+                with crash_after(budget, (os, "replace"), (os, "remove")):
+                    try:
+                        w.commit(msgs)
+                    except OSError:
+                        crashed = True
                 if crashed:
                     # invariant at the crash point: nothing is lost — the
                     # union of tmps + promoted parts holds every expected

@@ -346,6 +346,10 @@ def test_incremental_dedup_stream_exactly_once(spark, tmp_path):
     b3 = [(6, "gamma doc"), (7, "delta doc")]
     step(spark.createDataFrame(b3, schema), 2)
     assert sorted(_os2.listdir(digests)) == ["v=1", "v=2"]  # v=0 pruned
+    # retention below the correctness minimum is rejected loudly: 1 would
+    # delete the version a redelivered batch must re-read
+    with pytest.raises(ValueError, match="retain_digest_versions"):
+        make_incremental_dedup_step("text", corpus, digests, retain_digest_versions=1)
     step(spark.createDataFrame(b3, schema), 2)  # redelivery after prune
     got3 = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
     assert got3 == ["alpha doc", "beta doc", "delta doc", "gamma doc"]
@@ -555,27 +559,14 @@ def test_upsert_sink_crash_retry_never_loses_store(spark, tmp_path, crash_after)
     step(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
     b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
 
-    calls = [0]
-    real_move, real_rmtree = shutil.move, shutil.rmtree
+    from tests.crashinject import crash_after as _crash
 
-    def crashing(fn):
-        def g(*a, **kw):
-            if calls[0] >= crash_after:
-                raise OSError("injected crash")
-            calls[0] += 1
-            return fn(*a, **kw)
-
-        return g
-
-    shutil.move, shutil.rmtree = crashing(real_move), crashing(real_rmtree)
-    try:
+    with _crash(crash_after, (shutil, "move"), (shutil, "rmtree")):
         try:
             step(b2, 1)
             crashed = False
         except OSError:
             crashed = True
-    finally:
-        shutil.move, shutil.rmtree = real_move, real_rmtree
 
     assert os.path.isdir(target) or os.path.isdir(target + ".old")
     if crashed:
@@ -599,30 +590,12 @@ def test_upsert_sink_double_crash_keeps_a_copy(spark, tmp_path):
     step(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
     b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
 
-    real_move, real_rmtree = shutil.move, shutil.rmtree
-
-    def crash_at(n):
-        calls = [0]
-
-        def crashing(fn):
-            def g(*a, **kw):
-                if calls[0] >= n:
-                    raise OSError("injected crash")
-                calls[0] += 1
-                return fn(*a, **kw)
-
-            return g
-
-        return crashing
+    from tests.crashinject import crash_after as _crash
 
     for n in (2, 1):  # mid-swap crash, then crash retry after 1 mutation
-        c = crash_at(n)
-        shutil.move, shutil.rmtree = c(real_move), c(real_rmtree)
-        try:
+        with _crash(n, (shutil, "move"), (shutil, "rmtree")):
             with pytest.raises(OSError, match="injected crash"):
                 step(b2, 1)
-        finally:
-            shutil.move, shutil.rmtree = real_move, real_rmtree
         assert os.path.isdir(target) or os.path.isdir(target + ".old")
 
     step(b2, 1)
