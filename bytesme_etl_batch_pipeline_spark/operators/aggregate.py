@@ -181,7 +181,8 @@ def incremental_rollup(
     track delta application themselves.
     """
     import os
-    import shutil
+
+    from ..sources.files import publish_staging_swap, recover_retired
 
     sum_cols = sum_cols or []
     min_cols = min_cols or []
@@ -197,13 +198,11 @@ def incremental_rollup(
         return df.groupBy(*keys).agg(*aggs)
 
     fresh = partials(delta)
-    retired = state_path.rstrip("/") + "__retired"
-    # Crash recovery (same window as files.merge_upsert_parquet): if a
-    # prior run died between retiring the old state and promoting the
-    # staging dir, __retired holds the only copy — restore it so this
-    # delta merges into it instead of silently rebuilding from scratch.
-    if not os.path.exists(state_path) and os.path.exists(retired):
-        os.rename(retired, state_path)
+    # Crash recovery (shared staging-swap protocol): if a prior run died
+    # between retiring the old state and promoting the staging dir,
+    # __retired holds the only copy — restore it so this delta merges
+    # into it instead of silently rebuilding from scratch.
+    recover_retired(state_path)
     marker = os.path.join(state_path, "_applied_batch")
     if batch_id is not None and os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
@@ -211,7 +210,11 @@ def incremental_rollup(
                 # this exact delta already promoted (retry after a crash
                 # in the post-promotion cleanup): re-applying would
                 # double-count — return the state untouched
-                shutil.rmtree(retired, ignore_errors=True)
+                import shutil
+
+                shutil.rmtree(
+                    state_path.rstrip("/") + "__retired", ignore_errors=True
+                )
                 return spark.read.parquet(state_path)
     if os.path.exists(state_path):
         state = spark.read.parquet(state_path)
@@ -231,10 +234,5 @@ def incremental_rollup(
     if batch_id is not None:
         with open(os.path.join(staging, "_applied_batch"), "w", encoding="utf-8") as f:
             f.write(batch_id)
-    if os.path.exists(retired):
-        shutil.rmtree(retired)
-    if os.path.exists(state_path):
-        os.rename(state_path, retired)
-    os.rename(staging, state_path)
-    shutil.rmtree(retired, ignore_errors=True)
+    publish_staging_swap(state_path)
     return spark.read.parquet(state_path)

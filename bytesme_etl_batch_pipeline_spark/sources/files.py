@@ -236,6 +236,72 @@ def overwrite_partitions(
     )
 
 
+def recover_retired(base_path: str) -> None:
+    """Crash recovery shared by every staging-swap publisher: a crash
+    between ``rename(base -> __retired)`` and ``rename(__staging ->
+    base)`` leaves ``__retired`` holding the ONLY complete copy. Restore
+    it before reading/merging — otherwise the caller would treat the
+    table as a first load and the sole surviving copy would be deleted at
+    publish time."""
+    retired = base_path.rstrip("/") + "__retired"
+    if not os.path.exists(base_path) and os.path.exists(retired):
+        os.rename(retired, base_path)
+
+
+def publish_staging_swap(base_path: str) -> None:
+    """Atomic-for-readers publish shared by every staging-swap writer
+    (MERGE, incremental rollup, in-place compaction): the COMPLETE new
+    generation must already sit at ``<base>__staging``; swap it in via
+    rename-aside. Ordering invariant: the previous generation (base, then
+    ``__retired``) survives until the new base is in place, so a crash at
+    any point leaves a complete copy that ``recover_retired`` (or the
+    final cleanup of the next run) converges. ``__staging``/``__retired``
+    sibling names are reserved."""
+    import shutil
+
+    staging = base_path.rstrip("/") + "__staging"
+    retired = base_path.rstrip("/") + "__retired"
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+    if os.path.exists(base_path):
+        os.rename(base_path, retired)
+    os.rename(staging, base_path)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+def compact_parquet_inplace(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """IN-PLACE small-file compaction with the crash-safe staging swap:
+    rewrite a live parquet table into ~``target_file_mb`` files without a
+    second location and without readers ever seeing a partial directory.
+    The maintenance job for long-lived landing zones — streaming sinks
+    and per-batch appends accumulate tiny files whose open/footer cost
+    dominates 100 TB scans; compaction is pure layout, so a crash at any
+    publish step loses nothing and a re-run converges (same rows, fresh
+    layout). Returns the number of files after compaction."""
+    import glob as _glob
+
+    recover_retired(path)
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
+    n_out = max(1, -(-int(total_mb * 1024 * 1024) // (target_file_mb * 1024 * 1024)))
+    staging = path.rstrip("/") + "__staging"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
+        staging
+    )
+    publish_staging_swap(path)
+    return len(
+        [f for f in _glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+    )
+
+
 def merge_upsert_parquet(
     spark: SparkSession,
     base_path: str,
@@ -243,10 +309,19 @@ def merge_upsert_parquet(
     key_cols: list[str],
     version_col: str,
     delete_col: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Copy-on-write MERGE INTO for a plain-parquet table: apply a change
     batch (latest ``version_col`` wins per key; rows whose ``delete_col``
     is true are removed) and publish the merged table ATOMICALLY.
+
+    Schema contract: by default the change batch must carry exactly the
+    stored columns — a batch missing one would otherwise silently DROP
+    that column from the whole table, and a batch adding one would fail
+    deep inside the union. Set ``allow_schema_evolution=True`` to merge
+    by name instead: added columns appear with NULL for historical rows,
+    and a column the batch omits is preserved (the batch's rows get NULL
+    for it — "not provided", not "delete the column").
 
     Write protocol (the file-layer twin of
     ``jdbc.write_jdbc_exactly_once``): the merged result lands in a
@@ -262,27 +337,27 @@ def merge_upsert_parquet(
     state. Missing base (first load) bootstraps from the updates alone.
     Returns the merged row count.
     """
-    import shutil
-
     from pyspark.sql import Window
     from pyspark.sql import functions as _F
 
     staging = base_path.rstrip("/") + "__staging"
-    retired = base_path.rstrip("/") + "__retired"
-    # Crash recovery: a crash between rename(base -> __retired) and
-    # rename(__staging -> base) leaves no base but a complete copy under
-    # __retired. Restore it before merging — otherwise this run would
-    # treat the table as a first load and the sole surviving copy would
-    # be deleted at publish time.
-    if not os.path.exists(base_path) and os.path.exists(retired):
-        os.rename(retired, base_path)
+    recover_retired(base_path)
     if os.path.exists(base_path):
         base = spark.read.parquet(base_path)
+        added = set(updates.columns) - set(base.columns)
+        missing = set(base.columns) - set(updates.columns)
+        if (added or missing) and not allow_schema_evolution:
+            raise ValueError(
+                f"change batch schema differs from stored table at "
+                f"{base_path}: added={sorted(added)} missing={sorted(missing)}. "
+                "Pass allow_schema_evolution=True to merge by name."
+            )
         # base rows rank below any update at the same version: change
         # batches REPLACE, re-applying an already-applied batch is a no-op
-        unioned = base.select(updates.columns).withColumn(
-            "__src", _F.lit(0)
-        ).unionByName(updates.withColumn("__src", _F.lit(1)))
+        unioned = base.withColumn("__src", _F.lit(0)).unionByName(
+            updates.withColumn("__src", _F.lit(1)),
+            allowMissingColumns=True,
+        )
     else:
         unioned = updates.withColumn("__src", _F.lit(1))
     w = Window.partitionBy(*key_cols).orderBy(
@@ -297,10 +372,5 @@ def merge_upsert_parquet(
         merged = merged.filter(~_F.coalesce(_F.col(delete_col), _F.lit(False)))
     merged.write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
-    if os.path.exists(retired):
-        shutil.rmtree(retired)
-    if os.path.exists(base_path):
-        os.rename(base_path, retired)
-    os.rename(staging, base_path)
-    shutil.rmtree(retired, ignore_errors=True)
+    publish_staging_swap(base_path)
     return n

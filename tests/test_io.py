@@ -465,3 +465,89 @@ def test_merge_upsert_crash_retry_converges(spark, tmp_path, crash_after):
     got = {r["k"]: r["v"] for r in spark.read.parquet(base).collect()}
     assert got == {2: "B", 3: "c"}  # k=1 deleted, k=2 replaced, k=3 new
     assert not os.path.exists(base + "__retired")
+
+
+def test_compact_parquet_inplace_preserves_rows(spark, tmp_path):
+    """In-place compaction is pure layout: many small files collapse to
+    few, the row multiset is bit-identical, and readers always see a
+    complete table (staging swap, no second location needed)."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import (
+        compact_parquet_inplace,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).selectExpr("id", "id % 7 as grp")
+    df.repartition(64).write.parquet(path)  # the small-file mess
+    before_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before_files) == 64
+    before_rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    n = compact_parquet_inplace(spark, path, target_file_mb=128)
+    after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n == len(after_files) == 1  # tiny table -> one right-sized file
+    after_rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+    assert not os.path.exists(path + "__staging")
+    assert not os.path.exists(path + "__retired")
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2])
+def test_compact_parquet_inplace_crash_retry(spark, tmp_path, crash_after):
+    """Crash the compaction publish after each os-mutation count: a
+    complete copy always survives and the re-run converges (compaction is
+    idempotent — same rows, fresh layout)."""
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import (
+        compact_parquet_inplace,
+    )
+    from tests.crashinject import crash_after as _crash
+
+    path = str(tmp_path / "t")
+    spark.range(0, 500).repartition(16).write.parquet(path)
+    want = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    with _crash(crash_after, (os, "rename"), (shutil, "rmtree")):
+        with pytest.raises(OSError, match="injected crash"):
+            compact_parquet_inplace(spark, path, target_file_mb=128)
+    assert os.path.exists(path) or os.path.exists(path + "__retired")
+
+    n = compact_parquet_inplace(spark, path, target_file_mb=128)
+    assert n == 1
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
+    assert not os.path.exists(path + "__retired")
+
+
+def test_merge_upsert_schema_guard_and_evolution(spark, tmp_path):
+    """A change batch whose columns differ from the stored table must be
+    rejected loudly by default — the old select-by-update-columns path
+    silently DROPPED any stored column the batch omitted. With
+    allow_schema_evolution=True the merge aligns by name: new columns
+    backfill NULL for history, omitted columns are preserved."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import merge_upsert_parquet
+
+    base = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "b", 20, 1)], "k long, v string, score long, version long"
+    )
+    merge_upsert_parquet(spark, base, b1, ["k"], "version")
+
+    # batch missing `score` and adding `note`
+    b2 = spark.createDataFrame(
+        [(2, "B", "hello", 2), (3, "c", "new", 2)], "k long, v string, note string, version long"
+    )
+    with pytest.raises(ValueError, match="added=\\['note'\\] missing=\\['score'\\]"):
+        merge_upsert_parquet(spark, base, b2, ["k"], "version")
+    # the reject left the stored table untouched
+    assert sorted(r["k"] for r in spark.read.parquet(base).collect()) == [1, 2]
+
+    n = merge_upsert_parquet(
+        spark, base, b2, ["k"], "version", allow_schema_evolution=True
+    )
+    assert n == 3
+    got = {r["k"]: r for r in spark.read.parquet(base).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["score"] == 10 and got[1]["note"] is None  # history backfilled
+    assert got[2]["v"] == "B" and got[2]["note"] == "hello"
+    assert got[2]["score"] is None  # batch omitted score: "not provided"
+    assert got[3]["note"] == "new" and got[3]["score"] is None
