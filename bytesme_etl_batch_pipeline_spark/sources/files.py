@@ -269,6 +269,23 @@ def publish_staging_swap(base_path: str) -> None:
     shutil.rmtree(retired, ignore_errors=True)
 
 
+def _hive_partition_keys(path: str) -> list[str]:
+    """Detect hive-style partition keys (``key=value`` directory levels)
+    under ``path``, outermost first. Empty list = unpartitioned table."""
+    keys: list[str] = []
+    cur = path
+    while True:
+        subs = [
+            d
+            for d in sorted(os.listdir(cur))
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subs:
+            return keys
+        keys.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+
+
 def compact_parquet_inplace(
     spark: SparkSession,
     path: str,
@@ -281,7 +298,11 @@ def compact_parquet_inplace(
     and per-batch appends accumulate tiny files whose open/footer cost
     dominates 100 TB scans; compaction is pure layout, so a crash at any
     publish step loses nothing and a re-run converges (same rows, fresh
-    layout). Returns the number of files after compaction."""
+    layout). A hive-partitioned table keeps its partition layout (keys
+    auto-detected from the ``key=value`` directory levels; rows are
+    clustered by key before the write so each partition compacts to few
+    files) — flattening it would silently destroy partition pruning.
+    Returns the number of data files after compaction."""
     import glob as _glob
 
     recover_retired(path)
@@ -293,12 +314,20 @@ def compact_parquet_inplace(
     total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
     n_out = max(1, -(-int(total_mb * 1024 * 1024) // (target_file_mb * 1024 * 1024)))
     staging = path.rstrip("/") + "__staging"
-    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
-        staging
-    )
+    part_keys = _hive_partition_keys(path)
+    df = spark.read.parquet(path)
+    if part_keys:
+        writer = df.repartition(n_out, *part_keys).write.partitionBy(*part_keys)
+    else:
+        writer = df.repartition(n_out).write
+    writer.mode("overwrite").parquet(staging)
     publish_staging_swap(path)
     return len(
-        [f for f in _glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+        [
+            f
+            for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
     )
 
 

@@ -551,3 +551,33 @@ def test_merge_upsert_schema_guard_and_evolution(spark, tmp_path):
     assert got[2]["v"] == "B" and got[2]["note"] == "hello"
     assert got[2]["score"] is None  # batch omitted score: "not provided"
     assert got[3]["note"] == "new" and got[3]["score"] is None
+
+
+def test_compact_parquet_inplace_preserves_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table must keep the partition
+    directory layout (and with it, partition pruning) — a flat rewrite
+    would silently turn every partition-pruned scan into a full scan."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import (
+        compact_parquet_inplace,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 900).selectExpr("id", "id % 3 as part")
+    df.repartition(12).write.partitionBy("part").parquet(path)
+    # 12 tasks x 3 partitions: a small-file mess inside each partition dir
+    import glob
+
+    assert len(glob.glob(os.path.join(path, "part=*", "*.parquet"))) > 6
+    before = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
+
+    n = compact_parquet_inplace(spark, path, target_file_mb=128)
+    dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(path, "part=*")))
+    assert dirs == ["part=0", "part=1", "part=2"]  # layout preserved
+    assert n == len(glob.glob(os.path.join(path, "part=*", "*.parquet"))) == 3
+    after = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # pruning still applies: only one partition dir is read
+    pruned = spark.read.parquet(path).filter("part = 1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == 300
