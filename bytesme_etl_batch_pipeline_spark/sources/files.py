@@ -129,11 +129,15 @@ def compact_parquet(
     dst_path: str,
     target_file_mb: int = 128,
 ) -> int:
-    """Small-file compaction: rewrite a parquet directory into files of
-    ~``target_file_mb``. Streaming sinks and fine-grained partition writes
-    accumulate tiny files whose per-file open/footer cost dominates scans at
-    scale; periodic compaction is standard hygiene. Returns the number of
-    output files. Uses the source's on-disk bytes to size the coalesce."""
+    """Small-file compaction into a SECOND location: rewrite a parquet
+    directory into files of ~``target_file_mb``. Streaming sinks and
+    fine-grained partition writes accumulate tiny files whose per-file
+    open/footer cost dominates scans at scale; periodic compaction is
+    standard hygiene. A hive-partitioned source keeps its partition
+    layout (same contract as ``compact_parquet_inplace``, which is the
+    variant to use when no second location is wanted). Returns the number
+    of output data files. Uses the source's on-disk bytes to size the
+    coalesce."""
     import glob as _glob
     import os as _os
 
@@ -145,10 +149,15 @@ def compact_parquet(
     total_mb = sum(_os.path.getsize(f) for f in files) / (1024 * 1024)
     n_out = max(1, int(total_mb // target_file_mb) + (1 if total_mb % target_file_mb else 0))
     df = spark.read.parquet(src_path)
-    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    part_keys = _hive_partition_keys(src_path)
+    if part_keys:
+        writer = df.repartition(n_out, *part_keys).write.partitionBy(*part_keys)
+    else:
+        writer = df.repartition(n_out).write
+    writer.mode("overwrite").parquet(dst_path)
     out = [
         f
-        for f in _glob.glob(_os.path.join(dst_path, "*.parquet"))
+        for f in _glob.glob(_os.path.join(dst_path, "**", "*.parquet"), recursive=True)
         if _os.path.isfile(f)
     ]
     return len(out)
