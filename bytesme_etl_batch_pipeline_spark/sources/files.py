@@ -133,34 +133,19 @@ def compact_parquet(
     directory into files of ~``target_file_mb``. Streaming sinks and
     fine-grained partition writes accumulate tiny files whose per-file
     open/footer cost dominates scans at scale; periodic compaction is
-    standard hygiene. A hive-partitioned source keeps its partition
-    layout (same contract as ``compact_parquet_inplace``, which is the
-    variant to use when no second location is wanted). Returns the number
-    of output data files. Uses the source's on-disk bytes to size the
-    coalesce."""
-    import glob as _glob
-    import os as _os
-
-    files = [
-        f
-        for f in _glob.glob(_os.path.join(src_path, "**", "*"), recursive=True)
-        if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
-    ]
-    total_mb = sum(_os.path.getsize(f) for f in files) / (1024 * 1024)
-    n_out = max(1, int(total_mb // target_file_mb) + (1 if total_mb % target_file_mb else 0))
-    df = spark.read.parquet(src_path)
-    part_keys = _hive_partition_keys(src_path)
-    if part_keys:
-        writer = df.repartition(n_out, *part_keys).write.partitionBy(*part_keys)
-    else:
-        writer = df.repartition(n_out).write
-    writer.mode("overwrite").parquet(dst_path)
-    out = [
-        f
-        for f in _glob.glob(_os.path.join(dst_path, "**", "*.parquet"), recursive=True)
-        if _os.path.isfile(f)
-    ]
-    return len(out)
+    standard hygiene. A hive-partitioned source is compacted PER LEAF
+    partition directory (each leaf is a plain parquet dir), so every
+    partition gets its own exact byte-based sizing — a hot partition
+    splits into many right-sized files instead of one giant one — and
+    the layout is reproduced at the destination. Returns the number of
+    output data files. (``compact_parquet_inplace`` is the variant to
+    use when no second location is wanted.)"""
+    total = 0
+    for rel in _partition_leaf_dirs(src_path):
+        src = os.path.join(src_path, rel) if rel else src_path
+        dst = os.path.join(dst_path, rel) if rel else dst_path
+        total += _compact_flat_dir(spark, src, dst, target_file_mb)
+    return total
 
 
 def write_orc(
@@ -258,14 +243,18 @@ def recover_retired(base_path: str) -> None:
 
 
 def publish_staging_swap(base_path: str) -> None:
-    """Atomic-for-readers publish shared by every staging-swap writer
-    (MERGE, incremental rollup, in-place compaction): the COMPLETE new
-    generation must already sit at ``<base>__staging``; swap it in via
-    rename-aside. Ordering invariant: the previous generation (base, then
-    ``__retired``) survives until the new base is in place, so a crash at
-    any point leaves a complete copy that ``recover_retired`` (or the
-    final cleanup of the next run) converges. ``__staging``/``__retired``
-    sibling names are reserved."""
+    """Crash-atomic publish shared by every staging-swap writer (MERGE,
+    incremental rollup, in-place compaction): the COMPLETE new generation
+    must already sit at ``<base>__staging``; swap it in via rename-aside.
+    Ordering invariant: the previous generation (base, then ``__retired``)
+    survives until the new base is in place, so a crash at any point
+    leaves a complete copy that ``recover_retired`` (or the final cleanup
+    of the next run) converges. NOT reader-atomic: between the two
+    renames the base path briefly does not exist, so a concurrent reader
+    can hit a transient path-not-found — retry, schedule off-peak, or use
+    a catalog-level swap (the JDBC sink restores availability at entry;
+    plain directories have no catalog to indirect through).
+    ``__staging``/``__retired`` sibling names are reserved."""
     import shutil
 
     staging = base_path.rstrip("/") + "__staging"
@@ -295,6 +284,50 @@ def _hive_partition_keys(path: str) -> list[str]:
         cur = os.path.join(cur, subs[0])
 
 
+def _partition_leaf_dirs(path: str) -> list[str]:
+    """Relative paths of every leaf ``key=value`` partition directory
+    under ``path`` (``[""]`` for an unpartitioned table) — the unit of
+    per-partition compaction: each leaf is itself a plain parquet dir."""
+    import glob as _glob
+
+    keys = _hive_partition_keys(path)
+    if not keys:
+        return [""]
+    pattern = os.path.join(path, *["*=*"] * len(keys))
+    return sorted(os.path.relpath(d, path) for d in _glob.glob(pattern) if os.path.isdir(d))
+
+
+def _dir_data_bytes(path: str) -> int:
+    import glob as _glob
+
+    return sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    )
+
+
+def _compact_flat_dir(
+    spark: SparkSession, src: str, dst: str, target_file_mb: int
+) -> int:
+    """Rewrite ONE plain parquet dir into ceil(bytes/target) files at
+    ``dst`` (``src == dst`` → in-place via the crash-safe staging swap).
+    Shared by both compaction variants so sizing and publish exist once."""
+    import glob as _glob
+
+    inplace = os.path.abspath(src) == os.path.abspath(dst)
+    if inplace:
+        recover_retired(src)
+    n_out = max(1, -(-_dir_data_bytes(src) // (target_file_mb * 1024 * 1024)))
+    out_dir = src.rstrip("/") + "__staging" if inplace else dst
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(out_dir)
+    if inplace:
+        publish_staging_swap(src)
+    return len(
+        [f for f in _glob.glob(os.path.join(dst, "*.parquet")) if os.path.isfile(f)]
+    )
+
+
 def compact_parquet_inplace(
     spark: SparkSession,
     path: str,
@@ -302,42 +335,33 @@ def compact_parquet_inplace(
 ) -> int:
     """IN-PLACE small-file compaction with the crash-safe staging swap:
     rewrite a live parquet table into ~``target_file_mb`` files without a
-    second location and without readers ever seeing a partial directory.
-    The maintenance job for long-lived landing zones — streaming sinks
-    and per-batch appends accumulate tiny files whose open/footer cost
-    dominates 100 TB scans; compaction is pure layout, so a crash at any
-    publish step loses nothing and a re-run converges (same rows, fresh
-    layout). A hive-partitioned table keeps its partition layout (keys
-    auto-detected from the ``key=value`` directory levels; rows are
-    clustered by key before the write so each partition compacts to few
-    files) — flattening it would silently destroy partition pruning.
-    Returns the number of data files after compaction."""
-    import glob as _glob
+    second location. The maintenance job for long-lived landing zones —
+    streaming sinks and per-batch appends accumulate tiny files whose
+    open/footer cost dominates 100 TB scans; compaction is pure layout,
+    so a crash at any publish step loses nothing and a re-run converges
+    (same rows, fresh layout). A hive-partitioned table is compacted PER
+    LEAF partition directory: exact byte-based sizing per partition (a
+    hot partition splits into many right-sized files), the directory
+    layout — and with it partition pruning — is never rewritten, and a
+    crash mid-table leaves every leaf complete (some compacted, some not
+    yet — layout-only, so always correct). Recovery runs at the table
+    root before leaf enumeration, so a retry from the unpartitioned
+    mid-swap window (base parked at ``__retired``) restores the table it
+    is about to list.
 
+    Durability vs concurrency: the swap is crash-ATOMIC (a complete copy
+    always survives; see ``publish_staging_swap``) but NOT reader-atomic
+    — between the two renames the directory briefly does not exist, so a
+    concurrent reader can hit a transient path-not-found (per leaf, for
+    partitioned tables). Schedule against live tables accordingly, or
+    use the catalog-swap JDBC sink shape where readers must never miss.
+    Returns the number of data files after compaction."""
     recover_retired(path)
-    files = [
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
-        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-    ]
-    total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
-    n_out = max(1, -(-int(total_mb * 1024 * 1024) // (target_file_mb * 1024 * 1024)))
-    staging = path.rstrip("/") + "__staging"
-    part_keys = _hive_partition_keys(path)
-    df = spark.read.parquet(path)
-    if part_keys:
-        writer = df.repartition(n_out, *part_keys).write.partitionBy(*part_keys)
-    else:
-        writer = df.repartition(n_out).write
-    writer.mode("overwrite").parquet(staging)
-    publish_staging_swap(path)
-    return len(
-        [
-            f
-            for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-            if os.path.isfile(f)
-        ]
-    )
+    total = 0
+    for rel in _partition_leaf_dirs(path):
+        leaf = os.path.join(path, rel) if rel else path
+        total += _compact_flat_dir(spark, leaf, leaf, target_file_mb)
+    return total
 
 
 def merge_upsert_parquet(

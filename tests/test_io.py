@@ -576,8 +576,41 @@ def test_compact_parquet_inplace_preserves_partition_layout(spark, tmp_path):
     assert n == len(glob.glob(os.path.join(path, "part=*", "*.parquet"))) == 3
     after = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
     assert after == before
-    # pruning still applies: only one partition dir is read
+    # pruning still applies: the partition filter must actually appear
+    # INSIDE PartitionFilters (the bare header string is present in every
+    # scan as "PartitionFilters: []", so match the column within it)
+    import re
+
     pruned = spark.read.parquet(path).filter("part = 1")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
+    assert re.search(r"PartitionFilters: \[[^\]]*part", plan), plan
     assert pruned.count() == 300
+
+
+def test_compact_parquet_inplace_hot_partition_gets_multiple_files(spark, tmp_path):
+    """Per-leaf sizing must honor target_file_mb per PARTITION: a hot
+    partition splits into several right-sized files instead of one giant
+    single-task file (the one-file-per-partition-value failure mode of
+    cluster-by-key compaction)."""
+    import glob
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import (
+        compact_parquet_inplace,
+    )
+
+    path = str(tmp_path / "t")
+    # hot partition: ~200k incompressible strings (md5 hex); cold: 100 rows
+    hot = spark.range(0, 200_000).selectExpr(
+        "id", "md5(cast(id as string)) as payload", "0 as part"
+    )
+    cold = spark.range(0, 100).selectExpr(
+        "id", "md5(cast(id as string)) as payload", "1 as part"
+    )
+    hot.unionAll(cold).repartition(24).write.partitionBy("part").parquet(path)
+
+    compact_parquet_inplace(spark, path, target_file_mb=1)
+    hot_files = glob.glob(os.path.join(path, "part=0", "*.parquet"))
+    cold_files = glob.glob(os.path.join(path, "part=1", "*.parquet"))
+    assert len(cold_files) == 1
+    assert len(hot_files) >= 3, len(hot_files)  # ~several MB / 1 MB target
+    assert spark.read.parquet(path).count() == 200_100
