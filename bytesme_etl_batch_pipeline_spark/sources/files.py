@@ -253,7 +253,9 @@ def publish_staging_swap(base_path: str) -> None:
     renames the base path briefly does not exist, so a concurrent reader
     can hit a transient path-not-found — retry, schedule off-peak, or use
     a catalog-level swap (the JDBC sink restores availability at entry;
-    plain directories have no catalog to indirect through).
+    plain directories have no catalog to indirect through). Single
+    WRITER assumed per table: two concurrent publishers would race on
+    the same ``__staging`` dir — serialize maintenance jobs externally.
     ``__staging``/``__retired`` sibling names are reserved."""
     import shutil
 
