@@ -126,8 +126,11 @@ def train_bpe(
         return _train_in_driver([(r["word"], int(r["freq"])) for r in rows], n_merges)
     if engine != "distributed":
         raise ValueError(f"unknown engine {engine!r}")
-    dictionary = word_dictionary(docs, text_col, min_freq).localCheckpoint(eager=True)
-    last_ckpt = dictionary
+    from ..ckpt import free_checkpoint, tracked_local_checkpoint
+
+    dictionary, held_ids = tracked_local_checkpoint(
+        word_dictionary(docs, text_col, min_freq)
+    )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         pairs = dictionary.select(
@@ -158,11 +161,15 @@ def train_bpe(
         # nests one lambda per un-checkpointed round (replaying 3 folds on
         # dictionary-sized data is cheaper than an extra eager job each
         # round), but unbounded nesting blows the plan up like any
-        # iterative loop
+        # iterative loop. Superseded checkpoint blocks are freed at the
+        # RDD level — DataFrame.unpersist is a no-op for localCheckpoint
+        # (ckpt.py) and would leak one dictionary-sized copy per round.
         if (rank + 1) % 3 == 0:
-            dictionary = dictionary.localCheckpoint(eager=True)
-            last_ckpt.unpersist()
-            last_ckpt = dictionary
+            dictionary, new_ids = tracked_local_checkpoint(dictionary)
+            free_checkpoint(dictionary, held_ids)
+            held_ids = new_ids
+    # the dictionary itself is not returned — release the last checkpoint
+    free_checkpoint(dictionary, held_ids)
     return merges
 
 
@@ -171,16 +178,29 @@ def _train_in_driver(
 ) -> list[tuple[int, str, str, str, int]]:
     """Merge loop over a collected dictionary — incremental pair-count
     maintenance (only words containing the merged pair are re-counted), the
-    same tie-break as the distributed path."""
+    same tie-break as the distributed path.
+
+    Argmax is a lazy-deletion heap keyed ``(-cnt, left, right)`` — the
+    order `min(pair_counts.items())` would compute — so each round costs
+    O(log P) amortized instead of a full O(P) dictionary scan (30k merges
+    × 10^6 pairs of linear scanning is hours of pure Python; the heap is
+    how HF tokenizers / fastBPE pair the same incremental counts). Every
+    count CHANGE pushes a fresh entry; stale entries (count no longer
+    matching) pop off harmlessly at the top."""
+    import heapq
+
     dictionary = {w: (f, _py_symbols(w)) for w, f in word_freqs}
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[str]] = {}
+    heap: list[tuple[int, str, str]] = []
 
-    def _index(word: str) -> None:
+    def _index(word: str, push: bool = True) -> None:
         f, syms = dictionary[word]
         for p in zip(syms, syms[1:]):
             pair_counts[p] = pair_counts.get(p, 0) + f
             pair_words.setdefault(p, set()).add(word)
+            if push:
+                heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
 
     def _unindex(word: str) -> None:
         f, syms = dictionary[word]
@@ -193,17 +213,25 @@ def _train_in_driver(
                 s = pair_words.get(p)
                 if s is not None:
                     s.discard(word)
+                heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
 
     for w in dictionary:
-        _index(w)
+        _index(w, push=False)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
-        if not pair_counts:
+        # discard stale heap entries until the top matches a live count
+        while heap:
+            negc, left, right = heap[0]
+            if pair_counts.get((left, right)) == -negc:
+                break
+            heapq.heappop(heap)
+        if not heap:
             break
-        (left, right), cnt = min(
-            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
+        negc, left, right = heapq.heappop(heap)
+        cnt = -negc
         merges.append((rank, left, right, left + right, cnt))
         touched = list(pair_words.get((left, right), ()))
         for w in touched:

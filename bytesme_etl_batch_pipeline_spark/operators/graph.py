@@ -242,17 +242,24 @@ def connected_components_star(
         ).collect()[0]
         return (row["c"], row["x"])
 
+    from ..ckpt import free_checkpoint, tracked_local_checkpoint
+
     cur, cur_sig = b, sig(b)
+    held_ids: list[int] = []
     try:
         for _ in range(max_iter):
             # Each star references its input several times (sym union + the
             # min join), so lineage grows MULTIPLICATIVELY per round —
             # localCheckpoint truncates it to the materialized RDD, which
             # cache() cannot (cached plans keep their full logical tree and
-            # round ~7 explodes Spark's plan bookkeeping).
-            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-            if cur is not b:
-                cur.unpersist()
+            # round ~7 explodes Spark's plan bookkeeping). Superseded
+            # rounds free their blocks at the RDD level (ckpt.py —
+            # DataFrame.unpersist is a no-op for localCheckpoint and would
+            # leak one edge-table copy per round); the FINAL round's
+            # blocks stay: the returned DataFrame reads them lazily.
+            nxt, new_ids = tracked_local_checkpoint(_small_star(_large_star(cur)))
+            free_checkpoint(nxt, held_ids)
+            held_ids = new_ids
             cur = nxt
             new_sig = sig(cur)
             if new_sig == cur_sig:

@@ -18,6 +18,12 @@ Scale design:
   lookup table of exact subspace distances ONCE driver-side; per encoded
   vector the approximate distance is m table lookups + a fold. No decode,
   no float vector ever re-materializes; TakeOrderedAndProject for top-k.
+
+NULL vectors: the expression encode maps them to NULL codes; every search
+entry point filters NULL ADC distances out of the candidate stage (Spark's
+ascending sort is NULLS FIRST — unfiltered, NULL rows would displace every
+real candidate). The Arrow encode path rejects them loudly instead, since
+a ragged numpy batch would otherwise die deep inside vstack.
 """
 
 from __future__ import annotations
@@ -58,6 +64,35 @@ def _local_lloyd(X, k: int, max_iter: int) -> list[list[float]]:
     return [[float(x) for x in row] for row in C]
 
 
+def _collect_sample(train: DataFrame, vec_col: str, id_col: str):
+    """One collect shared by the local training paths: rows sorted by id
+    (partition-invariant), vectors as float64. Returns the (n, dim) numpy
+    matrix; raises a clear error on an empty input instead of the opaque
+    NoneType crash a bare ``first()[0]`` would give."""
+    import numpy as np
+
+    rows = (
+        train.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        .orderBy(id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no vectors to train on (empty input/sample)")
+    if any(r["__v"] is None for r in rows):
+        raise ValueError("NULL vectors in training sample — filter them first")
+    return np.asarray([r["__v"] for r in rows], dtype=np.float64)
+
+
+def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
+    row = vectors.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError("no vectors to train on (empty input or NULL first row)")
+    return len(row[0])
+
+
 def train_pq(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -82,10 +117,6 @@ def train_pq(
 
     Returns ``codebooks[m][k][d/m]``. The vector dimensionality must be
     divisible by ``m``."""
-    dim = len(vectors.select(vec_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d_sub = dim // m
     train = (
         vectors
         if sample_fraction >= 1.0
@@ -94,19 +125,13 @@ def train_pq(
     if local:
         import numpy as np
 
-        rows = (
-            train.select(
-                F.col(id_col),
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                    "__v"
-                ),
-            )
-            .orderBy(id_col)
-            .collect()
-        )
-        if len(rows) < k:
-            raise ValueError(f"k={k} exceeds sample size {len(rows)}")
-        X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+        X = _collect_sample(train, vec_col, id_col)
+        dim = X.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d_sub = dim // m
+        if len(X) < k:
+            raise ValueError(f"k={k} exceeds sample size {len(X)}")
         return [
             _local_lloyd(
                 np.ascontiguousarray(X[:, j * d_sub : (j + 1) * d_sub]),
@@ -115,6 +140,10 @@ def train_pq(
             )
             for j in range(m)
         ]
+    dim = _infer_dim(vectors, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
     codebooks = []
     for j in range(m):
         sub = train.select(
@@ -153,7 +182,9 @@ def pq_encode(
     struct-min expression share that rule). Map-side only, zero shuffles at
     any corpus size; small codebooks run as pure codegen'd expressions,
     production codebooks as an Arrow-batched numpy argmin (the codebook
-    matrix rides the closure — KBs broadcast with the task)."""
+    matrix rides the closure — KBs broadcast with the task). A NULL vector
+    yields NULL codes (expression path) — the search stages filter the
+    resulting NULL distances out of the candidate list."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     if m * len(codebooks[0]) > PQ_EXPRESSION_MAX_CELLS:
@@ -168,7 +199,14 @@ def pq_encode(
             ]
         )
         per_sub.append(F.array_min(pairs)["code"])
-    return vectors.withColumn("codes", F.array(*per_sub))
+    # NULL vector → NULL codes, EXPLICITLY: the struct-min over NULL
+    # distances would otherwise pick code 0 per subspace, giving NULL rows
+    # valid-looking codes that masquerade as vectors near codeword 0 and
+    # pollute search candidates with bogus ids
+    codes = F.when(
+        F.col(vec_col).isNotNull(), F.array(*per_sub)
+    ).otherwise(F.lit(None))
+    return vectors.withColumn("codes", codes)
 
 
 def _pq_encode_pandas(
@@ -190,7 +228,13 @@ def _pq_encode_pandas(
     # inference can't resolve (same workaround as bench.py)
     @pandas_udf("array<int>", PandasUDFType.SCALAR)
     def _encode(col):
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        vals = list(col)
+        if any(v is None for v in vals):
+            raise ValueError(
+                "NULL vector in pq_encode input — filter NULL embeddings "
+                "before encoding (a ragged Arrow batch cannot be encoded)"
+            )
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
         out = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             sub = X[:, j * d_sub : (j + 1) * d_sub]
@@ -200,6 +244,57 @@ def _pq_encode_pandas(
         return pd.Series(list(out))
 
     return vectors.withColumn("codes", _encode(F.col(vec_col)))
+
+
+def _check_query_dim(query_vec: list[float], m: int, d_sub: int) -> None:
+    """zip() would silently truncate a wrong-dimension query, under-counting
+    whole subspaces and returning a confidently wrong top-k — make it loud."""
+    if len(query_vec) != m * d_sub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook dim {m * d_sub} "
+            f"(m={m} × d_sub={d_sub})"
+        )
+
+
+def _adc_dist(lut_expr, m: int, codes_col: str = "codes"):
+    """Approximate squared-L2 from PQ codes: m lookup-table reads summed in
+    ascending subspace order (deterministic fold). ``lut_expr`` is an
+    array<array<double>> expression — literal for one query, when-chained
+    per cell for IVF-PQ."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.element_at(lut_expr, j + 1),
+                F.element_at(F.col(codes_col), j + 1) + 1,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _rerank_exact(
+    vectors: DataFrame,
+    cand_ids: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact re-rank tail of both PQ searches: broadcast the tiny
+    candidate id set onto the vector table (the original embedding column
+    is read for ~candidates rows, not the corpus) and exact-L2 top-k."""
+    from .similarity import topk_brute_force
+
+    pruned = vectors.join(F.broadcast(cand_ids), id_col)
+    spark = vectors.sparkSession
+    qdf = spark.createDataFrame(
+        [([float(x) for x in query_vec],)], "q array<double>"
+    )
+    return topk_brute_force(
+        pruned, qdf, k=k, id_col=id_col, vec_col=vec_col, metric="l2"
+    )
 
 
 def pq_adc_topk(
@@ -213,9 +308,13 @@ def pq_adc_topk(
     to every codeword of every subspace becomes an m×k literal lookup
     table; each row's approximate squared-L2 is m table lookups summed in
     ascending subspace order. Returns (id, adc_dist) ascending — the
-    candidate stage a production index re-ranks with exact distances."""
+    candidate stage a production index re-ranks with exact distances.
+    Rows with NULL codes (NULL source vectors) are excluded — ascending
+    sort is NULLS FIRST, so they would otherwise displace every real
+    candidate."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
+    _check_query_dim(query_vec, m, d_sub)
     lut = []
     for j, book in enumerate(codebooks):
         qs = [float(x) for x in query_vec[j * d_sub : (j + 1) * d_sub]]
@@ -225,18 +324,9 @@ def pq_adc_topk(
     lut_lit = F.array(
         *[F.array(*[F.lit(v) for v in row]) for row in lut]
     )
-    dist = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.element_at(
-                F.element_at(lut_lit, j + 1), F.element_at(F.col("codes"), j + 1) + 1
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return (
-        encoded.select(F.col(id_col), dist.alias("adc_dist"))
+        encoded.select(F.col(id_col), _adc_dist(lut_lit, m).alias("adc_dist"))
+        .filter(F.col("adc_dist").isNotNull())
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
@@ -256,19 +346,10 @@ def pq_search(
     ``candidates`` ids (compressed domain, no float vectors touched), then
     ONLY those rows re-rank with exact L2 against the original vectors —
     the two-stage shape every PQ/IVF-PQ index uses. Recall is the candidate
-    stage's; precision of the final ordering is exact. The re-rank join is
-    a broadcast of the tiny candidate set, so the original vector column is
-    read for ~``candidates`` rows, not the corpus."""
-    from .similarity import topk_brute_force
-
+    stage's; precision of the final ordering is exact."""
     cand = pq_adc_topk(encoded, query_vec, codebooks, k=candidates, id_col=id_col)
-    pruned = vectors.join(F.broadcast(cand.select(id_col)), id_col)
-    spark = vectors.sparkSession
-    qdf = spark.createDataFrame(
-        [([float(x) for x in query_vec],)], "q array<double>"
-    )
-    return topk_brute_force(
-        pruned, qdf, k=k, id_col=id_col, vec_col=vec_col, metric="l2"
+    return _rerank_exact(
+        vectors, cand.select(id_col), query_vec, k, id_col, vec_col
     )
 
 
@@ -278,13 +359,57 @@ def pq_search(
 
 def _residual(vec_col, coarse: list[list[float]], cell_col: str = "cell"):
     """vector − its cell's coarse centroid, as a map-side expression: the
-    coarse table rides as an array-of-arrays literal indexed by the cell."""
+    coarse table rides as an array-of-arrays literal indexed by the cell.
+    For coarse tables past ``similarity.IVF_EXPRESSION_MAX_K`` use
+    ``_assign_and_residual_pandas`` — this literal form embeds k×dim plan
+    nodes."""
     coarse_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
     )
     own = F.element_at(coarse_lit, F.col(cell_col) + 1)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return F.zip_with(v, own, lambda x, c: x - c)
+
+
+def _assign_and_residual_pandas(
+    vectors: DataFrame,
+    coarse: list[list[float]],
+    vec_col: str,
+) -> DataFrame:
+    """Arrow path for production coarse tables (k_coarse past the
+    expression bound): ONE pandas UDF computes the nearest cell AND the
+    residual per batch — the centroid matrix rides the closure (one copy
+    per executor, O(1) plan size) and the distance is one BLAS matmul, the
+    same shape as ``similarity.ivf_assign_pandas``. Adds ``cell`` and
+    ``__res`` columns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    C = np.asarray(coarse, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("struct<cell:int,res:array<double>>", PandasUDFType.SCALAR)
+    def _ar(col):
+        vals = list(col)
+        if any(v is None for v in vals):
+            raise ValueError(
+                "NULL vector in IVF-PQ input — filter NULL embeddings first"
+            )
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+        cells = np.argmin(d2, axis=1)
+        R = V - C[cells]
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "res": list(R)}
+        )
+
+    out = vectors.withColumn("__ar", _ar(F.col(vec_col)))
+    return (
+        out.withColumn("cell", F.col("__ar.cell"))
+        .withColumn("__res", F.col("__ar.res"))
+        .drop("__ar")
+    )
 
 
 def train_ivfpq(
@@ -296,6 +421,7 @@ def train_ivfpq(
     id_col: str = "vec_id",
     max_iter: int = 5,
     sample_fraction: float = 1.0,
+    seed: int = 42,
     local: bool = True,
 ) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
     """Train the two-level IVF-PQ index (Jégou et al. 2011 §IV): a coarse
@@ -307,8 +433,10 @@ def train_ivfpq(
     ``local=False`` uses the distributed exact k-means throughout. Returns
     ``(coarse_centroids, codebooks, encoded)`` where ``encoded`` carries
     (id, cell, codes) — the m-byte-per-vector index payload. Everything
-    after training is map-side."""
-    from .similarity import ivf_assign, train_ivf_centroids
+    after training is map-side; past ``similarity.IVF_EXPRESSION_MAX_K``
+    coarse cells, assignment + residual run on the Arrow path (O(1) plan
+    size) instead of embedding k×dim literals."""
+    from .similarity import IVF_EXPRESSION_MAX_K, ivf_assign, train_ivf_centroids
 
     if local:
         # one collect powers BOTH trainings: coarse Lloyd on the sample,
@@ -317,28 +445,18 @@ def train_ivfpq(
         # (1 + m) × max_iter jobs; measured ~9 s of the catalog query)
         import numpy as np
 
-        dim = len(vectors.select(vec_col).first()[0])
-        if dim % m != 0:
-            raise ValueError(f"dim {dim} not divisible by m={m}")
-        d_sub = dim // m
         train = (
             vectors
             if sample_fraction >= 1.0
-            else vectors.sample(sample_fraction, 42)
+            else vectors.sample(sample_fraction, seed)
         )
-        rows = (
-            train.select(
-                F.col(id_col),
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                    "__v"
-                ),
-            )
-            .orderBy(id_col)
-            .collect()
-        )
-        if len(rows) < max(k_coarse, k_pq):
-            raise ValueError(f"sample size {len(rows)} below k")
-        X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+        X = _collect_sample(train, vec_col, id_col)
+        dim = X.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d_sub = dim // m
+        if len(X) < max(k_coarse, k_pq):
+            raise ValueError(f"sample size {len(X)} below k")
         coarse = _local_lloyd(X, k_coarse, max_iter)
         C = np.asarray(coarse)
         cells = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
@@ -370,10 +488,14 @@ def train_ivfpq(
             k=k_pq,
             max_iter=max_iter,
             sample_fraction=sample_fraction,
+            seed=seed,
             local=False,
         )
-    assigned = ivf_assign(vectors, coarse, vec_col)
-    with_res = assigned.withColumn("__res", _residual(vec_col, coarse))
+    if len(coarse) > IVF_EXPRESSION_MAX_K:
+        with_res = _assign_and_residual_pandas(vectors, coarse, vec_col)
+    else:
+        assigned = ivf_assign(vectors, coarse, vec_col)
+        with_res = assigned.withColumn("__res", _residual(vec_col, coarse))
     encoded = pq_encode(with_res, books, vec_col="__res").select(
         id_col, "cell", "codes"
     )
@@ -398,10 +520,16 @@ def ivfpq_search(
     ``candidates``. The scan prunes to probed cells (at scale the index is
     written partitioned by cell, making this partition pruning), distances
     never touch a float vector, and only ~``candidates`` rows read the
-    original embedding column for the re-rank."""
+    original embedding column for the re-rank. Plan size scales with
+    n_probe (small by construction), not k_coarse."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     q = [float(x) for x in query_vec]
+    _check_query_dim(q, m, d_sub)
+    if coarse and len(coarse[0]) != len(q):
+        raise ValueError(
+            f"query dim {len(q)} != coarse centroid dim {len(coarse[0])}"
+        )
     cell_d = [
         sum((a - b) * (a - b) for a, b in zip(q, c)) for c in coarse
     ]
@@ -430,27 +558,11 @@ def ivfpq_search(
             if lut is None
             else lut.when(F.col("cell") == c, lut_for(c))
         )
-    dist = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.element_at(
-                F.element_at(lut, j + 1), F.element_at(F.col("codes"), j + 1) + 1
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     cand = (
         encoded.filter(F.col("cell").isin([int(c) for c in probes]))
-        .select(F.col(id_col), dist.alias("adc_dist"))
+        .select(F.col(id_col), _adc_dist(lut, m).alias("adc_dist"))
+        .filter(F.col("adc_dist").isNotNull())
         .orderBy("adc_dist", id_col)
         .limit(candidates)
     )
-    from .similarity import topk_brute_force
-
-    pruned = vectors.join(F.broadcast(cand.select(id_col)), id_col)
-    spark = vectors.sparkSession
-    qdf = spark.createDataFrame([(q,)], "q array<double>")
-    return topk_brute_force(
-        pruned, qdf, k=k, id_col=id_col, vec_col=vec_col, metric="l2"
-    )
+    return _rerank_exact(vectors, cand.select(id_col), q, k, id_col, vec_col)

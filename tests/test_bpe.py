@@ -131,3 +131,23 @@ def test_min_freq_prunes_tail(spark):
     # with the singleton word pruned, every merge comes from "common"
     assert all(m[4] >= 2 for m in merges)
     assert merges[0][:3] == (0, "c", "o")  # lexicographically-first of the ties
+
+
+def test_distributed_train_frees_superseded_checkpoints(spark):
+    """DataFrame.unpersist is a no-op for localCheckpoint blocks — the
+    loop must free superseded checkpoints at the RDD level (ckpt.py) or
+    it pins one dictionary-sized copy per checkpoint for the app's life.
+    After training, no checkpoint blocks from the loop may remain."""
+    from bytesme_etl_batch_pipeline_spark.operators.bpe import train_bpe
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(30)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=8, engine="distributed")
+    assert len(merges) == 8
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    assert not leaked, f"checkpoint blocks leaked: {sorted(leaked)}"

@@ -185,3 +185,93 @@ def test_ivfpq_probe_pruning_monotone(spark, emb):
         return len(got & truth) / len(truth)
 
     assert recall(4) >= recall(1)
+
+
+def test_pq_search_validates_query_dim(spark):
+    """zip() would silently truncate a wrong-dimension query (whole
+    subspaces under-counted, confidently wrong top-k) — must raise."""
+    from bytesme_etl_batch_pipeline_spark.operators.pq import (
+        ivfpq_search,
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    books = train_pq(vecs, m=2, k=4)
+    enc = pq_encode(vecs, books)
+    with pytest.raises(ValueError, match="query dim 6 != codebook dim 8"):
+        pq_adc_topk(enc, [0.0] * 6, books)
+    with pytest.raises(ValueError, match="query dim"):
+        ivfpq_search(vecs, enc, [0.0] * 6, [[0.0] * 8], books)
+
+
+def test_pq_null_vectors_do_not_poison_topk(spark):
+    """Ascending sort is NULLS FIRST: rows whose source vector was NULL
+    (NULL codes → NULL adc_dist) must be filtered out of the candidate
+    stage, not returned ahead of every real candidate."""
+    from bytesme_etl_batch_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    good = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    rows = good + [(100 + i, None) for i in range(5)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq(vecs.filter("embedding is not null"), m=2, k=4)
+    enc = pq_encode(vecs, books)
+    top = pq_adc_topk(enc, [0.0] * 8, books, k=5).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] < 100 for r in top)  # no NULL row sneaked in
+    assert all(r["adc_dist"] is not None for r in top)
+
+
+def test_ivfpq_arrow_assign_residual_matches_expression_path(spark):
+    """Past IVF_EXPRESSION_MAX_K coarse cells the index build must switch
+    to the Arrow assign+residual path and produce the same encoded index
+    as the literal-expression path computes for the same centroids."""
+    import numpy as np
+
+    from bytesme_etl_batch_pipeline_spark.operators.pq import (
+        _assign_and_residual_pandas,
+        _residual,
+        train_ivfpq,
+    )
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        IVF_EXPRESSION_MAX_K,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    k_big = IVF_EXPRESSION_MAX_K + 2
+    coarse, books, encoded = train_ivfpq(
+        vecs, k_coarse=k_big, m=2, k_pq=4, max_iter=3
+    )
+    assert len(coarse) == k_big
+    assert encoded.count() == 120
+
+    # arrow twin == expression twin on identical centroids
+    arrow = _assign_and_residual_pandas(vecs, coarse, "embedding")
+    expr = ivf_assign(vecs, coarse, "embedding").withColumn(
+        "__res", _residual("embedding", coarse)
+    )
+    a = {r["vec_id"]: (r["cell"], [round(x, 9) for x in r["__res"]])
+         for r in arrow.collect()}
+    e = {r["vec_id"]: (r["cell"], [round(x, 9) for x in r["__res"]])
+         for r in expr.collect()}
+    assert a == e
+
+
+def test_pq_train_empty_input_raises_clearly(spark):
+    from bytesme_etl_batch_pipeline_spark.operators.pq import train_pq
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no vectors to train on"):
+        train_pq(empty, m=2, k=2)
