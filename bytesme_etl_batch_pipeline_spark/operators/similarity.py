@@ -72,13 +72,16 @@ def topk_brute_force(
     joined = vectors.crossJoin(F.broadcast(query))
     a, q = F.col(vec_col), F.col(query_col)
     if metric == "cosine":
+        # desc is NULLS LAST — a NULL embedding (NULL score) sorts out
         scored = joined.withColumn("score", F.round(cosine_similarity(a, q), 6))
         order = [F.col("score").desc(), F.col(id_col)]
     else:
         scored = joined.withColumn("distance", F.round(l2_distance(a, q), 6)).withColumn(
             "score", F.lit(1.0) - F.col("distance")
         )
-        order = [F.col("distance"), F.col(id_col)]
+        # ascending is NULLS FIRST: without nulls_last a NULL embedding
+        # (NULL distance) would displace every real candidate from top-k
+        order = [F.col("distance").asc_nulls_last(), F.col(id_col)]
     return scored.orderBy(*order).limit(k).drop(query_col)
 
 

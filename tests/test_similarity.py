@@ -190,3 +190,18 @@ def test_quantize_int8_constant_and_null_vectors(spark):
     assert rows[1]["codes"] == [0, 0, 0] and rows[1]["max_abs_err"] == 0.0
     assert rows[2]["codes"] is None
     assert rows[3]["codes"] == [-128, 0, 127]
+
+
+def test_l2_topk_null_vectors_sort_last(spark):
+    """Ascending order is NULLS FIRST in Spark: a NULL embedding (NULL
+    l2 distance) must not displace real candidates from the top-k."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        topk_brute_force,
+    )
+
+    rows = [(i, [float(i), 0.0]) for i in range(6)] + [(100, None), (101, None)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([([0.0, 0.0],)], "q array<double>")
+    top = topk_brute_force(vecs, q, k=5, metric="l2").collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2, 3, 4]
+    assert all(r["distance"] is not None for r in top)
