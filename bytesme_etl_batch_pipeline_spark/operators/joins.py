@@ -41,16 +41,21 @@ def lookup_map_join(df: DataFrame, mapping: dict[str, str], key_col: str, out_co
     return df.withColumn(out_col, F.create_map(*pairs)[F.col(key_col)])
 
 
-def zip_join(df: DataFrame, left_col: str, right_col: str, out_col: str, sep: str = r"\|") -> DataFrame:
+def zip_join(df: DataFrame, left_col: str, right_col: str, out_col: str, sep: str = "|") -> DataFrame:
     """J6: positional zip of two parallel pipe-delimited strings
     (reference ``zip(images, image_names)``, ``seperate_tables.py:85``).
     Pure expression: split both and ``arrays_zip`` — no shuffle, no UDF.
-    """
+    ``sep`` is a LITERAL separator (escaped before hitting ``split``'s
+    regex engine — a raw '|' would be an empty alternation that splits
+    every character)."""
+    import re
+
+    pat = re.escape(sep)
     return df.withColumn(
         out_col,
         F.arrays_zip(
-            F.split(F.col(left_col), sep).alias("left"),
-            F.split(F.col(right_col), sep).alias("right"),
+            F.split(F.col(left_col), pat).alias("left"),
+            F.split(F.col(right_col), pat).alias("right"),
         ),
     )
 
@@ -78,8 +83,20 @@ def asof_join(
     the greatest ``right_vals`` struct wins (it is the final sort key) —
     deterministic across runs, but an arbitrary-tie engine (e.g. DuckDB
     ASOF) may pick differently; for cross-engine parity keep (key, time)
-    unique on the right side."""
-    r_tag = right.select(
+    unique on the right side.
+
+    Right rows with a NULL time are dropped: they satisfy no
+    ``right_time <= left_time`` predicate, yet ascending NULLS FIRST
+    ordering would otherwise carry one forward as a phantom "earliest"
+    match for every left row."""
+    overlap = set(right_vals) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right_vals {sorted(overlap)} collide with left columns — "
+            "the output would carry duplicate names (AMBIGUOUS_REFERENCE "
+            "downstream); rename one side first"
+        )
+    r_tag = right.filter(F.col(right_time).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
@@ -150,12 +167,12 @@ def salted_join(
     AQE's skew-join split handles most cases at runtime; manual salting is
     the deterministic-plan fallback when a single key is so hot that even
     split sub-partitions overflow, or when AQE is unavailable (streaming
-    joins). Salt mixes a row-content hash with a per-row position
-    disambiguator (``monotonically_increasing_id``): fully identical rows —
-    the duplicate-heavy hot-key case salting exists for — still spread
-    across buckets instead of re-colliding on one reducer. The join RESULT
-    is invariant to salt values (salt only picks the reducer), so the
-    position term costs nothing semantically. The replicated side grows
+    joins). Salt derives from ``monotonically_increasing_id`` alone — a
+    unique per-row position, so fully identical rows (the duplicate-heavy
+    hot-key case salting exists for) spread across buckets with no
+    per-row content hashing (which would also reject MapType columns —
+    xxhash64 over maps is disallowed). The join RESULT is invariant to
+    salt values (salt only picks the reducer). The replicated side grows
     ×salt_buckets — use only with a small-to-medium right side."""
     if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti"):
         # the replicated side carries salt_buckets copies of every row;
@@ -164,10 +181,7 @@ def salted_join(
         raise ValueError(f"salted_join supports left-preserving joins only, got {how!r}")
     salted = skewed.withColumn(
         "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in skewed.columns], F.monotonically_increasing_id()),
-            F.lit(salt_buckets),
-        ),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
     )
     replicated = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -76,6 +76,15 @@ def kmeans(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # NULL contract: rows with a NULL vector or any NULL element are
+    # excluded from training (standard trainer behavior). Without this,
+    # a NULL among the k lowest-id seeds crashes seed extraction, and a
+    # NULL element biases its (cluster, dim) mean — sum() skips NULLs
+    # while count(1) counts the row.
+    df = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )

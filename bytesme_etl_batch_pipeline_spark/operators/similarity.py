@@ -69,6 +69,8 @@ def topk_brute_force(
     vector map-side, TakeOrderedAndProject picks k. ``metric``: cosine
     (descending score) or l2 (ascending distance, score = 1 - distance as in
     the reference)."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     joined = vectors.crossJoin(F.broadcast(query))
     a, q = F.col(vec_col), F.col(query_col)
     if metric == "cosine":
@@ -145,13 +147,16 @@ def _hyperplane(dim: int, plane: int, seed: int = 7) -> list[float]:
 
 
 def lsh_signature(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
-    """Sign-of-dot-product bit signature: bit j = 1 iff v · h_j > 0."""
+    """Sign-of-dot-product bit signature: bit j = 1 iff v · h_j > 0.
+    A NULL vector gets a NULL signature — mapping it to 0 (every
+    ``when`` falling through to otherwise) would pile all NULL rows into
+    bucket 0 and let them survive Hamming pruning near signature 0."""
     sig = F.lit(0).cast("long")
     for j in range(n_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, j, seed)])
         bit = F.when(_dots(vec_col, plane) > 0, F.lit(2**j)).otherwise(F.lit(0))
         sig = sig + bit
-    return sig
+    return F.when(vec_col.isNotNull(), sig)
 
 
 def topk_ann_lsh(
@@ -247,9 +252,19 @@ def ivf_assign_pandas(
 
     @pandas_udf("int")
     def _assign(col: pd.Series) -> pd.Series:
-        V = np.vstack(col.to_numpy()).astype(np.float64, copy=False)
-        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+        vals = list(col)
+        # NULL vector -> NULL cell, matching the expression twin (whose
+        # NULL distances propagate); vstack over None would crash the job
+        mask = [v is not None for v in vals]
+        out = [None] * len(vals)
+        live = [np.asarray(v, dtype=np.float64) for v, m in zip(vals, mask) if m]
+        if live:
+            V = np.vstack(live)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+            cells = np.argmin(d2, axis=1)
+            it = iter(cells)
+            out = [int(next(it)) if m else None for m in mask]
+        return pd.Series(out, dtype="Int32")
 
     return vectors.withColumn(out_col, _assign(F.col(vec_col)))
 
@@ -273,7 +288,10 @@ def topk_ivf(
         assigned = ivf_assign(vectors, centroids, vec_col)
     else:
         assigned = ivf_assign_pandas(vectors, centroids, vec_col)
-    qrow = query.select(query_col).collect()[0][0]
+    qrows = query.select(query_col).collect()
+    if not qrows or qrows[0][0] is None:
+        raise ValueError("topk_ivf requires one row with a non-NULL query vector")
+    qrow = qrows[0][0]
     import math
 
     def dist(c):

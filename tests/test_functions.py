@@ -4,6 +4,7 @@ cleaning; plus approx-distinct error bounds and embed→search end-to-end."""
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 
 from bytesme_etl_batch_pipeline_spark.functions.strings import (
@@ -385,3 +386,60 @@ def test_compression_ratio_screen(spark):
     assert a[1].compression_ratio == b[1].compression_ratio  # deterministic
     assert a[1].compression_ratio < 0.2 < a[2].compression_ratio
     assert a[3].compression_ratio is None and a[3].raw_len is None
+
+
+def test_asof_join_null_right_time_never_matches(spark):
+    """A right row with NULL time satisfies no right_time <= left_time
+    predicate; ascending NULLS FIRST ordering must not carry it forward
+    as a phantom earliest match."""
+    from bytesme_etl_batch_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 9)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 10, 1)], "k long, rt long, v long"
+    )
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                    right_vals=["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] is None  # nothing as-of 9
+
+
+def test_asof_join_rejects_colliding_value_columns(spark):
+    from bytesme_etl_batch_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 9, "x")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 5, "y")], "k long, rt long, v string")
+    with pytest.raises(ValueError, match="collide with left columns"):
+        asof_join(left, right, key="k", left_time="t", right_time="rt",
+                  right_vals=["v"])
+
+
+def test_zip_join_sep_is_literal_not_regex(spark):
+    """A caller passing the natural literal '|' must get pipe splitting,
+    not the empty-alternation regex that splits every character."""
+    from bytesme_etl_batch_pipeline_spark.operators.joins import zip_join
+
+    df = spark.createDataFrame([("a|b", "x|y")], "l string, r string")
+    for sep in ("|", "."):
+        d2 = df if sep == "|" else spark.createDataFrame(
+            [("a.b", "x.y")], "l string, r string"
+        )
+        out = zip_join(d2, "l", "r", "z", sep=sep).collect()[0]["z"]
+        assert [(p["left"], p["right"]) for p in out] == [("a", "x"), ("b", "y")]
+
+
+def test_salted_join_handles_map_columns(spark):
+    """Salt must not content-hash the skewed side: xxhash64 rejects
+    MapType, and the position id alone already spreads identical rows."""
+    from pyspark.sql import functions as SF
+
+    from bytesme_etl_batch_pipeline_spark.operators.joins import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"b": 2}), (2, {"c": 3})],
+        "k long, props map<string,int>",
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    got = sorted(
+        (r["k"], r["name"]) for r in salted_join(skewed, dim, on="k").collect()
+    )
+    assert got == [(1, "one"), (1, "one"), (2, "two")]

@@ -96,3 +96,25 @@ def test_exact_trained_ivf_recall(spark, emb):
     }
     recall = len(got_half & set(truth)) / len(truth)
     assert recall >= 0.5, f"recall@10 with n_probe=2: {recall}"
+
+
+def test_kmeans_excludes_null_vectors_and_elements(spark):
+    """NULL vectors / NULL elements are excluded from training (the
+    standard trainer contract): they previously crashed seed extraction
+    when among the k lowest ids, and a NULL element biased its
+    (cluster, dim) mean toward zero (sum skips NULLs, count does not)."""
+    from bytesme_etl_batch_pipeline_spark.operators.ml import kmeans
+
+    rows = [
+        (0, None),            # NULL vector among the lowest ids
+        (1, [1.0, None]),     # NULL element
+        (2, [0.0, 0.0]),
+        (3, [0.2, 0.0]),
+        (4, [10.0, 10.0]),
+        (5, [10.2, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents, hist = kmeans(df, k=2, max_iter=5)
+    assert assigned.count() == 4  # the two NULL-bearing rows are excluded
+    cents = sorted([round(x, 6) for x in c] for c in cents)
+    assert cents == [[0.1, 0.0], [10.1, 10.0]]

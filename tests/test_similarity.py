@@ -4,6 +4,9 @@ must be reasonable for the configured pruning aggressiveness."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
 
 
@@ -205,3 +208,34 @@ def test_l2_topk_null_vectors_sort_last(spark):
     top = topk_brute_force(vecs, q, k=5, metric="l2").collect()
     assert [r["vec_id"] for r in top] == [0, 1, 2, 3, 4]
     assert all(r["distance"] is not None for r in top)
+
+
+def test_null_vector_contract_lsh_ivf_and_metric_validation(spark):
+    """NULL embeddings: NULL LSH signature (not bucket 0), NULL IVF cell
+    on BOTH assignment paths, and loud errors for unknown metrics and
+    NULL/empty queries."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_pandas,
+        lsh_signature,
+        topk_brute_force,
+        topk_ivf,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    sigs = {r["vec_id"]: r["s"] for r in vecs.select(
+        "vec_id", lsh_signature(F.col("embedding"), 2).alias("s")).collect()}
+    assert sigs[1] is not None and sigs[2] is None
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    for assign in (ivf_assign, ivf_assign_pandas):
+        cells = {r["vec_id"]: r["cell"] for r in assign(vecs, cents).collect()}
+        assert cells[1] == 0 and cells[2] is None, assign.__name__
+
+    q = spark.createDataFrame([([0.0, 0.0],)], "q array<double>")
+    with pytest.raises(ValueError, match="metric"):
+        topk_brute_force(vecs, q, metric="dot")
+    with pytest.raises(ValueError, match="non-NULL query"):
+        topk_ivf(vecs, spark.createDataFrame([(None,)], "q array<double>"), cents)
