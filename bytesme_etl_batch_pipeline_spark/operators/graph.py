@@ -54,8 +54,21 @@ def connected_components(
     ``max_iter`` rounds do not reach the fixpoint — for near-dup clusters
     that means the candidate graph is pathological (e.g. unblocked pairs)
     and should be inspected, not silently mislabeled.
+
+    Input normalization matches ``connected_components_star`` exactly:
+    NULL-endpoint edges and self-loops are dropped, so a node whose every
+    edge is junk does not appear in the output. Without this the two
+    variants diverge on dirty input (propagation would emit a NULL node
+    labeled by its neighbors, and self-loop-only singletons), and
+    ``connected_components_auto``'s escalation would silently change the
+    result shape mid-query.
     """
-    e = edges.select(src, dst).cache()
+    e = (
+        edges.select(src, dst)
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .cache()
+    )
     e.count()
     # The per-round join probes sym on ``nbr``; pre-partitioning the cached
     # symmetric edge list on that key means each round shuffles only the

@@ -792,7 +792,12 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            md5(text) AS content_md5,
-           {_duck_hash48(f"array_to_string(({_DUCK_WORDS})[1:8], ' ')")} AS prefix_hash48
+           -- engine contract: NULL text -> NULL fingerprint; a wordless but
+           -- non-NULL doc hashes the empty prefix (DuckDB array_to_string of
+           -- an empty list is NULL, Spark array_join is '' — coalesce aligns)
+           CASE WHEN text IS NULL THEN NULL
+                ELSE {_duck_hash48(f"coalesce(array_to_string(({_DUCK_WORDS})[1:8], ' '), '')")}
+           END AS prefix_hash48
     FROM documents
     """,
 )
@@ -842,9 +847,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
     FROM documents d
     JOIN (
-      SELECT md5(lower(trim(text))) AS dg, min(doc_id) AS doc_id
+      -- sentinel: raw md5 of a NULL text is NULL, which never equi-joins,
+      -- silently DROPPING every NULL-text doc; the engine keeps them as
+      -- their own dedup group (neardup.exact_dedup_by_content)
+      SELECT coalesce(md5(lower(trim(text))), '__NULL__') AS dg,
+             min(doc_id) AS doc_id
       FROM documents GROUP BY 1
-    ) k ON md5(lower(trim(d.text))) = k.dg AND d.doc_id = k.doc_id
+    ) k ON coalesce(md5(lower(trim(d.text))), '__NULL__') = k.dg
+       AND d.doc_id = k.doc_id
     """,
 )
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3780,18 +3790,23 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn("__ws", words("text"))
     vocab = F.array_sort(F.array_distinct(F.col("__ws")))
     stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[0][1]])
+    # NULL text: array_join(NULL) is NULL but the oracle's coalesce lands
+    # on '' — coalesce the joined strings so both engines agree on junk
     return d.select(
         "doc_id",
-        F.array_join(vocab, " ").alias("vocab"),
+        F.coalesce(F.array_join(vocab, " "), F.lit("")).alias("vocab"),
         F.size(F.array_distinct(F.col("__ws"))).cast("long").alias("vocab_size"),
-        F.array_join(
-            F.array_sort(
-                F.filter(
-                    F.array_distinct(F.col("__ws")),
-                    lambda w: F.array_contains(stop_arr, w),
-                )
+        F.coalesce(
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.array_distinct(F.col("__ws")),
+                        lambda w: F.array_contains(stop_arr, w),
+                    )
+                ),
+                " ",
             ),
-            " ",
+            F.lit(""),
         ).alias("stop_hits"),
     )
 
@@ -7172,7 +7187,8 @@ def q_orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n_docs AS (SELECT count(*) AS total_docs FROM documents),
     exact AS (
       SELECT count(*) AS distinct_docs
-      FROM (SELECT DISTINCT md5(lower(trim(text))) FROM documents)
+      FROM (SELECT DISTINCT coalesce(md5(lower(trim(text))), '__NULL__')
+            FROM documents)
     ),
     w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
     pe AS (
@@ -7211,9 +7227,12 @@ def q_dedup_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
-    exact = d.select(F.md5(F.lower(F.trim("text"))).alias("dg")).agg(
-        F.countDistinct("dg").cast("long").alias("distinct_docs")
-    )
+    # sentinel, not raw md5: countDistinct IGNORES NULL digests, so a
+    # NULL-text doc would vanish from distinct_docs and get miscounted as
+    # an exact dup (matches exact_dedup_by_content's NULL group)
+    exact = d.select(
+        F.coalesce(F.md5(F.lower(F.trim("text"))), F.lit("__NULL__")).alias("dg")
+    ).agg(F.countDistinct("dg").cast("long").alias("distinct_docs"))
     base = d.select("doc_id", words("text").alias("__ws"))
     ws = F.col("__ws")
     n_seg = F.ceil(F.size(ws) / F.lit(8)).cast("int")
@@ -10180,9 +10199,11 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", words("text").alias("__ws"))
     big = (
         base.select(
+            # greatest(…, 0): a wordless or single-word doc would make the
+            # slice length negative, which ANSI mode rejects at runtime
             F.explode(
                 F.expr(
-                    "transform(slice(__ws, 1, size(__ws) - 1), "
+                    "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)), "
                     "(w, i) -> struct(w as w1, __ws[i + 1] as w2))"
                 )
             ).alias("p")
@@ -11230,7 +11251,10 @@ def q_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(count(*) - count(DISTINCT md5(lower(trim(text))))
+             -- sentinel: count(DISTINCT …) skips NULL digests, so NULL-text
+             -- docs would inflate the dup count instead of forming a group
+             CAST(count(*) - count(DISTINCT coalesce(md5(lower(trim(text))),
+                                                     '__NULL__'))
                   AS BIGINT) AS n_exact_dups,
              round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
       FROM documents GROUP BY source
@@ -11238,7 +11262,7 @@ def q_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs AS (
       SELECT source, lang, count(*) AS c,
              row_number() OVER (PARTITION BY source
-                                ORDER BY count(*) DESC, lang) AS rn,
+                                ORDER BY count(*) DESC, lang NULLS LAST) AS rn,
              SUM(count(*)) OVER (PARTITION BY source) AS tot
       FROM documents GROUP BY source, lang
     )
@@ -11266,7 +11290,11 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (
             F.count(F.lit(1))
-            - F.countDistinct(F.md5(F.lower(F.trim(F.col("text")))))
+            - F.countDistinct(
+                F.coalesce(
+                    F.md5(F.lower(F.trim(F.col("text")))), F.lit("__NULL__")
+                )
+            )
         )
         .cast("long")
         .alias("n_exact_dups"),
@@ -11275,7 +11303,11 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_chars"),
     )
     langs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
-    wl = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang"))
+    # NULLS LAST to match DuckDB's ASC default — Spark sorts NULL FIRST, so
+    # a tie between a NULL lang group and a real lang would flip engines
+    wl = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc_nulls_last()
+    )
     wt = Window.partitionBy("source")
     top_lang = (
         langs.withColumn("rn", F.row_number().over(wl))

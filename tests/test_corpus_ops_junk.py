@@ -134,6 +134,53 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "dsir_importance_resample",
         "vocab_oov_rate",
         "gopher_quality_rules",
+        # round 4: EVERY remaining oracle-paired documents-only query — the
+        # r05 driver-window queue. The sweep that added these caught six
+        # real junk divergences: a slice(-1) ANSI crash (bigram PMI),
+        # countDistinct/equi-join silently dropping NULL digests (exact
+        # dedup + both dup-rate reports), NULL-vs-'' array joins
+        # (array battery, fingerprint prefix), and a NULL-lang majority
+        # tie flipping on Spark's NULLS FIRST vs DuckDB's NULLS LAST.
+        "array_ops_battery",
+        "bigram_pmi_collocations",
+        "contrastive_training_pairs",
+        "corpus_stats",
+        "dedup_effectiveness_report",
+        "doc_embeddings",
+        "doc_fingerprint",
+        "doc_ngram_novelty",
+        "doc_quality",
+        "doc_token_entropy",
+        "dup_cluster_size_distribution",
+        "dup_rate_by_source",
+        "exact_dedup_docs",
+        "extraction_artifact_screen",
+        "global_shuffle_shards",
+        "heaps_law_curve",
+        "inverted_token_index",
+        "lang_id",
+        "lang_id_confusion_matrix",
+        "lang_purity_by_source",
+        "minhash_estimator_quality",
+        "minhash_lsh_candidates",
+        "minhash_signatures",
+        "neardup_dedup_docs",
+        "neardup_keep_best_docs",
+        "ngram_jaccard_pairs",
+        "shingle_containment_pairs",
+        "simhash16",
+        "simhash_hamming_pairs",
+        "source_quality_scorecard",
+        "source_token_divergence",
+        "stratified_sample_docs",
+        "tfidf_top_terms",
+        "token_position_bias",
+        "token_stats",
+        "train_val_test_split",
+        "truncate_preview",
+        "winnow_fingerprints",
+        "wordcount",
+        "zipf_fit_report",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_sf_dir),

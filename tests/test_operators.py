@@ -862,3 +862,25 @@ def test_connected_components_auto_matches_both_variants(spark):
     got = run(connected_components_auto, chain, propagation_rounds=3)
     assert got == run(connected_components_star, chain)
     assert {c for _, c in got} == {0}
+
+
+def test_connected_components_variants_agree_on_junk_edges(spark):
+    """NULL-endpoint edges and self-loops must be normalized away by BOTH
+    variants identically — otherwise the auto entry point's escalation
+    silently changes the result shape (propagation used to emit a NULL
+    node labeled by its neighbors, plus self-loop-only singletons)."""
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_auto,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 3), (None, 5), (6, None), (None, None)],
+        "src long, dst long",
+    )
+    want = {(1, 1), (2, 1)}
+    for fn in (connected_components, connected_components_star,
+               connected_components_auto):
+        got = {(r.node, r.cluster_id) for r in fn(edges).collect()}
+        assert got == want, fn.__name__
