@@ -2354,9 +2354,19 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twin of similarity._dots/_norm: explicit ascending-index fold so the
 # double accumulation order matches Spark's sequential aggregate() exactly.
 def _duck_dot(a: str, b: str) -> str:
-    return (
+    # NULL-element guard: DuckDB list_sum SKIPS NULL elements, silently
+    # computing a partial dot product for a corrupt vector; Spark's
+    # F.aggregate propagates NULL (the engine contract — a vector with a
+    # NULL component has no defined score). CASE of a NULL condition falls
+    # through to the body, which is itself NULL for a NULL list.
+    body = (
         f"list_sum(list_transform(range(len({a})), i -> "
         f"CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE)))"
+    )
+    return (
+        f"(CASE WHEN len(list_filter({a}, x -> x IS NULL)) > 0 "
+        f"OR len(list_filter({b}, x -> x IS NULL)) > 0 "
+        f"THEN NULL ELSE {body} END)"
     )
 
 
@@ -2395,9 +2405,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id, label,
-           round(sqrt(list_sum(list_transform(range(len(embedding)), i ->
-             (CAST(embedding[i + 1] AS DOUBLE) - CAST(qv[i + 1] AS DOUBLE))
-             * (CAST(embedding[i + 1] AS DOUBLE) - CAST(qv[i + 1] AS DOUBLE))))), 6) AS distance
+           -- NULL-element guard: list_sum skips NULLs (partial distance);
+           -- the engine propagates NULL and sorts those rows last
+           round(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                 THEN NULL
+                 ELSE sqrt(list_sum(list_transform(range(len(embedding)), i ->
+                   (CAST(embedding[i + 1] AS DOUBLE) - CAST(qv[i + 1] AS DOUBLE))
+                   * (CAST(embedding[i + 1] AS DOUBLE) - CAST(qv[i + 1] AS DOUBLE)))))
+                 END, 6) AS distance
     FROM embeddings CROSS JOIN q
     ORDER BY distance, vec_id
     LIMIT 10
@@ -2481,10 +2496,15 @@ _DUCK_ANN_LSH = f"""
          / 281474976710656.0) * 2.0 - 1.0) AS plane
       FROM range(8) t(j)
     ), sigs AS (
+      -- valid vectors only: the engine's lsh_signature is NULL for a NULL
+      -- vector or one with a NULL element (never bucket 0), so corrupt
+      -- rows can never be LSH candidates
       SELECT e.vec_id,
              CAST(SUM(CASE WHEN {_duck_dot('e.embedding', 'p.plane')} > 0
                            THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS sig
       FROM embeddings e CROSS JOIN planes p
+      WHERE e.embedding IS NOT NULL
+        AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
       GROUP BY e.vec_id
     ), q AS (
       SELECT e.embedding AS qv, s.sig AS qsig
@@ -2513,10 +2533,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_l2(a: str, b: str) -> str:
-    return (
+    # same NULL-element guard as _duck_dot: list_sum skipping NULLs would
+    # yield a partial (wrong) distance for a corrupt vector
+    body = (
         f"sqrt(list_sum(list_transform(range(len({a})), i -> "
         f"(CAST({a}[i + 1] AS DOUBLE) - CAST({b}[i + 1] AS DOUBLE)) "
         f"* (CAST({a}[i + 1] AS DOUBLE) - CAST({b}[i + 1] AS DOUBLE)))))"
+    )
+    return (
+        f"(CASE WHEN len(list_filter({a}, x -> x IS NULL)) > 0 "
+        f"OR len(list_filter({b}, x -> x IS NULL)) > 0 "
+        f"THEN NULL ELSE {body} END)"
     )
 
 
@@ -5927,8 +5954,17 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kmeans_lloyd_step",
     oracle="""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    WITH live AS (
+      -- trainer contract (operators/ml.kmeans): rows with a NULL vector or
+      -- any NULL element are excluded from the step — a partial distance
+      -- (list_sum skips NULLs) would mis-assign, and a NULL element would
+      -- bias its (cluster, dim) mean
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM live WHERE vec_id < 8
     ),
     dists AS (
       SELECT e.vec_id, cent.cid, e.embedding,
@@ -5936,7 +5972,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(cent.cv[i+1] AS DOUBLE))
                   * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(cent.cv[i+1] AS DOUBLE))))
                AS d
-      FROM embeddings e CROSS JOIN cent
+      FROM live e CROSS JOIN cent
     ),
     assign AS (
       SELECT vec_id, embedding, cid,
@@ -5969,7 +6005,12 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     those two exchanges — the canonical distributed k-means step. A full
     trainer loops this via ``localCheckpoint`` exactly like
     ``graph.connected_components_star``."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings").filter(
+        # trainer contract (operators/ml.kmeans): corrupt vectors — NULL, or
+        # containing a NULL element — are excluded from the step
+        F.col("embedding").isNotNull()
+        & ~F.exists(F.col("embedding"), lambda x: x.isNull())
+    )
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = em.select("vec_id", ev.alias("v"))
     cent = em.filter(F.col("vec_id") < 8).select(
@@ -9021,10 +9062,14 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
          / 281474976710656.0) * 2.0 - 1.0) AS plane
       FROM range(8) t(j)
     ), sigs AS (
+      -- valid vectors only — mirrors lsh_signature's NULL for corrupt
+      -- vectors (NULL vector or NULL element), see _DUCK_ANN_LSH
       SELECT e.vec_id,
              CAST(SUM(CASE WHEN {_duck_dot('e.embedding', 'p.plane')} > 0
                            THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS sig
       FROM embeddings e CROSS JOIN planes p
+      WHERE e.embedding IS NOT NULL
+        AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
       GROUP BY e.vec_id
     ), qs AS (
       SELECT e.vec_id AS q_id, e.embedding AS qv, s.sig AS qsig

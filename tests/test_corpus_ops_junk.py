@@ -190,6 +190,78 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         assert r["values_match"], (name, r)
 
 
+JUNK_EMB_DIM = 64
+
+
+@pytest.fixture(scope="module")
+def junk_emb_dir(spark, tmp_path_factory):
+    """Embeddings table with the corrupt-vector shapes real pipelines see:
+    a NULL vector, a vector with one NULL element, and an all-zero vector,
+    alongside deterministic valid vectors (ids 0..15 — the query/centroid
+    id ranges the ANN catalog queries assume)."""
+    import numpy as np
+
+    rows = []
+    for i in range(16):
+        rng = np.random.RandomState(i)
+        rows.append(
+            (i, [float(np.round(v, 4)) for v in rng.uniform(-1, 1, JUNK_EMB_DIM)],
+             i % 2)
+        )
+    null_elem = [0.5] * JUNK_EMB_DIM
+    null_elem[7] = None
+    rows += [(100, None, 0), (101, null_elem, 1), (102, [0.0] * JUNK_EMB_DIM, 0)]
+    d = str(tmp_path_factory.mktemp("junk_emb"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_embeddings_junk_oracle_parity(spark, junk_emb_dir):
+    """Corrupt vectors must hash-match the oracles too. The sweep that
+    added this caught: DuckDB list_sum silently computing PARTIAL dot
+    products/distances over NULL elements (vs the engine's NULL
+    propagation), LSH signatures piling corrupt vectors into bucket 0,
+    and the Lloyd step mis-assigning them instead of excluding them from
+    training."""
+    from tests.oracle import compare, duckdb_con
+
+    con = duckdb_con(junk_emb_dir)
+    for name in [
+        "label_centroids",
+        "cosine_topk",
+        "l2_topk",
+        "embedding_pairs_blocked",
+        "semantic_dedup_embeddings",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "embedding_quantize_int8",
+        "kmeans_lloyd_step",
+        "ann_recall_report",
+        "bitext_margin_mining",
+        "embedding_norm_outliers",
+    ]:
+        r = compare(
+            catalog.SPARK_QUERIES[name](spark, junk_emb_dir),
+            con,
+            catalog.ORACLE_SQL[name],
+        )
+        assert r["values_match"], (name, r)
+
+
+def test_embeddings_junk_pq_queries_fail_loudly(spark, junk_emb_dir):
+    """The PQ trainer's documented contract is the opposite of kmeans's:
+    it REFUSES corrupt training vectors with a clear error (pq.py) rather
+    than silently excluding them — a codebook trained on a silently
+    shrunken sample would degrade recall with no signal. The rows-only PQ
+    catalog queries must surface that error on junk, not hang or
+    mis-train."""
+    for name in ["pq_adc_search", "ivfpq_topk"]:
+        with pytest.raises(ValueError, match="NULL vectors"):
+            catalog.SPARK_QUERIES[name](spark, junk_emb_dir).count()
+
+
 def test_connected_components_empty_edges(spark):
     from bytesme_etl_batch_pipeline_spark.operators.graph import connected_components
 
