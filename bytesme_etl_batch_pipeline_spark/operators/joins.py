@@ -88,7 +88,11 @@ def asof_join(
     Right rows with a NULL time are dropped: they satisfy no
     ``right_time <= left_time`` predicate, yet ascending NULLS FIRST
     ordering would otherwise carry one forward as a phantom "earliest"
-    match for every left row."""
+    match for every left row. Right rows with a NULL key are dropped for
+    the same reason with join semantics: SQL equi/ASOF joins never match
+    NULL = NULL, but the window formulation's ``partitionBy`` groups NULL
+    keys together and would hand every NULL-key left row a phantom match.
+    NULL-key LEFT rows still pass through (with NULL ``right_vals``)."""
     overlap = set(right_vals) & set(left.columns)
     if overlap:
         raise ValueError(
@@ -96,7 +100,9 @@ def asof_join(
             "the output would carry duplicate names (AMBIGUOUS_REFERENCE "
             "downstream); rename one side first"
         )
-    r_tag = right.filter(F.col(right_time).isNotNull()).select(
+    r_tag = right.filter(
+        F.col(right_time).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),

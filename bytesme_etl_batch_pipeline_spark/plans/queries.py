@@ -4525,21 +4525,23 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           round((e.value - s.mu) / s.sigma, 4) AS zscore
+           round((e.value - s.mu) / nullif(s.sigma, 0), 4) AS zscore
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    WHERE abs((e.value - s.mu) / nullif(s.sigma, 0)) > 3
     """,
 )
 def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly detection: events beyond 3σ of their type's value
     distribution (grouped stats broadcast back over the stream's batch
-    twin). 4-decimal rounding absorbs the ~1e-12 partial-M2 merge noise."""
+    twin). 4-decimal rounding absorbs the ~1e-12 partial-M2 merge noise.
+    A constant-value group has sigma 0 — its z-score is undefined (NULL),
+    not an ANSI DIVIDE_BY_ZERO crash."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
     joined = e.join(F.broadcast(stats), "event_type")
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    z = (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
     return joined.filter(F.abs(z) > 3).select(
         "event_id", "event_type", F.round(z, 4).alias("zscore")
     )

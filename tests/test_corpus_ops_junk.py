@@ -359,6 +359,46 @@ def test_event_queries_junk_oracle_parity(spark, junk_events_dir):
         "cusum_changepoint_scan",   # 3-day frame, zero-sum tail stays +0.0
         "dow_seasonality_index",    # NULL event_type is its own group
         "sessionization",           # NULL user partitions as its own key
+        # round 4: the REST of the events-only catalog. The sweep that
+        # added these caught a DIVIDE_BY_ZERO crash (anomaly_events on a
+        # constant-value group) and asof_join handing NULL-key left rows a
+        # phantom NULL=NULL match that SQL join semantics never make.
+        "json_extract_events",
+        "tolerant_json_parse",
+        "conditional_rewrite",
+        "multires_rollup",
+        "cumulative_new_users",
+        "rolling_7d_active_users",
+        "dau_wau_stickiness",
+        "longest_user_streaks",
+        "event_transition_matrix",
+        "weekly_cohort_retention",
+        "lag_lead_deltas",
+        "events_tumbling_window",
+        "asof_join_last_purchase",
+        "pivot_event_counts",
+        "fill_forward_props",
+        "trailing_hour_activity",
+        "funnel_conversion",
+        "anomaly_events",
+        "next_day_retention",
+        "url_canonical_dedup",
+        "running_distinct_event_types",
+        "purchase_attribution",
+        "missing_activity_days",
+        "session_funnel",
+        "daily_activity_spine",
+        "hour_weekday_heatmap",
+        "daily_volume_anomalies",
+        "cohort_ltv_matrix",
+        "session_bounce_rate",
+        "linear_touch_attribution",
+        "weekly_engagement_segments",
+        "winsorized_value_stats",
+        "partition_skew_report",
+        "events_hopping_window",
+        "cuped_ab_adjusted_lift",
+        "session_path_topk",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_events_dir),

@@ -403,6 +403,23 @@ def test_asof_join_null_right_time_never_matches(spark):
     assert len(out) == 1 and out[0]["v"] is None  # nothing as-of 9
 
 
+def test_asof_join_null_key_never_matches(spark):
+    """SQL equi/ASOF joins never match NULL = NULL, but the window
+    formulation's partitionBy groups NULL keys together — a NULL-key left
+    row must come back with NULL values, not a phantom match against a
+    NULL-key right row."""
+    from bytesme_etl_batch_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(None, 9), (1, 9)], "k long, t long")
+    right = spark.createDataFrame(
+        [(None, 5, 99), (1, 5, 7)], "k long, rt long, v long"
+    )
+    out = {r["k"]: r["v"] for r in asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_vals=["v"]).collect()}
+    assert out == {None: None, 1: 7}
+
+
 def test_asof_join_rejects_colliding_value_columns(spark):
     from bytesme_etl_batch_pipeline_spark.operators.joins import asof_join
 
