@@ -39,8 +39,11 @@ def collapse_first_wins(df: DataFrame, key: str, attrs: list[str], order_by: lis
 def dense_ids(df: DataFrame, id_col: str, order_by: list[str]) -> DataFrame:
     """A3 (dims): dense 1..n ids in a deterministic order. Single-partition
     window — acceptable for dimension tables only (documented deviation for
-    facts; see ``hash_ids``)."""
-    w = Window.orderBy(*[F.col(c) for c in order_by])
+    facts; see ``hash_ids``). NULLS LAST explicitly: Spark's ascending
+    default is NULLS FIRST, the opposite of the DuckDB/Postgres ORDER BY
+    default — one NULL dim value would silently shift EVERY id by one
+    between engines."""
+    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
     return df.withColumn(id_col, F.row_number().over(w))
 
 
@@ -58,8 +61,11 @@ def group_sequence(
 ) -> DataFrame:
     """A2: per-group sequence counter (reference ``cat_counters[cat] += 1``,
     ``generate_mock_data.py:82-103``). One shuffle on the group key; each
-    group numbers independently so this scales with group cardinality."""
-    w = Window.partitionBy(*partition_by).orderBy(*[F.col(c) for c in order_by])
+    group numbers independently so this scales with group cardinality.
+    NULLS LAST (SQL ORDER BY default) — see ``dense_ids``."""
+    w = Window.partitionBy(*partition_by).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_by]
+    )
     return df.withColumn(out_col, F.row_number().over(w))
 
 
@@ -74,11 +80,16 @@ def sequence_code(
     (reference ``generate_mock_data.py:11-16``), built from the per-group
     sequence with pure string expressions."""
     df = group_sequence(df, [group_col], order_by, "__seq")
-    code = F.format_string(
-        "%s-%s-%03d",
-        F.upper(F.substring(F.col(brand_col), 1, 2)),
-        F.upper(F.substring(F.col(group_col), 1, 2)),
-        F.col("__seq"),
+    # NULL components -> NULL code (SQL printf/|| semantics), NOT the
+    # literal string "null" that Spark's format_string would render
+    code = F.when(
+        F.col(brand_col).isNotNull() & F.col(group_col).isNotNull(),
+        F.format_string(
+            "%s-%s-%03d",
+            F.upper(F.substring(F.col(brand_col), 1, 2)),
+            F.upper(F.substring(F.col(group_col), 1, 2)),
+            F.col("__seq"),
+        ),
     )
     return df.withColumn(out_col, code).drop("__seq")
 

@@ -106,8 +106,17 @@ def decode_and_featurize(
 ) -> DataFrame:
     """Decode + feature-extract as one mapInPandas pass. One codec instance
     per executor (closure cache), Arrow batches in/out. The output id
-    column is named after ``id_col`` (type preserved from the input)."""
+    column is named after ``id_col`` (type preserved from the input).
+
+    Rows with a NULL id or NULL payload are dropped before the codec
+    stage (the dead-letter contract of a real decode step): the output id
+    is declared non-nullable, so a NULL id would die inside Arrow with an
+    opaque "Value at index is null", and the codec cannot probe a missing
+    payload."""
     state: dict = {}
+    media = media.filter(
+        F.col(id_col).isNotNull() & F.col(payload_col).isNotNull()
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if "c" not in state:
@@ -263,8 +272,16 @@ def phash_media(
     of image near-dup dedup. Pair finding happens downstream JVM-side
     (``neardup.hamming_pairs_banded`` on the 64-bit hash: 4×16-bit bands
     block all pairs within Hamming ≤ 3). Production swaps the codec for
-    PIL + downscale-to-8×8; the hash/banding/dedup path is unchanged."""
+    PIL + downscale-to-8×8; the hash/banding/dedup path is unchanged.
+
+    NULL-id / NULL-payload rows are dropped before the codec stage (the
+    same dead-letter contract as ``decode_and_featurize``) — hashing a
+    missing payload like an empty one would silently merge every corrupt
+    row into the empty-image dup group."""
     state: dict = {}
+    media = media.filter(
+        F.col(id_col).isNotNull() & F.col(payload_col).isNotNull()
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if "c" not in state:
@@ -307,10 +324,14 @@ def phash_media_arrow(
     UDF surface: RecordBatches in, RecordBatches out, no pandas
     materialization between Arrow and Python (for binary-heavy columns
     the pandas hop costs an extra copy of every payload). Same output,
-    proven identical in tests; pick by profiling, not preference."""
+    proven identical in tests; pick by profiling, not preference. Same
+    dead-letter contract: NULL-id / NULL-payload rows are dropped."""
     import pyarrow as pa
 
     state: dict = {}
+    media = media.filter(
+        F.col(id_col).isNotNull() & F.col(payload_col).isNotNull()
+    )
 
     def run(batches):
         if "c" not in state:

@@ -309,7 +309,11 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 window: top-2 orders per customer (per-group rank — the implicit
     window under reference A2)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    # asc_nulls_last on the tie-break: Spark's ascending default is NULLS
+    # FIRST, DuckDB's is NULLS LAST — a NULL orderkey tie would flip ranks
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc_nulls_last()
+    )
     return (
         o.select("o_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
@@ -585,23 +589,31 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, CAST(t.i AS INT) AS pos,
            l1[t.i + 1] AS left_val, l2[t.i + 1] AS right_val
     FROM (
+      -- a NULL component makes the whole piped string NULL (|| semantics);
+      -- a NULL list has no positions to explode, so the row vanishes —
+      -- same as Spark's posexplode of a NULL array
       SELECT p_partkey,
              string_split(p_brand || '|' || p_type, '|') AS l1,
              string_split(p_type || '|' || p_brand, '|') AS l2
       FROM part
+      WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
     ) s CROSS JOIN range(2) t(i)
     """,
 )
 def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 + X1: positional zip of two parallel pipe-delimited strings, then
     explode with position (reference ``zip(images, image_names)``,
-    ``seperate_tables.py:85``). Pure arrays_zip/posexplode — no UDF."""
+    ``seperate_tables.py:85``). Pure arrays_zip/posexplode — no UDF.
+    NULL-propagating concat, NOT concat_ws: concat_ws silently SKIPS a
+    NULL component, shortening one side and mispairing the zip; with
+    concat a NULL component nulls the array and posexplode emits no rows
+    (same as the oracle's || semantics)."""
     p = load_table(spark, sf_dir, "part")
     zipped = p.select(
         "p_partkey",
         F.arrays_zip(
-            F.split(F.concat_ws("|", "p_brand", "p_type"), r"\|").alias("l"),
-            F.split(F.concat_ws("|", "p_type", "p_brand"), r"\|").alias("r"),
+            F.split(F.concat("p_brand", F.lit("|"), "p_type"), r"\|").alias("l"),
+            F.split(F.concat("p_type", F.lit("|"), "p_brand"), r"\|").alias("r"),
         ).alias("z"),
     )
     return zipped.select(
@@ -2600,8 +2612,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_uniform(seed: str, key: str = "CAST(p_partkey AS VARCHAR)") -> str:
     """DuckDB twin of seeded.hash_uniform: hash48('{seed}|' || key) / 2^48.
-    Division by a power of two is exact, so both engines agree bit-for-bit."""
-    keyed = f"'{seed}|' || {key}"
+    Division by a power of two is exact, so both engines agree bit-for-bit.
+    NULL keys draw via the same '__NULL_KEY__' sentinel as the engine
+    (a bare || would make the draw NULL instead of deterministic)."""
+    keyed = f"'{seed}|' || coalesce({key}, '__NULL_KEY__')"
     return f"({_duck_hash48(keyed)} / 281474976710656.0)"
 
 
@@ -2858,14 +2872,17 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN p_size > 30 THEN 'Details: oversize.' END,
              CASE WHEN floor(p_retailprice) > 0  -- Spark gates on the floored value
                   THEN 'Price: ' || CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) || '.' END,
+             -- fallback buckets gated on NOT NULL: the engine's sections
+             -- are presence-gated, so a NULL size emits NO sentence — a
+             -- bare ELSE would invent 'Rated average.'/'Out of stock.'
              CASE WHEN p_size / 10.0 >= 4.5 THEN 'Rated excellent.'
                   WHEN p_size / 10.0 >= 3.5 THEN 'Rated good.'
-                  ELSE 'Rated average.' END,
+                  WHEN p_size IS NOT NULL THEN 'Rated average.' END,
              CASE WHEN (p_partkey * 7) % 1500 >= 1000 THEN 'A best-seller.' END,
              CASE WHEN p_size * 5 >= 100 THEN 'In stock.'
                   WHEN p_size * 5 >= 21 THEN 'Limited stock.'
                   WHEN p_size * 5 >= 1 THEN 'Almost sold out.'
-                  ELSE 'Out of stock.' END
+                  WHEN p_size IS NOT NULL THEN 'Out of stock.' END
            ) AS document
     FROM part
     """,
@@ -3101,9 +3118,13 @@ def q_doc_template_vi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_enrich_descriptions",
     oracle="""
     SELECT p_partkey, p_name,
-           CASE WHEN p_size < 10
+           -- the enrich gate fires on NULL/blank descriptions too (that is
+           -- its purpose), and the prompt renders a NULL name as '' (the
+           -- engine fillna)
+           CASE WHEN p_size < 10 OR p_type IS NULL OR trim(p_type) = ''
                 THEN 'Auto-description [' ||
-                     substr(md5('Describe the product: ' || p_name), 1, 8) || ']'
+                     substr(md5('Describe the product: '
+                                || coalesce(p_name, '')), 1, 8) || ']'
                 ELSE p_type END AS description
     FROM part
     """,
@@ -3330,10 +3351,13 @@ def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas batch plumbing + probe math the driver can check.
     oracle="""
     WITH h AS (
+      -- decode contract: NULL-id / NULL-payload rows go to the dead letter
+      -- (decode_and_featurize drops them before the codec stage)
       SELECT p_partkey AS media_id,
              CASE WHEN p_partkey % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
              md5(p_name) AS dg
       FROM part
+      WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
     )
     SELECT media_id, kind,
            CAST(64 + ((strpos('0123456789abcdef', substr(dg, 1, 1)) - 1) * 16
@@ -3980,9 +4004,13 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function battery: rank, dense_rank, ntile, percent_rank,
-    cume_dist, first_value (each customer's top order)."""
+    cume_dist, first_value (each customer's top order). Tie-break is
+    explicitly NULLS LAST (Spark's ascending default is NULLS FIRST,
+    DuckDB's is NULLS LAST)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc_nulls_last()
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -4007,12 +4035,13 @@ def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (canonical order makes collect_list
     deterministic across partitions — unordered collect is never
-    hash-comparable)."""
+    hash-comparable). A group with only NULL values aggregates to NULL
+    (SQL string_agg semantics), not '' — collect_set silently skips NULLs
+    and array_join would render the empty set as an empty string."""
     c = load_table(spark, sf_dir, "customer")
+    arr = F.array_sort(F.collect_set(F.col("c_nationkey").cast("string")))
     return c.groupBy("c_mktsegment").agg(
-        F.array_join(
-            F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
-        ).alias("nations")
+        F.when(F.size(arr) > 0, F.array_join(arr, ",")).alias("nations")
     )
 
 
@@ -4174,16 +4203,32 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        # nanmedian, not median: one NULL quantity (NaN after Arrow) would
+        # otherwise poison the whole group's median and MAD. NULL quantity
+        # or a zero/undefined MAD -> NULL z (nullable Float64 array — a
+        # bare float column would ship NaN, which hashes != SQL NULL).
         q = pdf["l_quantity"].to_numpy(dtype="float64")
-        m = float(np.median(q))
-        mad = float(np.median(np.abs(q - m)))
+        finite = ~np.isnan(q)
+        m = float(np.nanmedian(q)) if finite.any() else float("nan")
+        mad = float(np.nanmedian(np.abs(q - m))) if finite.any() else float("nan")
+        denom = 1.4826 * mad
         pdf = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
-        pdf["robust_z"] = np.round((q - m) / (1.4826 * mad), 6)
+        if not np.isfinite(denom) or denom == 0:
+            pdf["robust_z"] = pd.array([None] * len(q), dtype="Float64")
+        else:
+            z = np.round((q - m) / denom, 6)
+            pdf["robust_z"] = pd.array(
+                [None if np.isnan(v) else float(v) for v in z], dtype="Float64"
+            )
         return pdf
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
+    # SQL join semantics: a NULL group key matches nothing (the oracle's
+    # med/mad joins drop those rows) — applyInPandas would happily make a
+    # NULL-flag group
+    li = li.filter(F.col("l_returnflag").isNotNull())
     return li.groupBy("l_returnflag").applyInPandas(zscore, schema=out_schema)
 
 
@@ -5206,7 +5251,7 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT nation, sum(revenue) AS nation_rev FROM rev GROUP BY nation)
     SELECT r.nation, r.priority,
            round(r.revenue, 2) AS revenue,
-           round(r.revenue / t.nation_rev, 6) AS share
+           round(r.revenue / nullif(t.nation_rev, 0), 6) AS share
     FROM rev r JOIN tot t USING (nation)
     """,
 )
@@ -5236,7 +5281,10 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT nation, priority,
                round(revenue, 2) AS revenue,
-               round(revenue / sum(revenue) OVER (PARTITION BY nation), 6) AS share
+               -- nullif: a zero-revenue nation has no defined share (and
+               -- ANSI mode makes the bare division a runtime error)
+               round(revenue / nullif(sum(revenue) OVER (PARTITION BY nation), 0),
+                     6) AS share
         FROM rev
         """,
         li=li,
@@ -6221,8 +6269,13 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dictionary-sized and broadcast back; the basket total is one
     driver-side scalar (parquet-metadata-cheap), so no 1-row crossJoin
     reaches the plan. All ratios derive from exact BIGINT counts with
-    mirrored rounding."""
-    li = load_table(spark, sf_dir, "lineitem")
+    mirrored rounding. A NULL orderkey is not a basket: DataFrame
+    distinct().count() would count the NULL row where SQL
+    count(DISTINCT ...) skips it, shifting every support/lift
+    denominator by one."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+    )
     items = li.select("l_orderkey", "l_partkey").distinct()
     n_baskets = items.select("l_orderkey").distinct().count()
     item_cnt = items.groupBy("l_partkey").agg(
@@ -9356,7 +9409,11 @@ def q_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_phash_dedup",
     oracle="""
-    WITH m AS (SELECT p_partkey AS media_id, md5(p_name) AS hx FROM part),
+    WITH m AS (
+      -- dead-letter contract: phash_media drops NULL-id/NULL-payload rows
+      SELECT p_partkey AS media_id, md5(p_name) AS hx FROM part
+      WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+    ),
     px AS (
       SELECT media_id,
              list_transform(range(64), i ->
@@ -10799,11 +10856,15 @@ def q_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_retailprice, p_size
     FROM (
+      -- corrupt rows are out of the frontier: a NULL price has no position
+      -- in the price order (and Spark/DuckDB disagree on where NULLS sort),
+      -- a NULL size can dominate nothing and be dominated by nothing
       SELECT p_partkey, p_name, p_retailprice, p_size,
              max(p_size) OVER (ORDER BY p_retailprice, p_partkey
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND 1 PRECEDING) AS best_before
       FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     ) t
     WHERE best_before IS NULL OR p_size > best_before
     """,
@@ -10815,10 +10876,14 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the price order answers; the naive skyline is an O(n²)
     self-join. The (price, partkey) total order makes the dominance
     frontier deterministic under ties. At 100 TB the same window runs
-    after a range partition on price."""
+    after a range partition on price. Rows with a NULL price or size are
+    excluded — they have no place in the dominance order (and Spark and
+    DuckDB disagree on where NULLs sort)."""
     from pyspark.sql import Window
 
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     w = (
         Window.orderBy("p_retailprice", "p_partkey")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -11054,8 +11119,9 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_cust
     )
     SELECT nationkey, CAST(max(n) AS BIGINT) AS n_customers,
+           -- nullif: a zero-total-revenue nation has no defined Gini
            round((2.0 * CAST(CAST(SUM(i * rev) AS VARCHAR) AS DOUBLE)
-                  / (max(n) * CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)))
+                  / (max(n) * nullif(CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 0)))
                  - (CAST(max(n) AS DOUBLE) + 1) / max(n), 6) AS gini
     FROM ranked GROUP BY nationkey
     """,
@@ -11096,7 +11162,11 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sum(F.col("i") * F.col("rev")).cast("string").cast("double")
                 / (
                     F.max("n")
-                    * F.sum("rev").cast("string").cast("double")
+                    # nullif: a zero-total-revenue nation has no defined
+                    # Gini (ANSI would make the division a runtime error)
+                    * F.nullif(
+                        F.sum("rev").cast("string").cast("double"), F.lit(0.0)
+                    )
                 )
             )
             - (F.max("n").cast("double") + 1) / F.max("n"),
@@ -11136,10 +11206,15 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard. The first-order date is a window over the SAME orders
     stream (no second scan, no self-join): one custkey shuffle carries
     min(o_orderdate), then the month rollup conditions on it;
-    decimal-exact revenue."""
+    decimal-exact revenue. NULL-custkey orders are excluded — they cannot
+    be attributed to a new or returning customer (the oracle's equi-join
+    on custkey drops them; the window formulation would happily group
+    them as one phantom customer)."""
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
     w = Window.partitionBy("o_custkey")
     month = F.date_trunc("month", "o_orderdate")
     first_m = F.date_trunc("month", F.min("o_orderdate").over(w))
