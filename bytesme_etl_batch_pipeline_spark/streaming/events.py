@@ -21,10 +21,23 @@ from ..plans.queries import _dec
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, schema=None
+    spark: SparkSession, sf_dir: str, schema=None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events table (at scale: Kafka source with
-    the same downstream code). ``maxFilesPerTrigger`` bounds batch size."""
+    the same downstream code).
+
+    ``max_files_per_trigger`` bounds micro-batch size. Leave it ``None``
+    (the default) when replaying a FINISHED dump whose part files are not
+    in event-time order: per-file micro-batches advance the watermark
+    between batches in file-listing (mod-time) order, so one early batch
+    holding the max-ts file would late-drop every older file that follows —
+    nondeterministically, since same-write part files tie on mod-time.
+    Watermark correctness assumes arrival roughly follows event time; that
+    holds for a live tailing source (Kafka, arriving files) but NOT for an
+    unordered replay, which must drain with large batches (or widen the
+    watermark past the dump's disorder). Pass an explicit value to exercise
+    multi-batch state merging on inputs whose file order is controlled."""
     import os
 
     from ..sources.tables import ensure_session_confs
@@ -33,14 +46,19 @@ def read_events_stream(
     path = os.path.join(sf_dir, "events.parquet")
     if schema is None:
         schema = spark.read.parquet(path).schema
-    # The file source wants a directory; scope it to the events file(s) with a
-    # glob filter (a production layout is a directory of arriving files).
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet*")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isdir(path):
+        # Normal Spark layout: events.parquet is a DIRECTORY of part files —
+        # stream the directory itself. (A pathGlobFilter of "events.parquet*"
+        # here would match no LEAF file name and silently yield an empty
+        # stream.)
+        stream = reader.parquet(path)
+    else:
+        # Bare-file layout (driver testdata): the file source wants a
+        # directory, so scan sf_dir scoped to this one file by leaf name.
+        stream = reader.option("pathGlobFilter", "events.parquet*").parquet(sf_dir)
     # Same nanos→timestamp repair as the batch loader (sources/tables.py).
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

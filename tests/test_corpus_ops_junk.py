@@ -399,6 +399,13 @@ def test_event_queries_junk_oracle_parity(spark, junk_events_dir):
         "events_hopping_window",
         "cuped_ab_adjusted_lift",
         "session_path_topk",
+        # The STREAMING twins must survive the same junk through the state
+        # store (watermark + session/tumbling state merge across
+        # micro-batches) and still hash-match the shared batch oracle —
+        # NULL user_id keys its own session/window group in streaming
+        # state exactly as GROUP BY does in batch.
+        "streaming_windowed_counts",
+        "streaming_session_counts",
     ]:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_events_dir),
