@@ -37,6 +37,53 @@ def test_streaming_sessionization_matches_batch(spark, sf_dir):
     assert _sorted_rows(got) == _sorted_rows(expected)
 
 
+def test_multibatch_drain_of_ordered_directory_layout(spark, sf_dir, tmp_path):
+    """read_events_stream(max_files_per_trigger=1) over a DIRECTORY-layout
+    dump whose part files respect event-time order: per-file micro-batches
+    merge window state across batches and still match the batch query.
+    (The default single-batch drain is what unordered replays need; this
+    pins the opt-in multi-batch path on a controlled, ordered layout.)"""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    median = events.select(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("m")
+    ).first()["m"]
+    sf2 = tmp_path / "sf"
+    dump = sf2 / "events.parquet"
+    dump.mkdir(parents=True)
+    now = time.time()
+    for i, half in enumerate(
+        [events.where(F.unix_micros("ts") <= F.lit(median)),
+         events.where(F.unix_micros("ts") > F.lit(median))]
+    ):
+        staged = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(staged)
+        (part,) = glob.glob(staged + "/part-*.parquet")
+        dest = str(dump / f"part-{i:05d}.parquet")
+        shutil.move(part, dest)
+        # ascending mod-times: file listing order == event-time order
+        os.utime(dest, (now - 600 * (2 - i), now - 600 * (2 - i)))
+
+    stream = stream_events.read_events_stream(
+        spark, str(sf2), max_files_per_trigger=1
+    )
+    agg = stream_events.windowed_counts(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream_events.run_stream_to_memory(agg, "win_counts_mb", ckpt)
+        n_batches = len(glob.glob(ckpt + "/offsets/*"))
+    assert n_batches >= 2, "opt-in maxFilesPerTrigger must yield >1 micro-batch"
+    got = spark.sql("SELECT * FROM win_counts_mb").collect()
+    expected = catalog.SPARK_QUERIES["events_tumbling_window"](spark, sf_dir).collect()
+    assert _sorted_rows(got) == _sorted_rows(expected)
+
+
 def test_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState: after draining the stream, per-user totals
     must equal the batch groupBy (state folded across micro-batches)."""
