@@ -132,45 +132,49 @@ def train_bpe(
         word_dictionary(docs, text_col, min_freq)
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
-        pairs = dictionary.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(slice(syms, 1, size(syms) - 1), "
-                    "(s, i) -> struct(s as left, syms[i + 1] as right))"
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        row = best[0]
-        left, right, cnt = row["left"], row["right"], int(row["cnt"])
-        merges.append((rank, left, right, left + right, cnt))
-        dictionary = dictionary.withColumn(
-            "syms", _apply_merge(F.col("syms"), left, right)
-        )
-        # truncate lineage every few rounds, not every round — the fold
-        # nests one lambda per un-checkpointed round (replaying 3 folds on
-        # dictionary-sized data is cheaper than an extra eager job each
-        # round), but unbounded nesting blows the plan up like any
-        # iterative loop. Superseded checkpoint blocks are freed at the
-        # RDD level — DataFrame.unpersist is a no-op for localCheckpoint
-        # (ckpt.py) and would leak one dictionary-sized copy per round.
-        if (rank + 1) % 3 == 0:
-            dictionary, new_ids = tracked_local_checkpoint(dictionary)
-            free_checkpoint(dictionary, held_ids)
-            held_ids = new_ids
-    # the dictionary itself is not returned — release the last checkpoint
-    free_checkpoint(dictionary, held_ids)
-    return merges
+    try:
+        for rank in range(n_merges):
+            pairs = dictionary.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(s, i) -> struct(s as left, syms[i + 1] as right))"
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            row = best[0]
+            left, right, cnt = row["left"], row["right"], int(row["cnt"])
+            merges.append((rank, left, right, left + right, cnt))
+            dictionary = dictionary.withColumn(
+                "syms", _apply_merge(F.col("syms"), left, right)
+            )
+            # truncate lineage every few rounds, not every round — the fold
+            # nests one lambda per un-checkpointed round (replaying 3 folds on
+            # dictionary-sized data is cheaper than an extra eager job each
+            # round), but unbounded nesting blows the plan up like any
+            # iterative loop. Superseded checkpoint blocks are freed at the
+            # RDD level — DataFrame.unpersist is a no-op for localCheckpoint
+            # (ckpt.py) and would leak one dictionary-sized copy per round.
+            if (rank + 1) % 3 == 0:
+                dictionary, new_ids = tracked_local_checkpoint(dictionary)
+                free_checkpoint(dictionary, held_ids)
+                held_ids = new_ids
+        return merges
+    finally:
+        # the dictionary itself is not returned — release the last
+        # checkpoint even when a round fails mid-loop (a leaked block
+        # set per failed call would outlive the caller's retry)
+        free_checkpoint(dictionary, held_ids)
 
 
 def _train_in_driver(

@@ -259,6 +259,7 @@ def connected_components_star(
 
     cur, cur_sig = b, sig(b)
     held_ids: list[int] = []
+    converged = False
     try:
         for _ in range(max_iter):
             # Each star references its input several times (sym union + the
@@ -276,6 +277,7 @@ def connected_components_star(
             cur = nxt
             new_sig = sig(cur)
             if new_sig == cur_sig:
+                converged = True
                 return (
                     _sym(cur)
                     .groupBy("node")
@@ -287,6 +289,13 @@ def connected_components_star(
         )
     finally:
         b.unpersist()
+        if not converged and held_ids:
+            # no DataFrame escapes on the error path (ConvergenceError or a
+            # mid-round failure) — the last round's checkpoint blocks would
+            # otherwise stay pinned for the SparkContext lifetime, one
+            # edge-table copy per failed attempt (the auto variant catches
+            # ConvergenceError and keeps the session running).
+            free_checkpoint(b.sparkSession, held_ids)
 
 
 def connected_components_auto(

@@ -81,8 +81,16 @@ def _collect_sample(train: DataFrame, vec_col: str, id_col: str):
     )
     if not rows:
         raise ValueError("no vectors to train on (empty input/sample)")
-    if any(r["__v"] is None for r in rows):
-        raise ValueError("NULL vectors in training sample — filter them first")
+    if any(
+        r["__v"] is None or any(x is None for x in r["__v"]) for r in rows
+    ):
+        # a NULL ELEMENT is as corrupt as a NULL vector: np.asarray would
+        # turn it into NaN, NaN-poisoning every Lloyd distance/mean and
+        # silently garbaging the codebooks — fail loudly like kmeans/LSH do
+        raise ValueError(
+            "NULL vectors (or vectors with NULL elements) in training "
+            "sample — filter them first"
+        )
     return np.asarray([r["__v"] for r in rows], dtype=np.float64)
 
 
@@ -183,8 +191,10 @@ def pq_encode(
     any corpus size; small codebooks run as pure codegen'd expressions,
     production codebooks as an Arrow-batched numpy argmin (the codebook
     matrix rides the closure — KBs broadcast with the task). A NULL vector
-    yields NULL codes (expression path) — the search stages filter the
-    resulting NULL distances out of the candidate list."""
+    — or a vector with a NULL ELEMENT — yields NULL codes on the
+    expression path (the search stages filter the resulting NULL distances
+    out of the candidate list); the Arrow path raises on either, since a
+    NaN-bearing batch cannot be argmin'd meaningfully."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     if m * len(codebooks[0]) > PQ_EXPRESSION_MAX_CELLS:
@@ -199,12 +209,15 @@ def pq_encode(
             ]
         )
         per_sub.append(F.array_min(pairs)["code"])
-    # NULL vector → NULL codes, EXPLICITLY: the struct-min over NULL
-    # distances would otherwise pick code 0 per subspace, giving NULL rows
-    # valid-looking codes that masquerade as vectors near codeword 0 and
-    # pollute search candidates with bogus ids
+    # NULL vector OR a vector with a NULL ELEMENT → NULL codes, EXPLICITLY:
+    # the struct-min over NULL distances would otherwise pick code 0 in the
+    # affected subspace(s), giving junk rows valid-looking codes that
+    # masquerade as vectors near codeword 0 and pollute search candidates
+    # with bogus ids (downstream search filters NULL codes out)
     codes = F.when(
-        F.col(vec_col).isNotNull(), F.array(*per_sub)
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()),
+        F.array(*per_sub),
     ).otherwise(F.lit(None))
     return vectors.withColumn("codes", codes)
 
@@ -235,6 +248,15 @@ def _pq_encode_pandas(
                 "before encoding (a ragged Arrow batch cannot be encoded)"
             )
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+        if np.isnan(X).any():
+            # a NULL element arrives here as NaN and argmin would emit a
+            # garbage code for it — same loud-failure contract as whole-NULL
+            # (the expression path maps these rows to NULL codes instead;
+            # this strict path is the raise-on-junk variant)
+            raise ValueError(
+                "NULL/NaN vector ELEMENT in pq_encode input — filter "
+                "corrupt embeddings before encoding"
+            )
         out = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             sub = X[:, j * d_sub : (j + 1) * d_sub]
@@ -397,6 +419,11 @@ def _assign_and_residual_pandas(
                 "NULL vector in IVF-PQ input — filter NULL embeddings first"
             )
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+        if np.isnan(V).any():
+            raise ValueError(
+                "NULL/NaN vector ELEMENT in IVF-PQ input — filter corrupt "
+                "embeddings first (NaN would poison argmin cell assignment)"
+            )
         d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
         cells = np.argmin(d2, axis=1)
         R = V - C[cells]

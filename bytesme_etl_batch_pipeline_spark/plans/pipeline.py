@@ -44,6 +44,16 @@ def _materialize_stage(spec: str) -> Stage | None:
     * ``checkpoint`` — eager ``localCheckpoint``: materializes NOW and
       truncates lineage, the right barrier before iterative consumers
       (CC loops) or when a long plan would otherwise replay per branch.
+      NB: ``localCheckpoint`` pins blocks at the RDD level for the life
+      of the SparkContext (``DataFrame.unpersist`` is a no-op on it —
+      ``ckpt.py``), so the runner tracks the pinned ids itself: a later
+      ``checkpoint`` stage in the same input's chain frees the superseded
+      one, the error path frees everything, and the FINAL checkpoint per
+      input (which the returned output reads lazily) is recorded in
+      ``PipelineReport.pinned_rdd_ids`` for ``report.free_barriers(spark)``
+      once the caller is done with the outputs. A long-lived session
+      re-running the pipeline must call it or leak one table-sized block
+      set per run.
     """
     from pyspark import StorageLevel
 
@@ -54,8 +64,8 @@ def _materialize_stage(spec: str) -> Stage | None:
     }
     if spec in levels:
         return lambda df: df.persist(levels[spec])
-    if spec == "checkpoint":
-        return lambda df: df.localCheckpoint(eager=True)
+    # "checkpoint" is handled inline by run_pipeline (it must thread the
+    # pinned-RDD bookkeeping); kept out of STAGES so the name still resolves.
     return None
 
 
@@ -80,6 +90,21 @@ class StageResult:
 @dataclass
 class PipelineReport:
     results: list[StageResult] = field(default_factory=list)
+    #: input name -> RDD ids pinned by that input's FINAL ``checkpoint``
+    #: barrier (the returned output reads them lazily — they cannot be
+    #: freed inside the run). Call ``free_barriers(spark)`` when done
+    #: with the outputs.
+    pinned_rdd_ids: dict[str, list[int]] = field(default_factory=dict)
+
+    def free_barriers(self, spark) -> None:
+        """Release every block set the run's ``checkpoint`` barriers left
+        pinned. Call ONLY after the returned output DataFrames will never
+        be touched again (their lineage was truncated to these blocks)."""
+        from ..ckpt import free_checkpoint
+
+        for ids in self.pinned_rdd_ids.values():
+            free_checkpoint(spark, ids)
+        self.pinned_rdd_ids.clear()
 
     @property
     def n_success(self) -> int:
@@ -116,13 +141,26 @@ def run_pipeline(
     tests inject a recorder; a notifier that itself raises is swallowed so
     alerting failures can never mask the original error.
     """
+    from ..ckpt import free_checkpoint, tracked_local_checkpoint
+
     report = PipelineReport()
     outputs: dict[str, DataFrame] = {}
     for name, df in inputs.items():
         t0 = time.perf_counter()
+        held: list[int] = []  # blocks pinned by this input's barriers
         try:
             out = df
             for sname in stage_names:
+                if sname == "checkpoint":
+                    # tracked form: a later barrier supersedes this one's
+                    # blocks (the chain is linear), so free them then —
+                    # bare localCheckpoint would pin one table-sized block
+                    # set per barrier for the life of the SparkContext.
+                    out, new_ids = tracked_local_checkpoint(out)
+                    if held:
+                        free_checkpoint(out.sparkSession, held)
+                    held = new_ids
+                    continue
                 stage = STAGES.get(sname) or _materialize_stage(sname)
                 if stage is None:
                     raise KeyError(f"unknown stage: {sname!r}")
@@ -133,10 +171,14 @@ def run_pipeline(
             else:
                 rows = out.count()
             outputs[name] = out
+            if held:  # final barrier: the returned output reads it lazily
+                report.pinned_rdd_ids[name] = held
             report.results.append(
                 StageResult(name, "success", stage_names, rows, time.perf_counter() - t0)
             )
         except Exception as e:  # per-input isolation — error is data, not crash
+            if held:  # no output escapes this input — its blocks are dead
+                free_checkpoint(df.sparkSession, held)
             report.results.append(
                 StageResult(
                     name, "error", stage_names, None, time.perf_counter() - t0, str(e)

@@ -139,7 +139,12 @@ def compact_parquet(
     splits into many right-sized files instead of one giant one — and
     the layout is reproduced at the destination. Returns the number of
     output data files. (``compact_parquet_inplace`` is the variant to
-    use when no second location is wanted.)"""
+    use when no second location is wanted.) A source partition parked at
+    ``<leaf>__retired`` by a crashed earlier in-place maintenance run is
+    restored before enumeration (else the copy would silently omit it);
+    a MIXED layout (loose data files above the leaf level) raises instead
+    of silently dropping the loose files."""
+    recover_retired_tree(src_path)
     total = 0
     for rel in _partition_leaf_dirs(src_path):
         src = os.path.join(src_path, rel) if rel else src_path
@@ -269,6 +274,19 @@ def publish_staging_swap(base_path: str) -> None:
     shutil.rmtree(retired, ignore_errors=True)
 
 
+#: Reserved directory-name suffixes of the staging-swap publish protocol
+#: (``publish_staging_swap``). A ``<leaf>__retired`` / ``<leaf>__staging``
+#: sibling left by a crash mid-swap is PROTOCOL state, not a partition —
+#: enumerating it as one would compact a retired generation in place
+#: (silently renaming the partition value) or read a staging dir another
+#: leaf's swap is about to consume.
+_RESERVED_SUFFIXES = ("__retired", "__staging")
+
+
+def _is_reserved_dir(name: str) -> bool:
+    return name.endswith(_RESERVED_SUFFIXES)
+
+
 def _hive_partition_keys(path: str) -> list[str]:
     """Detect hive-style partition keys (``key=value`` directory levels)
     under ``path``, outermost first. Empty list = unpartitioned table."""
@@ -278,7 +296,9 @@ def _hive_partition_keys(path: str) -> list[str]:
         subs = [
             d
             for d in sorted(os.listdir(cur))
-            if "=" in d and os.path.isdir(os.path.join(cur, d))
+            if "=" in d
+            and not _is_reserved_dir(d)
+            and os.path.isdir(os.path.join(cur, d))
         ]
         if not subs:
             return keys
@@ -286,17 +306,63 @@ def _hive_partition_keys(path: str) -> list[str]:
         cur = os.path.join(cur, subs[0])
 
 
+def recover_retired_tree(path: str) -> None:
+    """Per-LEAF crash recovery for partitioned staging-swap writers: restore
+    every ``<dir>__retired`` under ``path`` whose base dir is missing (the
+    mid-swap crash window of ``publish_staging_swap``, at any partition
+    depth). Run BEFORE enumerating partition leaves — a leaf parked at
+    ``__retired`` has no base dir to enumerate, so without this sweep the
+    retry would never restore (or even see) that partition."""
+    import glob as _glob
+
+    for suffix in ("__retired",):
+        for parked in _glob.glob(
+            os.path.join(path, "**", f"*{suffix}"), recursive=True
+        ):
+            if os.path.isdir(parked):
+                recover_retired(parked[: -len(suffix)])
+
+
 def _partition_leaf_dirs(path: str) -> list[str]:
     """Relative paths of every leaf ``key=value`` partition directory
     under ``path`` (``[""]`` for an unpartitioned table) — the unit of
-    per-partition compaction: each leaf is itself a plain parquet dir."""
+    per-partition compaction: each leaf is itself a plain parquet dir.
+    Reserved ``__retired``/``__staging`` siblings (crash leftovers of the
+    swap protocol) are never leaves. Raises on a MIXED layout (data files
+    at a non-leaf level alongside partition dirs): per-leaf rewrites would
+    silently drop the loose files, and Spark cannot attach partition
+    values to them either — such a table needs repair, not compaction."""
     import glob as _glob
 
     keys = _hive_partition_keys(path)
     if not keys:
         return [""]
+    for level in range(len(keys)):
+        level_pattern = os.path.join(path, *["*=*"] * level, "*")
+        loose = [
+            f
+            for f in _glob.glob(level_pattern)
+            if os.path.isfile(f)
+            and not os.path.basename(f).startswith(("_", "."))
+            and not any(_is_reserved_dir(p) for p in
+                        os.path.relpath(f, path).split(os.sep)[:-1])
+        ]
+        if loose:
+            raise ValueError(
+                f"mixed layout under {path!r}: data file {loose[0]!r} sits at "
+                f"partition level {level} (above the {keys} leaf level); "
+                "per-partition compaction would silently drop it — repair the "
+                "table layout first"
+            )
     pattern = os.path.join(path, *["*=*"] * len(keys))
-    return sorted(os.path.relpath(d, path) for d in _glob.glob(pattern) if os.path.isdir(d))
+    return sorted(
+        os.path.relpath(d, path)
+        for d in _glob.glob(pattern)
+        if os.path.isdir(d)
+        and not any(
+            _is_reserved_dir(p) for p in os.path.relpath(d, path).split(os.sep)
+        )
+    )
 
 
 def _dir_data_bytes(path: str) -> int:
@@ -349,7 +415,11 @@ def compact_parquet_inplace(
     yet — layout-only, so always correct). Recovery runs at the table
     root before leaf enumeration, so a retry from the unpartitioned
     mid-swap window (base parked at ``__retired``) restores the table it
-    is about to list.
+    is about to list; per-LEAF recovery (``recover_retired_tree``) then
+    restores any partition parked at ``<leaf>__retired`` by a crash
+    mid-swap — without it the parked leaf has no base dir to enumerate
+    and the retry would strand (or, worse, compact the ``__retired`` dir
+    AS a partition, silently renaming its value).
 
     Durability vs concurrency: the swap is crash-ATOMIC (a complete copy
     always survives; see ``publish_staging_swap``) but NOT reader-atomic
@@ -359,6 +429,7 @@ def compact_parquet_inplace(
     use the catalog-swap JDBC sink shape where readers must never miss.
     Returns the number of data files after compaction."""
     recover_retired(path)
+    recover_retired_tree(path)
     total = 0
     for rel in _partition_leaf_dirs(path):
         leaf = os.path.join(path, rel) if rel else path

@@ -614,3 +614,92 @@ def test_compact_parquet_inplace_hot_partition_gets_multiple_files(spark, tmp_pa
     assert len(cold_files) == 1
     assert len(hot_files) >= 3, len(hot_files)  # ~several MB / 1 MB target
     assert spark.read.parquet(path).count() == 200_100
+
+
+@pytest.mark.parametrize("crash_after", range(9))
+def test_compact_partitioned_crash_retry_converges(spark, tmp_path, crash_after):
+    """Per-LEAF crash matrix for partitioned in-place compaction: crash the
+    publish protocol after EVERY os-mutation count across all three leaves
+    (3 leaves x rename/rename/rmtree). The retry must recover any leaf
+    parked at <leaf>__retired (recover_retired_tree), never enumerate a
+    reserved __retired/__staging sibling as a partition, and converge to
+    the same rows with the hive layout (and partition VALUES) intact."""
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import (
+        compact_parquet_inplace,
+    )
+    from tests.crashinject import crash_after as _crash
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).selectExpr("id", "cast(id % 3 as int) as part")
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    want = sorted(
+        (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
+    )
+
+    with _crash(crash_after, (os, "rename"), (shutil, "rmtree")):
+        with pytest.raises(OSError, match="injected crash"):
+            compact_parquet_inplace(spark, path, target_file_mb=128)
+
+    n = compact_parquet_inplace(spark, path, target_file_mb=128)
+    assert n == 3  # one right-sized file per leaf
+    got = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
+    assert got == want
+    # no protocol leftovers, and exactly the three real partition dirs
+    leaves = sorted(os.listdir(path))
+    assert [d for d in leaves if "__retired" in d or "__staging" in d] == []
+    assert [d for d in leaves if d.startswith("part=")] == [
+        "part=0", "part=1", "part=2"
+    ]
+
+
+def test_compact_mixed_layout_raises(spark, tmp_path):
+    """Loose data files ABOVE the partition-leaf level must fail loudly:
+    per-leaf compaction would silently drop them (and Spark cannot attach
+    partition values to them either)."""
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import (
+        compact_parquet,
+        compact_parquet_inplace,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).selectExpr(
+        "id", "cast(id % 2 as int) as part"
+    ).write.partitionBy("part").parquet(path)
+    # simulate a sloppy append job dropping a loose file at the table root
+    loose_src = str(tmp_path / "loose")
+    spark.range(100, 110).selectExpr("id", "0 as part").coalesce(1).write.parquet(
+        loose_src
+    )
+    import glob as _glob
+
+    (part_file,) = _glob.glob(os.path.join(loose_src, "part-*.parquet"))
+    shutil.copy(part_file, os.path.join(path, "loose-00000.parquet"))
+
+    with pytest.raises(ValueError, match="mixed layout"):
+        compact_parquet_inplace(spark, path)
+    with pytest.raises(ValueError, match="mixed layout"):
+        compact_parquet(spark, path, str(tmp_path / "dst"))
+
+
+def test_compact_copy_restores_parked_partition(spark, tmp_path):
+    """The copy variant must restore a source partition parked at
+    <leaf>__retired by a crashed earlier in-place run — otherwise the
+    'compacted copy' silently omits that whole partition."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import compact_parquet
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(0, 300).selectExpr(
+        "id", "cast(id % 3 as int) as part"
+    ).write.partitionBy("part").parquet(src)
+    want = sorted((r["id"], r["part"]) for r in spark.read.parquet(src).collect())
+    # simulate the mid-swap crash window on one leaf
+    os.rename(os.path.join(src, "part=1"), os.path.join(src, "part=1__retired"))
+
+    compact_parquet(spark, src, dst, target_file_mb=128)
+    got = sorted((r["id"], r["part"]) for r in spark.read.parquet(dst).collect())
+    assert got == want

@@ -884,3 +884,80 @@ def test_connected_components_variants_agree_on_junk_edges(spark):
                connected_components_auto):
         got = {(r.node, r.cluster_id) for r in fn(edges).collect()}
         assert got == want, fn.__name__
+
+
+def test_run_pipeline_checkpoint_barriers_do_not_leak(spark):
+    """localCheckpoint pins blocks for the SparkContext lifetime
+    (DataFrame.unpersist is a no-op on it — ckpt.py), so the runner must
+    track them: a later barrier frees the superseded one, the final
+    barrier's ids are recorded in the report, and free_barriers releases
+    them once the caller is done with the outputs."""
+    sc = spark.sparkContext
+    STAGES["noop_a"] = lambda df: df.withColumn("v2", F.col("v") + 1)
+    STAGES["noop_b"] = lambda df: df.withColumn("v3", F.col("v") + 2)
+    try:
+        src = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        outputs, report = run_pipeline(
+            {"a": src}, ["noop_a", "checkpoint", "noop_b", "checkpoint"]
+        )
+        assert report.n_success == 1
+        assert outputs["a"].count() == 10
+        mid = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        # exactly the FINAL barrier's blocks remain (the first was
+        # superseded and freed inside the run)
+        assert set(report.pinned_rdd_ids["a"]) == mid - before
+        assert len(mid - before) >= 1
+
+        report.free_barriers(spark)
+        after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        assert after - before == set(), "free_barriers must release all blocks"
+        assert report.pinned_rdd_ids == {}
+    finally:
+        STAGES.pop("noop_a", None)
+        STAGES.pop("noop_b", None)
+
+
+def test_run_pipeline_checkpoint_freed_on_stage_error(spark):
+    """An input that fails AFTER a checkpoint barrier returns no output —
+    its pinned blocks must be freed on the error path, not leaked."""
+    sc = spark.sparkContext
+
+    @register_stage("boom3")
+    def boom3(df):
+        raise RuntimeError("post-barrier failure")
+
+    try:
+        src = spark.createDataFrame([(i,) for i in range(5)], ["v"])
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        outputs, report = run_pipeline({"a": src}, ["checkpoint", "boom3"])
+        assert report.n_error == 1
+        assert "a" not in outputs
+        after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        assert after - before == set()
+        assert report.pinned_rdd_ids == {}
+    finally:
+        STAGES.pop("boom3", None)
+
+
+def test_star_cc_nonconvergence_frees_checkpoint_blocks(spark):
+    """The ConvergenceError path returns no DataFrame, so the last round's
+    localCheckpoint blocks must be freed — the auto variant catches this
+    exception and keeps the session running (one leaked edge-table copy
+    per failed attempt would accumulate for the app lifetime)."""
+    import pytest as _pytest
+
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        ConvergenceError,
+        connected_components_star,
+    )
+
+    sc = spark.sparkContext
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["src", "dst"]
+    )
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    with _pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components_star(chain, max_iter=1)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), "error path must not pin blocks"

@@ -275,3 +275,56 @@ def test_pq_train_empty_input_raises_clearly(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no vectors to train on"):
         train_pq(empty, m=2, k=2)
+
+
+def test_pq_null_element_vectors_rejected_or_nulled(spark):
+    """A vector with a NULL ELEMENT is as corrupt as a whole-NULL vector
+    (the junk_emb_dir fixture shape): training must raise instead of
+    NaN-poisoning the codebooks; the expression encode must map it to NULL
+    codes (filtered by search like whole-NULL rows); the strict Arrow
+    paths must raise."""
+    from bytesme_etl_batch_pipeline_spark.operators.pq import (
+        _pq_encode_pandas,
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    good = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    junk = [(101, [0.5, 1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0])]
+    vecs = spark.createDataFrame(
+        good + junk, "vec_id long, embedding array<double>"
+    )
+
+    # training: loud failure, not NaN centroids
+    with pytest.raises(ValueError, match="NULL"):
+        train_pq(vecs, m=2, k=4)
+
+    books = train_pq(vecs.filter("vec_id < 100"), m=2, k=4)
+
+    # expression encode: NULL codes, and search never surfaces the row
+    enc = pq_encode(vecs, books)
+    assert (
+        enc.filter("vec_id = 101").first()["codes"] is None
+    ), "NULL-element vector must not get valid-looking codes"
+    top = pq_adc_topk(enc, [0.0] * 8, books, k=5).collect()
+    assert all(r["vec_id"] < 100 for r in top)
+
+    # strict Arrow encode path: raises on the NaN-bearing batch
+    with pytest.raises(Exception, match="NULL/NaN"):
+        _pq_encode_pandas(vecs, books).collect()
+
+
+def test_ivfpq_arrow_assign_rejects_null_elements(spark):
+    """The Arrow coarse-assign path must raise on NULL/NaN elements — NaN
+    distances would argmin to an arbitrary cell and the row would silently
+    index under a garbage residual."""
+    from bytesme_etl_batch_pipeline_spark.operators.pq import (
+        _assign_and_residual_pandas,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, None, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL/NaN"):
+        _assign_and_residual_pandas(vecs, [[0.0] * 4, [1.0] * 4], "embedding").collect()
