@@ -31,6 +31,7 @@ def read_csv(
     permissive: bool = True,
     with_lineage: bool = False,
     corrupt_col: str | None = None,
+    multi_line: bool = True,
 ) -> DataFrame:
     """S1/S2/S3: distributed CSV scan over a file, directory, or glob.
 
@@ -48,19 +49,35 @@ def read_csv(
     split per file, so in-partition order IS file order), which is stable
     across runs/parallelism — a raw ``monotonically_increasing_id`` embeds
     the partition index and is not.
+
+    ``multi_line`` (default True, correctness-first: quoted embedded
+    newlines parse as one row) makes each CSV file NON-SPLITTABLE — one
+    scan task per file regardless of size. For a huge single CSV whose
+    fields are known newline-free, pass ``multi_line=False`` to get
+    splittable scans (``maxPartitionBytes``-sized tasks). Lineage REQUIRES
+    multi-line mode: ``row_pos`` stability depends on one-split-per-file.
     """
     from pyspark.sql.types import StringType
 
+    if with_lineage and not multi_line:
+        raise ValueError(
+            "with_lineage=True requires multi_line=True — row_pos is only "
+            "stable when each file scans as one split"
+        )
     reader = (
         spark.read.option("header", header)
-        .option("multiLine", True)
+        .option("multiLine", multi_line)
         .option("escape", '"')
         .option("mode", "PERMISSIVE" if permissive else "FAILFAST")
     )
     if corrupt_col is not None:
         if schema is None:
             raise ValueError("corrupt_col capture requires an explicit schema")
-        schema = schema.add(corrupt_col, StringType())
+        # StructType.add MUTATES in place (and returns self), and
+        # StructType(fields) keeps the passed LIST by reference — copy the
+        # list too, or the CALLER's schema object permanently gains the
+        # corrupt column (duplicated on the next call)
+        schema = StructType(list(schema.fields)).add(corrupt_col, StringType())
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
@@ -144,6 +161,9 @@ def compact_parquet(
     restored before enumeration (else the copy would silently omit it);
     a MIXED layout (loose data files above the leaf level) raises instead
     of silently dropping the loose files."""
+    # root recovery too: a crashed in-place run can park the WHOLE source
+    # at <src>__retired — without this, os.listdir(src) below would raise
+    recover_retired(src_path)
     recover_retired_tree(src_path)
     total = 0
     for rel in _partition_leaf_dirs(src_path):

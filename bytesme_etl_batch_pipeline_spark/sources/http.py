@@ -48,14 +48,25 @@ def mock_fetcher(url: str) -> tuple[int, str]:
 
 
 def urllib_fetcher(timeout_s: float = 20.0, user_agent: str = "bytesme-spark/0.1") -> FetchFn:
-    """Production fetcher (stdlib-only)."""
+    """Production fetcher (stdlib-only). Contract matches ``mock_fetcher``:
+    a 4xx/5xx response returns ``(status, body)`` like any other response —
+    urlopen raises ``HTTPError`` for those, and letting it propagate would
+    land every 404/500 as ``status=NULL, error='HTTP Error …'`` (a
+    different contract from the tested one, and the error body — soft-404
+    pages, rate-limit messages — would be discarded). Only transport-level
+    failures (DNS, timeout, refused) escape as exceptions for the
+    ``error`` column."""
 
     def fetch(url: str) -> tuple[int, str]:  # pragma: no cover - needs network
+        import urllib.error
         import urllib.request
 
         req = urllib.request.Request(url, headers={"User-Agent": user_agent})
-        with urllib.request.urlopen(req, timeout=timeout_s) as r:
-            return r.status, r.read().decode("utf-8", errors="replace")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                return r.status, r.read().decode("utf-8", errors="replace")
+        except urllib.error.HTTPError as e:  # 4xx/5xx: a response, not an error
+            return e.code, e.read().decode("utf-8", errors="replace")
 
     return fetch
 

@@ -115,10 +115,17 @@ def write_jdbc_exactly_once(
     ident = r"[A-Za-z_][A-Za-z0-9_]*"
     if not re.fullmatch(ident, table):
         raise ValueError(f"unqualified simple table name required, got {table!r}")
-    if not re.fullmatch(ident, f"x{staging_suffix}"):
-        raise ValueError(f"staging_suffix must be identifier chars, got {staging_suffix!r}")
+    if not staging_suffix or not re.fullmatch(ident, f"x{staging_suffix}"):
+        # empty suffix would make staging == table: the 'restartable'
+        # overwrite would hit the LIVE table directly — the exact
+        # at-least-once hazard this sink exists to prevent
+        raise ValueError(
+            f"staging_suffix must be non-empty identifier chars, got {staging_suffix!r}"
+        )
     staging = f"{table}{staging_suffix}"
     retired = f"{table}_retired"
+    if staging == retired:
+        raise ValueError("staging_suffix '_retired' collides with the parking name")
 
     # Driver-side connections via the JVM's DriverManager (the same
     # classloader Spark's JDBC writer uses, so no extra client library is
@@ -126,7 +133,14 @@ def write_jdbc_exactly_once(
     jvm = df.sparkSession._jvm
 
     def _with_conn(fn):
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        # Same credentials as the Spark staging write: user/password (and
+        # any other driver props) ride a java.util.Properties — a bare
+        # getConnection(url) would fail on any auth-requiring database
+        # while the staging write succeeded, stranding the data unpublished.
+        jprops = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            jprops.setProperty(str(k), str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             stmt = conn.createStatement()
             meta = conn.getMetaData()

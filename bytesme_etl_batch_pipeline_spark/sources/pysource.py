@@ -158,13 +158,34 @@ class EventReplayStreamReader(DataSourceStreamReader):
     """Offset = next unread row index (monotone), the Kafka-shaped contract:
     ``partitions(start, end)`` plans the half-open index range [start, end)
     across N tasks and ``read`` regenerates rows deterministically, so a
-    restarted query re-reads an identical batch."""
+    restarted query re-reads an identical batch.
+
+    Restart semantics: the engine never hands the reader the committed
+    offset before consulting ``latestOffset()``, so a self-advancing
+    "latest" restarts from 0 on a CLEAN (all-committed) restart — the next
+    availableNow run would plan ``[committed, small)`` (empty) and drain
+    nothing, forever. Pass ``statepath`` (a local file) to persist the
+    high-water mark across restarts, the external-position-tracking shape
+    a real broker gives you for free (Kafka asks the broker for latest;
+    a synthetic generator must remember its own). Without ``statepath``
+    the reader is single-lifetime: correct within one process (the
+    ``partitions`` bump covers the uncommitted-replay path), documented
+    not to resume cleanly across one."""
 
     def __init__(self, options: dict):
         self._rows_per_batch = int(options.get("rowsperbatch", "100"))
         self._max_rows = int(options.get("maxrows", "-1"))
         self._num_partitions = int(options.get("numpartitions", "2"))
-        self._latest = 0
+        self._state_path = options.get("statepath")
+        self._latest = self._load_high_water()
+
+    def _load_high_water(self) -> int:
+        import os
+
+        if self._state_path and os.path.exists(self._state_path):
+            text = open(self._state_path).read().strip()
+            return int(text) if text else 0
+        return 0
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -193,7 +214,18 @@ class EventReplayStreamReader(DataSourceStreamReader):
             yield _event_row(i)
 
     def commit(self, end: dict) -> None:
-        pass  # stateless generator: nothing to clean up
+        # keep the in-memory position monotone, and persist the high-water
+        # mark when statepath is configured (atomic replace: a crash
+        # mid-write leaves the previous mark, which only means one extra
+        # replayed-then-deduped batch — offsets are deterministic)
+        self._latest = max(self._latest, int(end["index"]))
+        if self._state_path:
+            import os
+
+            tmp = self._state_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(self._latest))
+            os.replace(tmp, self._state_path)
 
     def stop(self) -> None:
         pass

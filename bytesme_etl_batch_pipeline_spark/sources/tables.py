@@ -72,10 +72,21 @@ def load_table(
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = repair_event_ts(df)
     if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
         df = df.repartition(min_parallelism)
+    return df
+
+
+def repair_event_ts(df: DataFrame) -> DataFrame:
+    """Shared nanos→timestamp repair for the events table (see the physical
+    forms note in ``load_table``) — used by BOTH the batch loader and the
+    streaming reader (``streaming/events.read_events_stream``) so the two
+    paths cannot silently diverge when the testdata generation changes
+    shape again."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -59,10 +59,9 @@ def read_events_stream(
         # Bare-file layout (driver testdata): the file source wants a
         # directory, so scan sf_dir scoped to this one file by leaf name.
         stream = reader.option("pathGlobFilter", "events.parquet*").parquet(sf_dir)
-    # Same nanos→timestamp repair as the batch loader (sources/tables.py).
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    from ..sources.tables import repair_event_ts
+
+    return repair_event_ts(stream)
 
 
 def windowed_counts(
@@ -168,14 +167,22 @@ def make_upsert_step(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if order_col is not None:
+            # row_number over (keys, order desc NULLS LAST), not
+            # max_by(struct, order): max_by over an all-NULL ordering
+            # column returns an all-NULL STRUCT (verified on PySpark
+            # 4.1.2) — the key's real data would be replaced by NULLs and
+            # the NULL-keyed junk row would never anti-join away. The
+            # window keeps an ACTUAL row in every case; non-NULL order
+            # still beats NULL.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(order_col).desc_nulls_last()
+            )
             fresh = (
-                batch_df.groupBy(*[F.col(c) for c in key_cols])
-                .agg(
-                    F.max_by(
-                        F.struct(*[F.col(c) for c in batch_df.columns]), F.col(order_col)
-                    ).alias("__row")
-                )
-                .select("__row.*")
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
             )
         else:
             fresh = batch_df.dropDuplicates(key_cols)
@@ -189,9 +196,16 @@ def make_upsert_step(
             # a genuine read error here must FAIL the batch (retryable),
             # never silently rebuild the store from one micro-batch
             current = spark.read.parquet(read_path)
-            merged = current.join(
-                fresh.select(*key_cols), key_cols, "left_anti"
-            ).unionByName(fresh)
+            # NULL-SAFE key equality, matching the within-batch semantics
+            # (groupBy/dropDuplicates treat NULL keys as one group): with
+            # plain '=' a stored NULL-key row never anti-joins away, so
+            # NULL-keyed junk would accumulate one row per batch forever.
+            fresh_keys = fresh.select(*key_cols)
+            cond = None
+            for c in key_cols:
+                e = current[c].eqNullSafe(fresh_keys[c])
+                cond = e if cond is None else (cond & e)
+            merged = current.join(fresh_keys, cond, "left_anti").unionByName(fresh)
         else:
             merged = fresh
 

@@ -703,3 +703,79 @@ def test_compact_copy_restores_parked_partition(spark, tmp_path):
     compact_parquet(spark, src, dst, target_file_mb=128)
     got = sorted((r["id"], r["part"]) for r in spark.read.parquet(dst).collect())
     assert got == want
+
+
+def test_read_csv_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place — corrupt_col capture must copy, or
+    the CALLER's schema object permanently gains the corrupt column (and a
+    duplicate of it on the next call)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_csv
+
+    p = str(tmp_path / "a.csv")
+    with open(p, "w") as f:
+        f.write("name,n\nok,1\nbad,zzz\n")
+    schema = StructType(
+        [StructField("name", StringType()), StructField("n", LongType())]
+    )
+    for _ in range(2):  # second call would see the duplicate if mutated
+        df = read_csv(spark, p, schema, corrupt_col="_bad")
+        assert df.columns == ["name", "n", "_bad"]
+        # full-row collect: Spark disallows querying ONLY the corrupt
+        # column straight off a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        rows = df.collect()
+        assert sum(r["_bad"] is not None for r in rows) == 1
+    assert [f.name for f in schema.fields] == ["name", "n"], "caller schema mutated"
+
+
+def test_read_csv_multi_line_contract(spark, tmp_path):
+    """multi_line=False keeps scans splittable for newline-free CSVs (the
+    100 TB single-file case); lineage requires multi-line mode and must
+    say so loudly."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_csv
+
+    p = str(tmp_path / "a.csv")
+    with open(p, "w") as f:
+        f.write("name,n\n" + "".join(f"r{i},{i}\n" for i in range(100)))
+    assert read_csv(spark, p, multi_line=False).count() == 100
+    with pytest.raises(ValueError, match="with_lineage=True requires"):
+        read_csv(spark, p, with_lineage=True, multi_line=False)
+
+
+def test_jdbc_staging_suffix_rejects_degenerate_values(spark):
+    """An empty suffix makes staging == the live table (the overwrite hits
+    production directly); '_retired' collides with the parking name."""
+    from bytesme_etl_batch_pipeline_spark.sources.jdbc import (
+        write_jdbc_exactly_once,
+    )
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="non-empty identifier"):
+        write_jdbc_exactly_once(df, "jdbc:derby:memory:x", "t", staging_suffix="")
+    with pytest.raises(ValueError, match="collides with the parking name"):
+        write_jdbc_exactly_once(
+            df, "jdbc:derby:memory:x", "t", staging_suffix="_retired"
+        )
+
+
+def test_urllib_fetcher_returns_http_error_status(monkeypatch):
+    """4xx/5xx must arrive as (status, body) like mock_fetcher — urlopen
+    raises HTTPError for them, and letting it propagate would give the
+    production fetcher a DIFFERENT contract (status=NULL) from the tested
+    one, and discard the error body (soft-404 pages)."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    from bytesme_etl_batch_pipeline_spark.sources.http import urllib_fetcher
+
+    def fake_urlopen(req, timeout=None):
+        raise urllib.error.HTTPError(
+            req.full_url, 404, "Not Found", {}, io.BytesIO(b"soft-404 page body")
+        )
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    status, body = urllib_fetcher()("http://example.invalid/x")
+    assert status == 404
+    assert body == "soft-404 page body"

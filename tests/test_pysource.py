@@ -346,3 +346,36 @@ def test_jsonl_commit_crash_retry_property():
                 ]
 
     run()
+
+
+def test_event_replay_statepath_survives_clean_restart(spark, tmp_path):
+    """A CLEAN (all-committed) restart rebuilds the reader with its
+    self-advancing latest at 0, and the engine consults latestOffset()
+    BEFORE any partitions() call can bump it — without external position
+    tracking every later availableNow run plans [committed, small) and
+    drains nothing. With statepath, the persisted high-water mark floors
+    the restart and the next run drains the NEXT batch."""
+    from bytesme_etl_batch_pipeline_spark.sources.pysource import (
+        EventReplayStreamReader,
+    )
+
+    state = str(tmp_path / "hw")
+    opts = {"rowsperbatch": "100", "statepath": state}
+    r1 = EventReplayStreamReader(opts)
+    # run 1: two batches planned and committed
+    assert r1.latestOffset() == {"index": 100}
+    r1.commit({"index": 100})
+    assert r1.latestOffset() == {"index": 200}
+    r1.commit({"index": 200})
+
+    # clean restart: fresh reader instance (new process in real life)
+    r2 = EventReplayStreamReader(opts)
+    nxt = r2.latestOffset()
+    assert nxt == {"index": 300}, (
+        "restarted reader must advance PAST the committed high-water mark, "
+        f"got {nxt}"
+    )
+
+    # contrast: without statepath the restart is documented single-lifetime
+    r3 = EventReplayStreamReader({"rowsperbatch": "100"})
+    assert r3.latestOffset() == {"index": 100}

@@ -648,3 +648,45 @@ def test_upsert_sink_double_crash_keeps_a_copy(spark, tmp_path):
     step(b2, 1)
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_upsert_sink_null_order_and_null_keys(spark, tmp_path):
+    """Junk-hardening of the keyed upsert: (a) a key whose batch rows all
+    carry NULL order_col must keep a REAL row (max_by over an all-NULL
+    ordering column returns an all-NULL struct — key data would be
+    replaced by NULLs); (b) NULL keys form ONE group, replaced across
+    batches like any key (a null-unsafe anti-join would accumulate one
+    NULL-key row per batch forever)."""
+    target = str(tmp_path / "t")
+    step = stream_events.make_upsert_step(["k"], target, order_col="seq")
+    schema = "k long, v string, seq long"
+
+    b1 = spark.createDataFrame(
+        [(1, "a", None), (1, "b", None), (None, "j1", 5)], schema
+    )
+    step(b1, 0)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    # k=1 kept a real row (either — both have NULL seq), NULL key stored once
+    assert (None, "j1") in got
+    assert len([x for x in got if x[0] == 1]) == 1
+    assert all(k is not None or v == "j1" for k, v in got)
+
+    b2 = spark.createDataFrame(
+        [(1, "c", 10), (None, "j2", 6)], schema
+    )
+    step(b2, 1)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "c"), (None, "j2")}, got  # both keys REPLACED, no growth
+
+
+def test_upsert_sink_non_null_order_beats_null(spark, tmp_path):
+    """Within a batch, a row with a real order value wins over a NULL-order
+    row for the same key (desc NULLS LAST)."""
+    target = str(tmp_path / "t")
+    step = stream_events.make_upsert_step(["k"], target, order_col="seq")
+    b = spark.createDataFrame(
+        [(1, "null-seq", None), (1, "real-seq", 3)], "k long, v string, seq long"
+    )
+    step(b, 0)
+    got = [(r["k"], r["v"]) for r in spark.read.parquet(target).collect()]
+    assert got == [(1, "real-seq")]
