@@ -104,14 +104,13 @@ def salted_count(
     With partial map-side aggregation, plain groupBy handles most skew; the
     salted form is for the pathological hot-key case where even a single
     reducer's *final* partials overflow — standard remedy at 100 TB.
-    Salt mixes a row-content hash with ``monotonically_increasing_id`` so
-    fully identical rows (the duplicate-heavy hot key) spread across buckets
-    instead of re-colliding on one reducer; counts are invariant to which
-    bucket a row lands in, so the position term is semantically free."""
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
-        F.lit(salt_buckets),
-    )
+    Salt derives from ``monotonically_increasing_id`` ALONE (the same rule
+    as ``salted_join``): it is already unique per row, so fully identical
+    rows (the duplicate-heavy hot key) spread across buckets, and hashing
+    the content columns would both add nothing and THROW on un-hashable
+    column types (xxhash64 rejects MapType). Counts are invariant to which
+    bucket a row lands in, so the salt choice is semantically free."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -212,8 +212,17 @@ def bloom_decontaminate(
     candidates = corpus_grams.filter(
         bloom_might_contain(corpus_grams, bloom, gram_col)
     )
-    return (
+    out = (
         candidates.join(eval_grams, gram_col)  # exact: sheds false positives
         .select("doc_id")
         .distinct()
+        .cache()
     )
+    # Materialize the (contaminated-id-sized, tiny) result eagerly so the
+    # benchmark-sized gram cache can be RELEASED here instead of pinning
+    # executor storage for the session lifetime — repeated calls would
+    # otherwise accumulate one gram set each. The returned frame is cached;
+    # callers holding it long-term may .unpersist() when done.
+    out.count()
+    eval_grams.unpersist()
+    return out

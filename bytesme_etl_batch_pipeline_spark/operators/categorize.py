@@ -65,7 +65,11 @@ def build_rule_cascade(
         lowered = [v.lower() for v in variants]
         chain(raw.isin(lowered), cat)
     for cat, variants in rules:
-        pattern = "(?i)" + "|".join(re.escape(v) for v in variants)
+        # lower() the variants like tier 2: the name side is already
+        # F.lower()'d (full Unicode folding), and (?i) alone is ASCII-only
+        # — an uppercase non-ASCII variant letter ('Đ', 'Trà') could never
+        # match the lowered name, silently disabling the rule
+        pattern = "(?i)" + "|".join(re.escape(v.lower()) for v in variants)
         chain(name.rlike(pattern), cat)
     assert expr is not None, "rule cascade needs at least one rule"
     return expr.otherwise(F.lit(default))

@@ -35,11 +35,16 @@ def scd2_history(
     ``valid_to`` and are then dropped — a deleted key has history but no
     current row. Deterministic under any partitioning (the window order is
     the total order of the change feed).
+
+    A NULL op is an UPSERT, not a delete: the delete filter is null-safe —
+    a plain ``op != 'D'`` would three-valued-logic a corrupt/unknown op
+    row out of the output, silently turning junk into a delete (the row's
+    payload would vanish with no signal).
     """
     w = Window.partitionBy(key_col).orderBy(F.col(seq_col).asc())
     out = (
         changes.withColumn("valid_to", F.lead(F.col(seq_col)).over(w))
-        .filter(F.col(op_col) != delete_op)
+        .filter(~F.col(op_col).eqNullSafe(delete_op))
         .select(
             F.col(key_col),
             *[F.col(c) for c in payload_cols],

@@ -195,7 +195,11 @@ def resize_images(
     """Resize stage: image rows only (planning filter stays JVM-side), bytes
     re-encoded per Arrow batch. FakeCodec returns a deterministic tag of the
     (payload, target) pair standing in for real pixels; a production codec
-    (PIL) slots into the same interface."""
+    (PIL) slots into the same interface. Same dead-letter contract as
+    ``decode_and_featurize``: NULL-id / NULL-payload rows are dropped
+    JVM-side — a NULL id would crash Arrow against the non-nullable output
+    id field, and a NULL payload would hash as the literal string 'None',
+    colliding every junk image into one 'duplicate'."""
     state: dict = {}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -220,7 +224,11 @@ def resize_images(
                 }
             )
 
-    images = media.filter(F.col("kind") == "image")
+    images = media.filter(
+        (F.col("kind") == "image")
+        & F.col(id_col).isNotNull()
+        & F.col(payload_col).isNotNull()
+    )
     schema = StructType(
         [StructField(id_col, media.schema[id_col].dataType, False)]
         + [f for f in RESIZED_SCHEMA.fields if f.name != "media_id"]

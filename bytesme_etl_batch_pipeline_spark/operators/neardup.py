@@ -411,8 +411,19 @@ def boilerplate_removal(
         .groupBy(source_col, "seg")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
-    marked = exploded.join(freq, [source_col, "seg"]).withColumn(
-        "keep", F.col("__df") < min_docs
+    # NULL-SAFE source join, consistent with freq's groupBy (which groups
+    # NULL sources together): a plain column-name join would never match a
+    # NULL-source doc's segments back, silently wiping its text to '' while
+    # reporting n_kept=0 AND n_dropped=0 ("nothing was dropped")
+    marked = (
+        exploded.alias("e")
+        .join(
+            freq.alias("f"),
+            F.col(f"e.{source_col}").eqNullSafe(F.col(f"f.{source_col}"))
+            & (F.col("e.seg") == F.col("f.seg")),
+        )
+        .select("e.*", "f.__df")
+        .withColumn("keep", F.col("__df") < min_docs)
     )
     kept_struct = F.when(F.col("keep"), F.struct("pos", "seg"))
     agg = marked.groupBy(id_col).agg(

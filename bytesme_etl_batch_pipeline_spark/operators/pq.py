@@ -209,14 +209,17 @@ def pq_encode(
             ]
         )
         per_sub.append(F.array_min(pairs)["code"])
-    # NULL vector OR a vector with a NULL ELEMENT → NULL codes, EXPLICITLY:
-    # the struct-min over NULL distances would otherwise pick code 0 in the
-    # affected subspace(s), giving junk rows valid-looking codes that
-    # masquerade as vectors near codeword 0 and pollute search candidates
-    # with bogus ids (downstream search filters NULL codes out)
+    # NULL vector, a vector with a NULL ELEMENT, or a WRONG-LENGTH vector
+    # → NULL codes, EXPLICITLY: the struct-min over NULL distances would
+    # otherwise pick code 0 in the affected subspace(s) (a short vector's
+    # zip padding makes every distance NULL), giving junk rows
+    # valid-looking codes that masquerade as vectors near codeword 0 and
+    # pollute search candidates with bogus ids (downstream search filters
+    # NULL codes out)
     codes = F.when(
         F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull()),
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & (F.size(F.col(vec_col)) == F.lit(m * d_sub)),
         F.array(*per_sub),
     ).otherwise(F.lit(None))
     return vectors.withColumn("codes", codes)

@@ -262,10 +262,18 @@ def ivf_assign_pandas(
         live = [np.asarray(v, dtype=np.float64) for v, m in zip(vals, mask) if m]
         if live:
             V = np.vstack(live)
+            # a NULL ELEMENT arrives as NaN: its d2 row is all-NaN and
+            # argmin would return index 0 — a garbage cell that silently
+            # diverges from the expression twin's NULL. NaN rows -> NULL
+            # cell, so both paths agree on junk at any quantizer size.
+            nan_rows = np.isnan(V).any(axis=1)
             d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-            cells = np.argmin(d2, axis=1)
-            it = iter(cells)
-            out = [int(next(it)) if m else None for m in mask]
+            cells = np.argmin(np.where(nan_rows[:, None], np.inf, d2), axis=1)
+            it = iter(zip(cells, nan_rows))
+            def nxt():
+                c, nr = next(it)
+                return None if nr else int(c)
+            out = [nxt() if m else None for m in mask]
         return pd.Series(out, dtype="Int32")
 
     return vectors.withColumn(out_col, _assign(F.col(vec_col)))

@@ -1383,7 +1383,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM changes
     )
     SELECT key, op AS last_op, payload
-    FROM latest WHERE rn = 1 AND op <> 'D'
+    FROM latest WHERE rn = 1 AND op IS DISTINCT FROM 'D'
     """,
 )
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,7 +1404,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("key").orderBy(F.col("change_id").desc())
     return (
         changes.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .filter((F.col("rn") == 1) & ~F.col("op").eqNullSafe("D"))
         .select("key", F.col("op").alias("last_op"), "payload")
     )
 
@@ -1445,7 +1445,7 @@ def _spark_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT key, payload, change_id AS valid_from, valid_to,
            valid_to IS NULL AS is_current
-    FROM v WHERE op <> 'D'
+    FROM v WHERE op IS DISTINCT FROM 'D'
     """,
 )
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5696,7 +5696,8 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     marked AS (
       SELECT s.doc_id, s.pos, s.seg, f.df < 2 AS keep
-      FROM segs s JOIN freq f ON s.source = f.source AND s.seg = f.seg
+      FROM segs s JOIN freq f
+        ON s.source IS NOT DISTINCT FROM f.source AND s.seg = f.seg
     ),
     agg AS (
       SELECT doc_id,
@@ -9800,7 +9801,7 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist AS (
       SELECT user_id, tier, seq AS valid_from,
              lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
-      FROM changes QUALIFY op != 'D'
+      FROM changes QUALIFY op IS DISTINCT FROM 'D'
     ),
     probes AS (
       SELECT event_id, user_id, epoch_us(ts) AS pseq

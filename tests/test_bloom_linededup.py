@@ -149,3 +149,28 @@ def test_bloom_large_expected_items_driver_bounded(spark):
     assert bloom.n_bits >= 8 * 100_000_000  # ~9.6 bits/item at 1% fpp
     flags = members.select(bloom_might_contain(members, bloom, "k").alias("hit"))
     assert flags.filter("NOT hit").count() == 0
+
+
+def test_bloom_decontaminate_releases_gram_cache(spark):
+    """The benchmark-sized eval-gram cache must be released before return —
+    repeated decontamination calls (per-benchmark, per-batch) would
+    otherwise accumulate one cached gram set each for the session
+    lifetime. Only the id-sized result stays cached (callers may
+    unpersist it)."""
+    from bytesme_etl_batch_pipeline_spark.operators.bloom import (
+        bloom_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z")], "doc_id long, text string"
+    ).selectExpr("doc_id", "explode(split(text, ' ')) AS gram")
+    ev = spark.createDataFrame([("a b c",)], "text string").selectExpr(
+        "explode(split(text, ' ')) AS gram"
+    )
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = bloom_decontaminate(corpus, ev)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before <= 1, "gram cache leaked"
+    out.unpersist()

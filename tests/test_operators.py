@@ -961,3 +961,126 @@ def test_star_cc_nonconvergence_frees_checkpoint_blocks(spark):
         connected_components_star(chain, max_iter=1)
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert after - before == set(), "error path must not pin blocks"
+
+
+def test_resize_images_dead_letters_null_rows(spark):
+    """resize_images shares the decode stage's dead-letter contract: a NULL
+    id would crash Arrow against the non-nullable output field, a NULL
+    payload would hash as the literal string 'None' and collide every junk
+    image into one 'duplicate'."""
+    from bytesme_etl_batch_pipeline_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"aa"),
+            (None, "image", b"bb"),
+            (3, "image", None),
+            (4, "audio", b"cc"),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    got = resize_images(media, 8, 8).collect()
+    assert [r["media_id"] for r in got] == [1]
+
+
+def test_ivf_assign_pandas_null_element_matches_expression_twin(spark):
+    """A NULL vector ELEMENT arrives in the Arrow path as NaN; argmin over
+    an all-NaN distance row would return cell 0 — a garbage assignment
+    that silently diverges from the expression twin's NULL cell whenever
+    the quantizer crosses IVF_EXPRESSION_MAX_K. Both paths must agree."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_pandas,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.1, None]), (3, None), (4, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [5.0, 5.0]]
+    expr_cells = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(vecs, cents).collect()
+    }
+    arrow_cells = {
+        r["vec_id"]: r["cell"] for r in ivf_assign_pandas(vecs, cents).collect()
+    }
+    assert expr_cells == arrow_cells == {1: 0, 2: None, 3: None, 4: 1}
+
+
+def test_salted_count_handles_unhashable_columns(spark):
+    """The salt derives from monotonically_increasing_id alone — hashing
+    the content columns added nothing (the id is unique per row) and threw
+    on MapType columns (xxhash64 rejects them)."""
+    from bytesme_etl_batch_pipeline_spark.operators.aggregate import salted_count
+
+    df = spark.createDataFrame(
+        [("a", {"k": 1}), ("a", {"k": 2}), ("b", {"k": 3})],
+        "key string, props map<string,int>",
+    )
+    got = {r["key"]: r["n"] for r in salted_count(df, ["key"]).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_rule_cascade_tier3_matches_uppercase_unicode_variants(spark):
+    """Tier 3 lowercases the variants like tier 2 does the raw values: the
+    name side is F.lower()'d with full Unicode folding, and (?i) alone is
+    ASCII-only — a variant like 'Trà Đào' could otherwise never match."""
+    from bytesme_etl_batch_pipeline_spark.operators.categorize import (
+        standardize_categories,
+    )
+
+    df = spark.createDataFrame(
+        [("Trà đào cam sả", "unknown"), ("bánh kem", "unknown")],
+        "name string, raw string",
+    )
+    got = {
+        r["name"]: r["category_name"]
+        for r in standardize_categories(
+            df, "name", "raw", [("Tea", ["Trà Đào"])], default="Others"
+        ).collect()
+    }
+    assert got == {"Trà đào cam sả": "Tea", "bánh kem": "Others"}
+
+
+def test_scd2_null_op_is_upsert_not_silent_delete(spark):
+    """A corrupt/unknown (NULL) op must surface as an upsert version, not
+    be three-valued-logic'd into a silent delete that vanishes the
+    payload."""
+    from bytesme_etl_batch_pipeline_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [(1, 1, "I", "A"), (1, 5, None, "B"), (2, 2, "I", "X"), (2, 7, "D", None)],
+        "k long, seq long, op string, payload string",
+    )
+    rows = {
+        (r["k"], r["valid_from"]): (r["payload"], r["valid_to"], r["is_current"])
+        for r in scd2_history(changes, "k", "seq", ["payload"]).collect()
+    }
+    # k=1: version A closed at 5, version B (NULL op) current
+    assert rows[(1, 1)] == ("A", 5, False)
+    assert rows[(1, 5)] == ("B", None, True)
+    # k=2: real delete still ends history with no current row
+    assert rows[(2, 2)] == ("X", 7, False)
+    assert (2, 7) not in rows
+
+
+def test_boilerplate_removal_null_source_keeps_text(spark):
+    """NULL-source docs group together in the frequency pass (groupBy
+    semantics), so the join-back must be null-safe — a plain join wiped
+    their text to '' while reporting n_kept=0 AND n_dropped=0."""
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import (
+        boilerplate_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "unique words here only once ever written now yes"),
+            (2, "s1", "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_removal(docs).collect()}
+    # 9 words -> 2 segments, both unique: kept in full, nothing dropped
+    assert got[1]["n_kept"] == 2 and got[1]["n_dropped"] == 0
+    assert got[1]["clean_text"].startswith("unique words")
+    assert got[2]["n_kept"] == 1

@@ -328,3 +328,27 @@ def test_ivfpq_arrow_assign_rejects_null_elements(spark):
     )
     with pytest.raises(Exception, match="NULL/NaN"):
         _assign_and_residual_pandas(vecs, [[0.0] * 4, [1.0] * 4], "embedding").collect()
+
+
+def test_pq_encode_wrong_length_vector_gets_null_codes(spark):
+    """A ragged vector (wrong length, no NULL elements) zip-pads every
+    subspace distance to NULL and the struct-min would pick code 0 —
+    valid-looking all-zero codes that masquerade as vectors near codeword
+    0. The size guard maps it to NULL codes instead (search filters those
+    out)."""
+    from bytesme_etl_batch_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    good = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    short = [(103, [1.0, 2.0, 3.0])]
+    vecs = spark.createDataFrame(
+        good + short, "vec_id long, embedding array<double>"
+    )
+    books = train_pq(vecs.filter("vec_id < 100"), m=2, k=4)
+    enc = pq_encode(vecs, books)
+    assert enc.filter("vec_id = 103").first()["codes"] is None
+    top = pq_adc_topk(enc, [0.0] * 8, books, k=5).collect()
+    assert all(r["vec_id"] < 100 for r in top)
