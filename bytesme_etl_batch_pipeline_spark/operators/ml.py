@@ -42,7 +42,12 @@ def _sq_l2(vec_col, centroid: list[float]):
 
 def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Add (cluster, dist): argmin of squared-L2 over the literal centroids,
-    ties broken by the lower cluster id."""
+    ties broken by the lower cluster id. A corrupt vector — NULL, NULL
+    element, or a length that doesn't match the centroids — gets NULL
+    cluster/dist: its distances are all-or-partially NULL, and the
+    struct-min would otherwise 'assign' it to whichever centroid the NULL
+    ordering happens to favor."""
+    dim = len(centroids[0])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pairs = F.array(
         *[
@@ -51,7 +56,14 @@ def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFr
         ]
     )
     best = F.array_min(pairs)
-    return df.withColumn("cluster", best["cid"]).withColumn("dist", best["d"])
+    valid = (
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & (F.size(F.col(vec_col)) == F.lit(dim))
+    )
+    return df.withColumn("cluster", F.when(valid, best["cid"])).withColumn(
+        "dist", F.when(valid, best["d"])
+    )
 
 
 def kmeans(
@@ -85,6 +97,20 @@ def kmeans(
         F.col(vec_col).isNotNull()
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
+    # Ragged contract: the canonical dim is the lowest-id valid row's
+    # length; wrong-length vectors are excluded like other corrupt shapes
+    # (a ragged row would get NULL distances and, un-gated, its shorter/
+    # longer explode would corrupt the per-(cluster, dim) means and crash
+    # the centroid update on a NULL cluster id).
+    dim_row = (
+        df.select(F.col(id_col), F.size(F.col(vec_col)).alias("d"))
+        .orderBy(id_col)
+        .limit(1)
+        .collect()
+    )
+    if not dim_row:
+        raise ValueError("no valid vectors to train on")
+    df = df.filter(F.size(F.col(vec_col)) == int(dim_row[0]["d"]))
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )

@@ -148,16 +148,21 @@ def _hyperplane(dim: int, plane: int, seed: int = 7) -> list[float]:
 
 def lsh_signature(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
     """Sign-of-dot-product bit signature: bit j = 1 iff v · h_j > 0.
-    A NULL vector — or one with a NULL element (its dot products are all
-    NULL, so every ``when`` would fall through) — gets a NULL signature:
-    mapping corrupt vectors to 0 would pile them into bucket 0 and let
-    them survive Hamming pruning near signature 0."""
+    A NULL vector, one with a NULL element, or one of the WRONG LENGTH
+    (its dot products are all or partially NULL, so every ``when`` would
+    fall through) — gets a NULL signature: mapping corrupt vectors to 0
+    would pile them into bucket 0 and let them survive Hamming pruning
+    near signature 0."""
     sig = F.lit(0).cast("long")
     for j in range(n_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, j, seed)])
         bit = F.when(_dots(vec_col, plane) > 0, F.lit(2**j)).otherwise(F.lit(0))
         sig = sig + bit
-    valid = vec_col.isNotNull() & ~F.exists(vec_col, lambda x: x.isNull())
+    valid = (
+        vec_col.isNotNull()
+        & ~F.exists(vec_col, lambda x: x.isNull())
+        & (F.size(vec_col) == F.lit(dim))
+    )
     return F.when(valid, sig)
 
 

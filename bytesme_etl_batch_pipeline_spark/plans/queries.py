@@ -2369,8 +2369,11 @@ def _duck_dot(a: str, b: str) -> str:
     # NULL-element guard: DuckDB list_sum SKIPS NULL elements, silently
     # computing a partial dot product for a corrupt vector; Spark's
     # F.aggregate propagates NULL (the engine contract — a vector with a
-    # NULL component has no defined score). CASE of a NULL condition falls
-    # through to the body, which is itself NULL for a NULL list.
+    # NULL component has no defined score). Length guard for the same
+    # reason: a RAGGED pair would compute a partial dot (short side) or
+    # skip the out-of-range NULLs (long side), where Spark's zip_with
+    # padding propagates NULL. CASE of a NULL condition falls through to
+    # the body, which is itself NULL for a NULL list.
     body = (
         f"list_sum(list_transform(range(len({a})), i -> "
         f"CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE)))"
@@ -2378,6 +2381,7 @@ def _duck_dot(a: str, b: str) -> str:
     return (
         f"(CASE WHEN len(list_filter({a}, x -> x IS NULL)) > 0 "
         f"OR len(list_filter({b}, x -> x IS NULL)) > 0 "
+        f"OR len({a}) <> len({b}) "
         f"THEN NULL ELSE {body} END)"
     )
 
@@ -2417,9 +2421,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id, label,
-           -- NULL-element guard: list_sum skips NULLs (partial distance);
-           -- the engine propagates NULL and sorts those rows last
+           -- NULL-element + length guard: list_sum skips NULLs (partial
+           -- distance) and a ragged pair would partial-sum too; the
+           -- engine propagates NULL and sorts those rows last
            round(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                      OR len(embedding) <> len(qv)
                  THEN NULL
                  ELSE sqrt(list_sum(list_transform(range(len(embedding)), i ->
                    (CAST(embedding[i + 1] AS DOUBLE) - CAST(qv[i + 1] AS DOUBLE))
@@ -2509,14 +2515,15 @@ _DUCK_ANN_LSH = f"""
       FROM range(8) t(j)
     ), sigs AS (
       -- valid vectors only: the engine's lsh_signature is NULL for a NULL
-      -- vector or one with a NULL element (never bucket 0), so corrupt
-      -- rows can never be LSH candidates
+      -- vector, one with a NULL element, or a WRONG-LENGTH one (never
+      -- bucket 0), so corrupt rows can never be LSH candidates
       SELECT e.vec_id,
              CAST(SUM(CASE WHEN {_duck_dot('e.embedding', 'p.plane')} > 0
                            THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS sig
       FROM embeddings e CROSS JOIN planes p
       WHERE e.embedding IS NOT NULL
         AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
+        AND len(e.embedding) = 64
       GROUP BY e.vec_id
     ), q AS (
       SELECT e.embedding AS qv, s.sig AS qsig
@@ -6005,7 +6012,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kmeans_lloyd_step",
     oracle="""
-    WITH live AS (
+    WITH live0 AS (
       -- trainer contract (operators/ml.kmeans): rows with a NULL vector or
       -- any NULL element are excluded from the step — a partial distance
       -- (list_sum skips NULLs) would mis-assign, and a NULL element would
@@ -6013,6 +6020,14 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    dim AS (
+      -- ragged contract: canonical dim = the lowest-id valid row's length;
+      -- wrong-length vectors are excluded like other corrupt shapes
+      SELECT len(embedding) AS d FROM live0 ORDER BY vec_id LIMIT 1
+    ),
+    live AS (
+      SELECT vec_id, embedding FROM live0, dim WHERE len(embedding) = dim.d
     ),
     cent AS (
       SELECT vec_id AS cid, embedding AS cv FROM live WHERE vec_id < 8
@@ -6056,12 +6071,21 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     those two exchanges — the canonical distributed k-means step. A full
     trainer loops this via ``localCheckpoint`` exactly like
     ``graph.connected_components_star``."""
-    em = load_table(spark, sf_dir, "embeddings").filter(
+    em0 = load_table(spark, sf_dir, "embeddings").filter(
         # trainer contract (operators/ml.kmeans): corrupt vectors — NULL, or
         # containing a NULL element — are excluded from the step
         F.col("embedding").isNotNull()
         & ~F.exists(F.col("embedding"), lambda x: x.isNull())
     )
+    # ragged contract (matches the oracle's dim CTE): canonical dim = the
+    # lowest-id valid row's length; wrong-length vectors are excluded
+    dim = (
+        em0.select("vec_id", F.size("embedding").alias("d"))
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]["d"]
+    )
+    em = em0.filter(F.size("embedding") == int(dim))
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = em.select("vec_id", ev.alias("v"))
     cent = em.filter(F.col("vec_id") < 8).select(
@@ -9126,6 +9150,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e CROSS JOIN planes p
       WHERE e.embedding IS NOT NULL
         AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
+        AND len(e.embedding) = 64
       GROUP BY e.vec_id
     ), qs AS (
       SELECT e.vec_id AS q_id, e.embedding AS qv, s.sig AS qsig

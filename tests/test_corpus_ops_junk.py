@@ -211,6 +211,12 @@ def junk_emb_dir(spark, tmp_path_factory):
     null_elem = [0.5] * JUNK_EMB_DIM
     null_elem[7] = None
     rows += [(100, None, 0), (101, null_elem, 1), (102, [0.0] * JUNK_EMB_DIM, 0)]
+    # ragged vectors: wrong length without any NULL element — the shape a
+    # schema-drifted or truncated upstream writer produces
+    rows += [
+        (103, [0.25] * (JUNK_EMB_DIM - 2), 1),
+        (104, [0.25] * (JUNK_EMB_DIM + 2), 0),
+    ]
     d = str(tmp_path_factory.mktemp("junk_emb"))
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"

@@ -118,3 +118,20 @@ def test_kmeans_excludes_null_vectors_and_elements(spark):
     assert assigned.count() == 4  # the two NULL-bearing rows are excluded
     cents = sorted([round(x, 6) for x in c] for c in cents)
     assert cents == [[0.1, 0.0], [10.1, 10.0]]
+
+
+def test_kmeans_excludes_ragged_vectors(spark):
+    """Wrong-length vectors are corrupt like NULL-element ones: ungated,
+    their all-NULL distances struct-min into an arbitrary cluster, their
+    shorter/longer explode corrupts the per-(cluster, dim) means, and the
+    centroid update crashes on a NULL cluster id."""
+    from bytesme_etl_batch_pipeline_spark.operators.ml import kmeans
+
+    rows = [(i, [float(i), float(i)]) for i in range(6)]
+    rows += [(90, [1.0]), (91, [1.0, 2.0, 3.0]), (92, None), (93, [1.0, None])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents, hist = kmeans(df, k=2, max_iter=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert set(got) == set(range(6))  # corrupt/ragged rows excluded
+    assert all(c is not None for c in got.values())
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
