@@ -299,6 +299,67 @@ def decontaminate_overlap(
     )
 
 
+def _word_segments(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared segmentation front half of ``segment_dedup`` /
+    ``boilerplate_removal``: explode each doc into consecutive
+    ``seg_words``-word segments as ``(id[, extra...], pos, seg)``."""
+    # materialized column, not an inline words() expression — an inline
+    # expression re-splits the text at every lambda reference (the
+    # word_ngrams PERF note; measured 6x on the bigram query)
+    base = docs.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], words(text_col).alias("__ws")
+    )
+    ws = F.col("__ws")
+    n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
+    # sequence(0, -1) is DESCENDING, not empty (same guard as word_ngrams)
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(ws, i * seg_words + 1, seg_words), " "),
+    )
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(segs).alias("pos", "seg"),
+    )
+
+
+def _reassemble_kept(docs: DataFrame, marked: DataFrame, id_col: str) -> DataFrame:
+    """Shared reassembly back half: from the ``(id, pos, seg, keep)``-marked
+    segment stream, rebuild each doc's surviving text in position order and
+    count kept/dropped; the left join against the doc spine re-enters
+    zero-segment (empty-text) docs with ``clean_text = ''``."""
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "seg"))
+    agg = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
 def segment_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -323,46 +384,10 @@ def segment_dedup(
 
     Returns ``(id, clean_text, n_kept, n_dropped)``.
     """
-    # materialized column, not an inline words() expression — an inline
-    # expression re-splits the text at every lambda reference (the
-    # word_ngrams PERF note; measured 6× on the bigram query)
-    base = docs.select(F.col(id_col), words(text_col).alias("__ws"))
-    ws = F.col("__ws")
-    n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
-    # sequence(0, -1) is DESCENDING, not empty (same guard as word_ngrams)
-    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    segs = F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(ws, i * seg_words + 1, seg_words), " "),
-    )
-    exploded = base.select(
-        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
-    )
+    exploded = _word_segments(docs, id_col, text_col, seg_words)
     w = Window.partitionBy("seg").orderBy(id_col, "pos")
     marked = exploded.withColumn("keep", F.row_number().over(w) == 1)
-    kept_struct = F.when(F.col("keep"), F.struct("pos", "seg"))
-    agg = marked.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
-    )
-    return (
-        docs.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-        )
-    )
+    return _reassemble_kept(docs, marked, id_col)
 
 
 def boilerplate_removal(
@@ -389,21 +414,8 @@ def boilerplate_removal(
 
     Returns ``(id, clean_text, n_kept, n_dropped)``.
     """
-    # materialized column (see segment_dedup's note on inline words())
-    base = docs.select(
-        F.col(id_col), F.col(source_col), words(text_col).alias("__ws")
-    )
-    ws = F.col("__ws")
-    n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
-    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    segs = F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(ws, i * seg_words + 1, seg_words), " "),
-    )
-    exploded = base.select(
-        F.col(id_col), F.col(source_col), F.posexplode(segs).alias("pos", "seg")
+    exploded = _word_segments(
+        docs, id_col, text_col, seg_words, extra_cols=(source_col,)
     )
     freq = (
         exploded.select(source_col, "seg", id_col)
@@ -425,27 +437,7 @@ def boilerplate_removal(
         .select("e.*", "f.__df")
         .withColumn("keep", F.col("__df") < min_docs)
     )
-    kept_struct = F.when(F.col("keep"), F.struct("pos", "seg"))
-    agg = marked.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
-    )
-    return (
-        docs.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-        )
-    )
+    return _reassemble_kept(docs, marked, id_col)
 
 
 def hamming_pairs_banded(
