@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Pre-flight replica of the driver's correctness gate.
+
+The driver records CORRECTNESS rows for the FIRST 50 catalog entries
+(``plans/queries._CATALOG_ORDER``) at sf0.01: per query it runs the Spark
+side AND the DuckDB oracle, then compares row count, column names, and an
+order-insensitive value hash. This tool runs the SAME gate locally (via
+the harness in ``tests/oracle.py``, which replicates the driver's
+comparator semantics including its pandas hash classes) so a session can
+verify the exact driver window before the round closes.
+
+Usage:
+    python tools/driver_gate.py                 # first 50, sf0.01
+    python tools/driver_gate.py --window 0      # ENTIRE catalog
+    python tools/driver_gate.py --names q1 q2   # just these queries
+    python tools/driver_gate.py --sf-dir /root/testdata/sf0.001
+
+Prints one status line per query to stderr and a final JSON summary to
+stdout; exit code 1 if any checked query is not green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
+from bytesme_etl_batch_pipeline_spark.session import get_spark
+from tests.oracle import compare, duckdb_con
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument(
+        "--window",
+        type=int,
+        default=50,
+        help="check the first N catalog entries (0 = all)",
+    )
+    p.add_argument("--names", nargs="*", help="explicit query names (overrides --window)")
+    args = p.parse_args()
+
+    order = list(catalog.SPARK_QUERIES)  # catalog dict is _CATALOG_ORDER-sorted
+    if args.names:
+        unknown = [n for n in args.names if n not in catalog.SPARK_QUERIES]
+        if unknown:
+            p.error(f"unknown queries: {unknown}")
+        names = args.names
+    else:
+        names = order if args.window == 0 else order[: args.window]
+
+    spark = get_spark("driver-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_con(args.sf_dir)
+
+    green, red, no_oracle = [], [], []
+    for name in names:
+        t0 = time.perf_counter()
+        sql = catalog.ORACLE_SQL.get(name)
+        if sql is None:
+            # driver records a weaker rows-only check for these
+            n = catalog.SPARK_QUERIES[name](spark, args.sf_dir).count()
+            no_oracle.append(name)
+            status = f"no_oracle rows={n}"
+        else:
+            r = compare(catalog.SPARK_QUERIES[name](spark, args.sf_dir), con, sql)
+            ok = r["values_match"] and r["types_match"]
+            (green if ok else red).append(name)
+            status = "green" if ok else f"RED {json.dumps({k: r[k] for k in ('rows_match', 'cols_match', 'types_match', 'values_match')})}"
+        print(
+            f"{name:45s} {status}  ({time.perf_counter() - t0:.2f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "checked": len(names),
+                "green": len(green),
+                "no_oracle": no_oracle,
+                "red": red,
+            }
+        )
+    )
+    return 1 if red else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
