@@ -10,6 +10,8 @@ Scale contract for ids (SURVEY §7 hard part 4):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,9 +53,20 @@ def hash_ids(df: DataFrame, id_col: str, key_cols: list[str], hash_fn=None) -> D
     """A3 (facts): 64-bit deterministic surrogate keys, no shuffle at all.
     The 100 TB-safe replacement for ``enumerate``-style dense ids.
     ``hash_fn`` defaults to ``xxhash64`` (fast, JVM-side); pass an md5-based
-    hash when a cross-engine oracle must replay the ids."""
+    hash when a cross-engine oracle must replay the ids.
+
+    A row with a NULL anywhere in its business key gets a NULL surrogate —
+    NOT a hash: both xxhash64 and concat_ws-based hashes SKIP NULL inputs,
+    so hashing would alias a NULL key with the empty-string key (and, for
+    multi-column keys, ``(a, NULL)`` with ``(NULL, a)``) — a corrupt row
+    must never inherit a clean row's identity."""
     hash_fn = hash_fn or F.xxhash64
-    return df.withColumn(id_col, hash_fn(*[F.col(c) for c in key_cols]))
+    all_present = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in key_cols]
+    )
+    return df.withColumn(
+        id_col, F.when(all_present, hash_fn(*[F.col(c) for c in key_cols]))
+    )
 
 
 def group_sequence(

@@ -3227,9 +3227,11 @@ def q_snowflake_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fw WHERE rn = 1
     )
     SELECT w.p_partkey,
-           {_duck_hash48("CAST(w.p_partkey AS VARCHAR)")} AS fact_id,
+           CASE WHEN w.p_partkey IS NULL THEN NULL
+                ELSE {_duck_hash48("CAST(w.p_partkey AS VARCHAR)")}
+           END AS fact_id,
            d.dim_id, w.p_name
-    FROM wide w JOIN dims d ON w.p_brand = d.p_brand
+    FROM wide w LEFT JOIN dims d ON w.p_brand = d.p_brand
     """,
 )
 def q_snowflake_facts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,3 +166,66 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     else:
         result["values_match"] = False
     return result
+
+
+def catalog_table_reads() -> dict[str, set[str]]:
+    """query name -> the set of driver base tables its plan reads, derived
+    from the catalog SOURCE (Spark-free, seconds): direct
+    ``load_table(spark, sf_dir, "t")`` / ``_cpu_spread(spark, sf_dir, "t")``
+    calls in the query's register block, PLUS the reads inside any
+    module-level ``_helper(spark, ...)`` function the block calls (helpers
+    resolved transitively). The junk sweeps' completeness guards use this so
+    a query reading through a shared helper (``_wide_part``,
+    ``_spark_changes``, ``_neardup_lsh_edges``) cannot silently escape junk
+    coverage the way a direct-scan-only parse would let it."""
+    import re
+
+    from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
+
+    src = open(
+        os.path.join(os.path.dirname(catalog.__file__), "queries.py")
+    ).read()
+    load_re = (
+        r'load_table\(spark, sf_dir, "(\w+)"'
+        r'|_cpu_spread\(spark, sf_dir, "(\w+)"'
+    )
+
+    def direct(text: str) -> set[str]:
+        return {t for pair in re.findall(load_re, text) for t in pair if t}
+
+    # Module-level helper functions (column-0 "def _name("): their table
+    # reads and which other helpers they call.
+    helpers: dict[str, dict] = {}
+    for m in re.finditer(r"\ndef (_\w+)\(", src):
+        start = m.end()
+        nxt = re.search(r"\ndef |\n@register\(", src[start:])
+        body = src[start : start + nxt.start()] if nxt else src[start:]
+        helpers[m.group(1)] = {
+            "tabs": direct(body),
+            "calls": set(re.findall(r"\b(_\w+)\(spark", body)),
+        }
+    changed = True
+    while changed:  # transitive helper -> helper resolution
+        changed = False
+        for h in helpers.values():
+            for c in h["calls"]:
+                sub = helpers.get(c)
+                if sub and not sub["tabs"] <= h["tabs"]:
+                    h["tabs"] |= sub["tabs"]
+                    changed = True
+
+    out: dict[str, set[str]] = {}
+    for b in re.split(r"@register\(", src)[1:]:
+        m = re.match(r'\s*"([^"]+)"', b)
+        if not m:
+            continue
+        # Cut at the first column-0 helper def: its source belongs to the
+        # MODULE, not this query (the old parse mis-attributed the reads of
+        # a helper defined between two register blocks to the earlier one).
+        block = re.split(r"\ndef _", b)[0]
+        tabs = direct(block)
+        for c in set(re.findall(r"\b(_\w+)\(spark", block)):
+            if c in helpers:
+                tabs |= helpers[c]["tabs"]
+        out[m.group(1)] = tabs
+    return out

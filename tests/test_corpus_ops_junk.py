@@ -84,7 +84,34 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
     from tests.oracle import compare, duckdb_con
 
     con = duckdb_con(junk_sf_dir)
-    for name in [
+    for name in DOC_JUNK_QUERIES:
+        r = compare(
+            catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
+            con,
+            catalog.ORACLE_SQL[name],
+        )
+        assert r["values_match"], (name, r)
+
+
+def test_doc_junk_query_list_is_complete():
+    """Every oracle-paired documents-only query must be in the junk sweep —
+    derived from the catalog source with helper reads resolved (the star
+    sweep's original direct-scan parse let helper-fed queries escape; here
+    the two CC-cluster queries read documents through _neardup_lsh_edges)."""
+    from tests.oracle import catalog_table_reads
+
+    expected = {
+        name
+        for name, tabs in catalog_table_reads().items()
+        if tabs == {"documents"} and name in catalog.ORACLE_SQL
+    }
+    assert expected == set(DOC_JUNK_QUERIES), (
+        sorted(expected - set(DOC_JUNK_QUERIES)),
+        sorted(set(DOC_JUNK_QUERIES) - expected),
+    )
+
+
+DOC_JUNK_QUERIES = [
         "repetition_signals",
         "pii_redact",
         "quality_filter_chain",
@@ -181,13 +208,13 @@ def test_junk_oracle_parity(spark, junk_sf_dir):
         "winnow_fingerprints",
         "wordcount",
         "zipf_fit_report",
-    ]:
-        r = compare(
-            catalog.SPARK_QUERIES[name](spark, junk_sf_dir),
-            con,
-            catalog.ORACLE_SQL[name],
-        )
-        assert r["values_match"], (name, r)
+        # round 4 (helper-resolved completeness guard): the CC-cluster
+        # pair reads documents through _neardup_lsh_edges — junk docs must
+        # produce no junk edges, so both variants must label exactly the
+        # clean transitive clusters the recursive-CTE oracles replay
+        "neardup_clusters",
+        "neardup_clusters_star",
+]
 
 
 JUNK_EMB_DIM = 64

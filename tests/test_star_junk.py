@@ -134,6 +134,13 @@ STAR_QUERIES = [
     "revenue_gini_by_nation",
     "new_vs_returning_revenue",
     "supplier_delivery_reliability",
+    # round 4: queries reading star tables through MODULE HELPERS
+    # (_wide_part over part, _spark_changes over orders) — the old
+    # direct-scan-only completeness parse let these escape the sweep
+    "snowflake_dims",
+    "snowflake_facts",
+    "snowflake_children",
+    "scd2_history",
 ]
 
 
@@ -198,30 +205,18 @@ def test_star_junk_oracle_parity(spark, junk_star_dir):
 def test_star_query_list_is_complete():
     """A new star-schema query registered without joining STAR_QUERIES
     would silently skip junk coverage — derive the expected set from the
-    catalog source the same way the round-4 sweep did."""
-    import re
+    catalog source. ``catalog_table_reads`` resolves reads made through
+    module helpers (_wide_part, _spark_changes), which the sweep's original
+    direct-scan-only parse mis-attributed — that blind spot let the
+    snowflake trio and scd2_history escape the sweep until round 4."""
+    from tests.oracle import catalog_table_reads
 
-    src_path = os.path.join(
-        os.path.dirname(catalog.__file__), "queries.py"
-    )
-    src = open(src_path).read()
-    expected = set()
-    for b in re.split(r"@register\(", src)[1:]:
-        m = re.match(r'\s*"([^"]+)"', b)
-        if not m:
-            continue
-        tabs = {
-            t
-            for pair in re.findall(
-                r'load_table\(spark, sf_dir, "(\w+)"\)'
-                r'|_cpu_spread\(spark, sf_dir, "(\w+)"\)',
-                b,
-            )
-            for t in pair
-            if t
-        }
-        if tabs and tabs <= STAR_TABLES and m.group(1) in catalog.ORACLE_SQL:
-            expected.add(m.group(1))
+    reads = catalog_table_reads()
+    expected = {
+        name
+        for name, tabs in reads.items()
+        if tabs and tabs <= STAR_TABLES and name in catalog.ORACLE_SQL
+    }
     assert expected == set(STAR_QUERIES), (
         sorted(expected - set(STAR_QUERIES)),
         sorted(set(STAR_QUERIES) - expected),
