@@ -261,20 +261,7 @@ def test_embeddings_junk_oracle_parity(spark, junk_emb_dir):
     from tests.oracle import compare, duckdb_con
 
     con = duckdb_con(junk_emb_dir)
-    for name in [
-        "label_centroids",
-        "cosine_topk",
-        "l2_topk",
-        "embedding_pairs_blocked",
-        "semantic_dedup_embeddings",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "embedding_quantize_int8",
-        "kmeans_lloyd_step",
-        "ann_recall_report",
-        "bitext_margin_mining",
-        "embedding_norm_outliers",
-    ]:
+    for name in EMB_JUNK_QUERIES:
         r = compare(
             catalog.SPARK_QUERIES[name](spark, junk_emb_dir),
             con,
@@ -385,7 +372,59 @@ def test_event_queries_junk_oracle_parity(spark, junk_events_dir):
     from tests.oracle import compare, duckdb_con
 
     con = duckdb_con(junk_events_dir)
-    for name in [
+    for name in EVENT_JUNK_QUERIES:
+        r = compare(
+            catalog.SPARK_QUERIES[name](spark, junk_events_dir),
+            con,
+            catalog.ORACLE_SQL[name],
+        )
+        assert r["values_match"], (name, r)
+
+
+def test_event_and_embedding_junk_lists_are_complete():
+    """Same guard as the documents/star sweeps: every oracle-paired
+    events-only / embeddings-only query must be junk-swept. The streaming
+    twins read events through the file-stream reader (invisible to the
+    load_table parse), so they are pinned manually on top."""
+    from tests.oracle import catalog_table_reads
+
+    reads = catalog_table_reads()
+    exp_events = {
+        n
+        for n, t in reads.items()
+        if t == {"events"} and n in catalog.ORACLE_SQL
+    } | {"streaming_windowed_counts", "streaming_session_counts"}
+    assert exp_events == set(EVENT_JUNK_QUERIES), (
+        sorted(exp_events - set(EVENT_JUNK_QUERIES)),
+        sorted(set(EVENT_JUNK_QUERIES) - exp_events),
+    )
+    exp_emb = {
+        n
+        for n, t in reads.items()
+        if t == {"embeddings"} and n in catalog.ORACLE_SQL
+    }
+    assert exp_emb == set(EMB_JUNK_QUERIES), (
+        sorted(exp_emb - set(EMB_JUNK_QUERIES)),
+        sorted(set(EMB_JUNK_QUERIES) - exp_emb),
+    )
+
+
+EMB_JUNK_QUERIES = [
+    "label_centroids",
+    "cosine_topk",
+    "l2_topk",
+    "embedding_pairs_blocked",
+    "semantic_dedup_embeddings",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_quantize_int8",
+    "kmeans_lloyd_step",
+    "ann_recall_report",
+    "bitext_margin_mining",
+    "embedding_norm_outliers",
+]
+
+EVENT_JUNK_QUERIES = [
         "event_burst_dedup",        # duplicate-µs rows tie-break on event_id
         "scd2_point_in_time",       # close-without-reopen resolves NULL tier
         "hourly_interpolated_values",  # NULL-value anchors interpolate to NULL
@@ -439,10 +478,8 @@ def test_event_queries_junk_oracle_parity(spark, junk_events_dir):
         # state exactly as GROUP BY does in batch.
         "streaming_windowed_counts",
         "streaming_session_counts",
-    ]:
-        r = compare(
-            catalog.SPARK_QUERIES[name](spark, junk_events_dir),
-            con,
-            catalog.ORACLE_SQL[name],
-        )
-        assert r["values_match"], (name, r)
+        # round 4 (completeness guard): also junk-parity VARIANT parsing
+        # against the events table — its dedicated malformed-JSON test
+        # uses a custom fixture, which let it escape this sweep
+        "variant_json_events",
+]
