@@ -270,6 +270,17 @@ def test_embeddings_junk_oracle_parity(spark, junk_emb_dir):
         assert r["values_match"], (name, r)
 
 
+def test_rows_only_doc_queries_survive_junk(spark, junk_sf_dir):
+    """The declared rows-only documents queries (no oracle twin) must still
+    produce defined results on junk — NULL/empty/whitespace docs through
+    the BPE trainer, the zlib screen, and the overlap sketch must never
+    crash (ANSI casts, div-by-zero) or hang. Closes the last junk gap:
+    every catalog query now executes against a junk fixture."""
+    for name in ("bpe_train_encode", "doc_compression_screen",
+                 "source_overlap_estimate"):
+        assert catalog.SPARK_QUERIES[name](spark, junk_sf_dir).count() >= 0
+
+
 def test_embeddings_junk_pq_queries_fail_loudly(spark, junk_emb_dir):
     """The PQ trainer's documented contract is the opposite of kmeans's:
     it REFUSES corrupt training vectors with a clear error (pq.py) rather

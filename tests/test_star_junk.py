@@ -202,6 +202,17 @@ def test_star_junk_oracle_parity(spark, junk_star_dir):
     assert not failures, failures
 
 
+def test_rows_only_star_queries_survive_junk(spark, junk_star_dir):
+    """The declared rows-only star queries (sketches/property-tested, no
+    oracle twin) must still produce defined results on junk tables —
+    NULL measures through the HLL/percentile sketches and the beta draw
+    must never crash. With this, every catalog query executes against a
+    junk fixture."""
+    for name in ("approx_distinct_counts", "approx_percentiles",
+                 "stars_beta"):
+        assert catalog.SPARK_QUERIES[name](spark, junk_star_dir).count() >= 0
+
+
 def test_star_query_list_is_complete():
     """A new star-schema query registered without joining STAR_QUERIES
     would silently skip junk coverage — derive the expected set from the
