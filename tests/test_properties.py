@@ -261,3 +261,84 @@ def test_cms_estimate_dominates_true_count(spark):
     assert est, "empty token dictionary"
     assert all(r["est"] >= r["cnt"] for r in est)
     assert any(r["est"] > r["cnt"] for r in est), "4x4 sketch never collided"
+
+
+_KEY = st.sampled_from([0, 1, 2, None])
+_TIME = st.sampled_from([0, 1, 2, 3, 4, 5, None])
+
+
+@given(
+    lefts=st.lists(st.tuples(_KEY, _TIME), min_size=1, max_size=14),
+    rights=st.lists(
+        st.tuples(_KEY, _TIME, st.integers(min_value=0, max_value=99)),
+        max_size=14,
+    ),
+)
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """For ANY left/right sets (duplicate keys, duplicate timestamps,
+    NULL keys, NULL times), asof_join equals the per-row brute force of
+    its documented contract: latest right row with rt <= lt per key;
+    NULL-key/NULL-time right rows never match; NULL-key or NULL-time
+    left rows pass through unmatched; (key, time) ties on the right go
+    to the greatest value struct."""
+    from bytesme_etl_batch_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(rights, "k long, rt long, v long") if rights else (
+        spark.createDataFrame([], "k long, rt long, v long")
+    )
+    got = {
+        r.lid: (r.k, r.t, r.v)
+        for r in asof_join(left, right, key="k", left_time="t",
+                           right_time="rt", right_vals=["v"]).collect()
+    }
+    assert len(got) == len(lefts)  # every left row survives exactly once
+    for i, (k, t) in enumerate(lefts):
+        if k is None or t is None:
+            want = None
+        else:
+            cands = [(rt, v) for rk, rt, v in rights
+                     if rk == k and rt is not None and rt <= t]
+            want = max(cands)[1] if cands else None
+        assert got[i] == (k, t, want), (i, k, t, got[i], want)
+
+
+@given(
+    vals=st.lists(st.sampled_from([0, 1, 5, 9, 10, 15, 50, None]),
+                  min_size=1, max_size=12),
+    bounds=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20),
+                  st.integers(min_value=0, max_value=60)),
+        max_size=6,
+    ),
+)
+@_SETTINGS
+def test_range_join_matches_bruteforce(spark, vals, bounds):
+    """For ANY fact values (incl. NULL) and ANY range table (overlapping,
+    empty, or inverted ranges), range_join equals the brute-force
+    left-join multiset: one row per (fact, containing range), a
+    NULL-tier row for facts in no range, NULL values match nothing."""
+    from bytesme_etl_batch_pipeline_spark.operators.joins import range_join
+
+    fact = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "fid long, val long"
+    )
+    ranges = spark.createDataFrame(
+        [(j, lo, hi) for j, (lo, hi) in enumerate(bounds)],
+        "tier long, lo long, hi long",
+    ) if bounds else spark.createDataFrame([], "tier long, lo long, hi long")
+    got = sorted(
+        (r.fid, r.tier)
+        for r in range_join(fact, ranges, "val", "lo", "hi")
+        .select("fid", "tier").collect()
+    )
+    want = []
+    for i, v in enumerate(vals):
+        hits = [j for j, (lo, hi) in enumerate(bounds)
+                if v is not None and lo <= v < hi]
+        want.extend((i, j) for j in hits) if hits else want.append((i, None))
+    assert got == sorted(want)
