@@ -342,3 +342,47 @@ def test_range_join_matches_bruteforce(spark, vals, bounds):
                 if v is not None and lo <= v < hi]
         want.extend((i, j) for j in hits) if hits else want.append((i, None))
     assert got == sorted(want)
+
+
+_NODE = st.sampled_from([0, 1, 2, 3, 4, 5, 6, 7, None])
+
+
+@given(edges=st.lists(st.tuples(_NODE, _NODE), min_size=1, max_size=18))
+@_SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    """For ANY edge list (self-loops, NULL endpoints, duplicates, long
+    chains), all three CC variants emit exactly the union-find labeling:
+    node -> min reachable node id over the junk-cleaned edge set, with
+    junk-only nodes absent."""
+    from bytesme_etl_batch_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_auto,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    clean = [(u, v) for u, v in edges if u is not None and v is not None and u != v]
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in clean:
+        parent.setdefault(u, u), parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    roots = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    want = {n: min(mem) for mem in roots.values() for n in mem}
+
+    for variant in (connected_components, connected_components_star,
+                    connected_components_auto):
+        got = {r.node: r.cluster_id
+               for r in variant(df, max_iter=40).collect()}
+        assert got == want, (variant.__name__, got, want)
