@@ -386,3 +386,61 @@ def test_connected_components_match_union_find(spark, edges):
         got = {r.node: r.cluster_id
                for r in variant(df, max_iter=40).collect()}
         assert got == want, (variant.__name__, got, want)
+
+
+@given(
+    quals=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=10),
+    rawpairs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=0, max_value=9)),
+        max_size=16,
+    ),
+)
+@_SETTINGS
+def test_neardup_keep_best_matches_dominance_rule(spark, quals, rawpairs):
+    """For ANY quality assignment (heavy ties) and ANY pair list, survivors
+    are exactly the docs with no strictly-better neighbor under the total
+    order (quality desc, id asc) — and every duplicate neighborhood keeps
+    at least one doc (its maximum), so the filter can never empty a
+    component."""
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import neardup_keep_best
+
+    n = len(quals)
+    docs = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(quals)], "doc_id long, quality long"
+    )
+    pairs = [(a % n, b % n) for a, b in rawpairs if a % n != b % n]
+    pdf = (
+        spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        if pairs else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    got = sorted(
+        r.doc_id
+        for r in neardup_keep_best(docs, pdf, "doc_id", "quality").collect()
+    )
+
+    neigh = {i: set() for i in range(n)}
+    for a, b in pairs:
+        neigh[a].add(b), neigh[b].add(a)
+    order = lambda i: (-quals[i], i)  # noqa: E731 — total order: best first
+    want = sorted(
+        i for i in range(n)
+        if not any(order(o) < order(i) for o in neigh[i])
+    )
+    assert got == want
+
+    # component-preservation: the best doc of each component always survives
+    seen, comps = set(), []
+    for i in range(n):
+        if i in seen:
+            continue
+        stack, comp = [i], set()
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x), stack.extend(neigh[x])
+        seen |= comp
+        comps.append(comp)
+    for comp in comps:
+        assert min(comp, key=order) in got
