@@ -1,11 +1,17 @@
 """S7: browser-driven source (dynamic pages) as a DISTRIBUTABLE Spark stage.
 
-The reference drives a single Selenium session through three interaction
-patterns (``scripts/extract/products_scraping.py``): tab-based crawling
-(click each subcategory tab, harvest after every click, keep-first dedup by
-product_url — :139-210), pagination (follow the next-page href up to
-``max_pages=20`` — :212-249), and progressive load-more (click the button
-while it stays displayed, then harvest the final DOM once — :251-314).
+The reference drives a single Selenium session through four interaction
+patterns (``scripts/extract/products_scraping.py:64-71`` dispatches on the
+site's ``loading_type``): tab-based crawling (click each subcategory tab,
+harvest after every click, keep-first dedup by product_url — :139-210),
+pagination (follow the next-page href up to ``max_pages=20`` — :212-249),
+progressive load-more (click the button while it stays displayed, then
+harvest the final DOM once — :251-314), and single-page (open the URL and
+harvest once — :77-101). Which site uses which pattern comes from
+``utils/webs_config.yml`` (one ``websites.<site>`` block per target with
+``path.website_path`` + ``scraping.loading_type``);
+``frontier_from_webs_config`` turns that exact file into the crawl
+frontier, so a reference user's site config runs unchanged.
 
 This module re-expresses those SEMANTICS Spark-first:
 
@@ -132,10 +138,27 @@ def crawl_progressive(session: BrowserSession, url: str) -> list[dict]:
     return out
 
 
+def crawl_single_page(session: BrowserSession, url: str) -> list[dict]:
+    """Single-page crawl: open the URL and harvest once — the reference's
+    static-page path (``products_scraping.py:77-101``, a plain GET +
+    parse; no tabs, no pagination, no load-more)."""
+    session.open(url)
+    seen: set = set()
+    out: list[dict] = []
+    _harvest(session, seen, out, tab=0, page=0)
+    return out
+
+
+# Modes accept BOTH the engine's short names and the reference's verbatim
+# ``loading_type`` vocabulary (webs_config.yml / products_scraping.py:64-71)
+# so a frontier built from a reference config needs no translation.
 _CRAWLERS: dict[str, Callable[[BrowserSession, str], list[dict]]] = {
     "tab": crawl_tab_based,
+    "tab-based": crawl_tab_based,
     "pagination": crawl_pagination,
     "progressive": crawl_progressive,
+    "single-page": crawl_single_page,
+    "single": crawl_single_page,
 }
 
 CRAWLED_SCHEMA = StructType(
@@ -200,6 +223,45 @@ def crawl_products(
                 session.close()
 
     return frontier.mapInPandas(run, schema=CRAWLED_SCHEMA)
+
+
+def frontier_from_webs_config(spark, path: str) -> DataFrame:
+    """Crawl frontier from a reference site config (``utils/
+    webs_config.yml``): one row per ``websites.<site>`` block with
+    (site, url = ``path.website_path``, mode = ``scraping.loading_type``)
+    — the verbatim reference file loads unchanged, as ``plans/
+    pipeline.load_config`` does for ``etl_config.yml``. Unknown or missing
+    ``loading_type``s fail HERE (at frontier build, driver-side, with the
+    site named) rather than mid-crawl inside an executor task. Selector
+    details (product/tab/next-page CSS) stay with the ``BrowserSession``
+    implementation — they parameterize the DOM reads the session owns, not
+    the interaction loop the engine owns."""
+    text = open(path).read()
+    try:
+        import yaml
+
+        cfg = yaml.safe_load(text)
+    except ImportError:  # pragma: no cover — yaml is present in this env
+        import json
+
+        cfg = json.loads(text)
+    rows = []
+    for site, block in (cfg.get("websites") or {}).items():
+        url = (block.get("path") or {}).get("website_path")
+        mode = (block.get("scraping") or {}).get("loading_type")
+        if not url:
+            raise ValueError(f"webs_config site {site!r}: missing path.website_path")
+        if mode not in _CRAWLERS:
+            raise ValueError(
+                f"webs_config site {site!r}: unknown loading_type {mode!r} "
+                f"(expected one of {sorted(_CRAWLERS)})"
+            )
+        rows.append((site, url, mode))
+    if not rows:
+        raise ValueError(f"webs_config at {path!r} declares no websites")
+    # one site per partition: the site is the unit of parallelism
+    return spark.createDataFrame(rows, "site string, url string, mode string") \
+        .repartition(len(rows), "site")
 
 
 # ---------------------------------------------------------------------------

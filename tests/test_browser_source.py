@@ -1,7 +1,8 @@
-"""S7 browser-driven source: the reference's three Selenium interaction
-patterns (tab clicks, pagination, progressive load-more —
-products_scraping.py:139-314) re-expressed as a distributable Spark stage
-with an injectable browser. The FakeBrowser is a deterministic DOM model;
+"""S7 browser-driven source: the reference's four interaction patterns
+(tab clicks, pagination, progressive load-more, single-page —
+products_scraping.py:64-71 dispatch, :77-314 bodies) re-expressed as a
+distributable Spark stage with an injectable browser, plus the
+webs_config.yml frontier loader. The FakeBrowser is a deterministic DOM model;
 the loops, dedup policy, retry handling, schema and partitioning under
 test are the production code paths."""
 
@@ -181,3 +182,78 @@ def test_crawl_feeds_config_pipeline_end_to_end(spark):
     assert report.summary() == {"total": 1, "success": 1, "error": 0}
     rows = outputs["scraped"].collect()
     assert sorted(r.product_url for r in rows) == ["/p/1", "/p/2", "/p/3"]
+
+
+def test_single_page_crawl_harvests_once_and_never_paginates():
+    """single-page (products_scraping.py:77-101): one GET, one harvest —
+    a next-page link on the page must NOT be followed (that is
+    pagination's job), and duplicates on the page keep first."""
+    from bytesme_etl_batch_pipeline_spark.sources.browser import crawl_single_page
+
+    site = FakeSite(
+        pages={
+            "https://solo": ([_p(1), _p(2), _p(1, price="DUP")], "https://solo?page=2"),
+            "https://solo?page=2": ([_p(3)], None),
+        }
+    )
+    b = FakeBrowser({"https://solo": site})
+    got = crawl_single_page(b, "https://solo")
+    assert [p["product_url"] for p in got] == ["/p/1", "/p/2"]
+    assert got[0]["product_price"] == "10k"  # keep-first on the page
+    assert b.n_opens == 1  # the ?page=2 link was never followed
+
+
+def test_crawl_products_accepts_reference_loading_type_vocab(spark):
+    """The frontier mode column speaks the reference's verbatim
+    webs_config vocabulary — 'tab-based' and 'single-page' dispatch
+    without translation."""
+    tabbed = FakeSite(tabs=[[_p(1)], [_p(2)]])
+    solo = FakeSite(pages={"https://s2": ([_p(3)], None)})
+    sites = {"https://s1": tabbed, "https://s2": solo}
+    frontier = spark.createDataFrame(
+        [("s1", "https://s1", "tab-based"), ("s2", "https://s2", "single-page")],
+        "site string, url string, mode string",
+    )
+    rows = crawl_products(frontier, lambda: FakeBrowser(sites)).collect()
+    got = sorted((r.site, r.product_url) for r in rows)
+    assert got == [("s1", "/p/1"), ("s1", "/p/2"), ("s2", "/p/3")]
+
+
+def test_frontier_from_reference_webs_config_loads_unchanged(spark):
+    """The reference's own utils/webs_config.yml builds the frontier
+    verbatim: every websites.<site> block becomes one (site, url, mode)
+    row and every loading_type it uses is a registered crawler — all four
+    reference patterns appear in the file."""
+    from bytesme_etl_batch_pipeline_spark.sources.browser import (
+        _CRAWLERS,
+        frontier_from_webs_config,
+    )
+
+    f = frontier_from_webs_config(spark, "/root/reference/utils/webs_config.yml")
+    rows = f.collect()
+    by_site = {r.site: (r.url, r.mode) for r in rows}
+    assert len(by_site) == len(rows) >= 4  # one row per site, no dups
+    assert by_site["tljus"] == ("https://tljus.com/", "tab-based")
+    assert {m for _, m in by_site.values()} == {
+        "tab-based", "pagination", "progressive", "single-page"
+    }
+    assert all(m in _CRAWLERS for _, m in by_site.values())
+    assert all(u.startswith("http") for u, _ in by_site.values())
+
+
+def test_frontier_from_webs_config_rejects_unknown_loading_type(spark, tmp_path):
+    """A typo'd loading_type fails at frontier BUILD with the site named,
+    not mid-crawl inside an executor task."""
+    from bytesme_etl_batch_pipeline_spark.sources.browser import (
+        frontier_from_webs_config,
+    )
+
+    cfg = tmp_path / "webs.yml"
+    cfg.write_text(
+        "websites:\n"
+        "  oops:\n"
+        "    path: {website_path: https://x}\n"
+        "    scraping: {loading_type: infinite-scroll}\n"
+    )
+    with pytest.raises(ValueError, match="oops.*infinite-scroll"):
+        frontier_from_webs_config(spark, str(cfg))
