@@ -379,3 +379,66 @@ def test_event_replay_statepath_survives_clean_restart(spark, tmp_path):
     # contrast: without statepath the restart is documented single-lifetime
     r3 = EventReplayStreamReader({"rowsperbatch": "100"})
     assert r3.latestOffset() == {"index": 100}
+
+
+def test_extract_category_urls_matches_reference_logic(spark):
+    """S6 menu crawl (menus_crawling.py:21-55): anchors inside matching
+    menu blocks only, '#' hrefs fall back to data-url, keyword filter,
+    urljoin absolutization, set-dedup — checked against urllib.parse's
+    urljoin on every shape the reference can meet."""
+    from urllib.parse import urljoin
+
+    from bytesme_etl_batch_pipeline_spark.sources.http import extract_category_urls
+
+    base = "https://tljus.com/menu/page"
+    hrefs = [
+        "/cakes",                      # root-relative
+        "drinks/tea",                  # path-relative
+        "//cdn.tljus.com/abs",         # protocol-relative
+        "https://other.com/full",      # absolute
+        "/cakes",                      # duplicate -> set-dedup
+    ]
+    anchors = "\n".join(f'<a class="m" href="{h}">x</a>' for h in hrefs)
+    html = (
+        f'<nav class="x dropdown-list-8">{anchors}'
+        f'<a href="#" data-url="https://tljus.com/special">s</a></nav>'
+        f'<div class="not-menu"><a href="/skipped">n</a></div>'
+    )
+    pages = spark.createDataFrame([(base, html)], "url string, body string")
+    got = sorted(
+        r.category_url
+        for r in extract_category_urls(
+            pages, menu_tag="nav", menu_selector="dropdown-list"
+        ).collect()
+    )
+    want = sorted(
+        {urljoin(base, h) for h in hrefs} | {"https://tljus.com/special"}
+    )
+    assert got == want
+    assert "https://tljus.com/skipped" not in got  # non-menu block excluded
+
+
+def test_extract_category_urls_keyword_filter_and_none(spark):
+    """filter_keyword='None' (the reference's YAML literal) and None both
+    keep everything; a real keyword keeps only matching urls (substring
+    test BEFORE absolutization, as the reference does)."""
+    from bytesme_etl_batch_pipeline_spark.sources.http import extract_category_urls
+
+    html = (
+        '<ul class="menu-root">'
+        '<a href="/product-category/tea">t</a>'
+        '<a href="/about">a</a></ul>'
+    )
+    pages = spark.createDataFrame(
+        [("https://b.vn/", html)], "url string, body string"
+    )
+    kw = lambda k: sorted(  # noqa: E731
+        r.category_url
+        for r in extract_category_urls(
+            pages, menu_tag="ul", menu_selector="menu", filter_keyword=k
+        ).collect()
+    )
+    both = ["https://b.vn/about", "https://b.vn/product-category/tea"]
+    assert kw(None) == both
+    assert kw("None") == both
+    assert kw("product-category") == ["https://b.vn/product-category/tea"]
