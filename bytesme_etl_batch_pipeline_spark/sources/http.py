@@ -139,7 +139,7 @@ def extract_category_urls(
     from pyspark.sql import functions as F
 
     block_pat = (
-        rf'(?is)<{menu_tag}\b[^>]*class="[^"]*{menu_selector}[^"]*"[^>]*>'
+        rf"(?is)<{menu_tag}\b[^>]*class=[\"'][^\"']*{menu_selector}[^\"']*[\"'][^>]*>"
         rf".*?</{menu_tag}>"
     )
     base = F.col(base_col)
@@ -155,8 +155,17 @@ def extract_category_urls(
             F.regexp_extract_all(F.col("__block"), F.lit(r"(?is)<a\s[^>]*>"), 0)
         ).alias("__a"),
     )
-    href = F.regexp_extract(F.col("__a"), r'(?i)href="([^"]*)"', 1)
-    data_url = F.regexp_extract(F.col("__a"), r'(?i)data-url="([^"]*)"', 1)
+    # both quote styles: the reference's HTML parser is quote-agnostic
+    href = F.coalesce(
+        F.nullif(F.regexp_extract(F.col("__a"), r'(?i)href="([^"]*)"', 1), F.lit("")),
+        F.regexp_extract(F.col("__a"), r"(?i)href='([^']*)'", 1),
+    )
+    data_url = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col("__a"), r'(?i)data-url="([^"]*)"', 1), F.lit("")
+        ),
+        F.regexp_extract(F.col("__a"), r"(?i)data-url='([^']*)'", 1),
+    )
     url = F.when(F.substring(href, 1, 1) == "#", data_url).otherwise(href)
     raw = anchors.select("site_url", url.alias("__u")).filter(F.col("__u") != "")
     if filter_keyword is not None and filter_keyword != "None":

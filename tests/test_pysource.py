@@ -442,3 +442,25 @@ def test_extract_category_urls_keyword_filter_and_none(spark):
     assert kw(None) == both
     assert kw("None") == both
     assert kw("product-category") == ["https://b.vn/product-category/tea"]
+
+
+def test_extract_category_urls_single_quoted_attributes(spark):
+    """HTML parsers are quote-agnostic; single-quoted class/href/data-url
+    attributes extract identically to double-quoted ones."""
+    from bytesme_etl_batch_pipeline_spark.sources.http import extract_category_urls
+
+    html = (
+        "<nav class='dropdown-list-8'>"
+        "<a href='/cakes'>c</a>"
+        "<a href='#' data-url='https://t.vn/promo'>p</a></nav>"
+    )
+    pages = spark.createDataFrame(
+        [("https://t.vn/menu", html)], "url string, body string"
+    )
+    got = sorted(
+        r.category_url
+        for r in extract_category_urls(
+            pages, menu_tag="nav", menu_selector="dropdown-list"
+        ).collect()
+    )
+    assert got == ["https://t.vn/cakes", "https://t.vn/promo"]
