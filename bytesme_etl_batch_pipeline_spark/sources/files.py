@@ -190,6 +190,43 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML scan (native since Spark 4): one row per ``row_tag`` element —
+    the ingest shape for sitemaps (`<urlset><url>...`), RSS/Atom feeds and
+    XML API dumps a crawl pipeline meets upstream of the HTML fetch.
+    Schema inference samples the files; pass ``schema`` on big inputs to
+    skip the extra pass (same discipline as ``read_csv``). Files split per
+    file, not within one (row boundaries need the tag scan), so shard
+    large dumps into many files upstream."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str,
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink — interchange with XML-consuming systems; one
+    ``row_tag`` element per row under ``root_tag`` per output file."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def read_text(
     spark: SparkSession,
     path: str,

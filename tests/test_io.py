@@ -779,3 +779,37 @@ def test_urllib_fetcher_returns_http_error_status(monkeypatch):
     status, body = urllib_fetcher()("http://example.invalid/x")
     assert status == 404
     assert body == "soft-404 page body"
+
+
+def test_xml_roundtrip_and_sitemap_frontier(spark, tmp_path):
+    """XML source/sink (native in Spark 4): write/read round-trip, explicit
+    schema skips inference, and the crawl-relevant shape — a sitemap's
+    <urlset><url><loc> rows becoming the fetch frontier."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_xml, write_xml
+    from bytesme_etl_batch_pipeline_spark.sources.http import fetch_pages
+
+    df = spark.createDataFrame(
+        [(1, "https://t.vn/a"), (2, "https://t.vn/b")], "id long, loc string"
+    )
+    p = str(tmp_path / "xmls")
+    write_xml(df, p, row_tag="url", root_tag="urlset")
+    back = read_xml(spark, p, row_tag="url")
+    assert sorted((r.id, r.loc) for r in back.collect()) == [
+        (1, "https://t.vn/a"),
+        (2, "https://t.vn/b"),
+    ]
+    typed = read_xml(spark, p, row_tag="url", schema="id long, loc string")
+    assert typed.schema.simpleString() == "struct<id:bigint,loc:string>"
+
+    # sitemap -> frontier -> distributed fetch, end to end
+    fetched = fetch_pages(typed.select(F.col("loc").alias("url")))
+    assert fetched.filter(F.col("status").isNotNull()).count() == 2
+
+
+def test_write_xml_append_mode(spark, tmp_path):
+    from bytesme_etl_batch_pipeline_spark.sources.files import read_xml, write_xml
+
+    p = str(tmp_path / "xa")
+    write_xml(spark.createDataFrame([(1,)], "v long"), p, row_tag="r")
+    write_xml(spark.createDataFrame([(2,)], "v long"), p, row_tag="r", mode="append")
+    assert sorted(r.v for r in read_xml(spark, p, row_tag="r").collect()) == [1, 2]
