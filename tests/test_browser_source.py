@@ -257,3 +257,36 @@ def test_frontier_from_webs_config_rejects_unknown_loading_type(spark, tmp_path)
     )
     with pytest.raises(ValueError, match="oops.*infinite-scroll"):
         frontier_from_webs_config(spark, str(cfg))
+
+
+def test_reference_webs_config_drives_full_extract_flow(spark):
+    """Whole-extract composition: the reference's own webs_config.yml
+    builds the frontier, every configured site crawls under its declared
+    loading_type, and the output flows into the config-driven pipeline
+    runner — the complete reference extract stage on the engine with only
+    the browser injected."""
+    from bytesme_etl_batch_pipeline_spark.plans.pipeline import (
+        register_reference_stages,
+        run_pipeline,
+    )
+    from bytesme_etl_batch_pipeline_spark.sources.browser import (
+        frontier_from_webs_config,
+    )
+
+    register_reference_stages()
+    f = frontier_from_webs_config(spark, "/root/reference/utils/webs_config.yml")
+    frontier_rows = f.collect()
+    sites = {}
+    for i, r in enumerate(frontier_rows):
+        prods = [_p(f"{r.site}-{j}") for j in range(2)]
+        sites[r.url] = FakeSite(
+            tabs=[prods],                      # tab-based: initial page
+            pages={r.url: (prods, None)},      # pagination / single-page
+            batches=[prods],                   # progressive: already revealed
+        )
+    crawled = crawl_products(f, lambda: FakeBrowser(sites))
+    outputs, report = run_pipeline({"scraped": crawled}, ["remove_duplicates"])
+    assert report.summary() == {"total": 1, "success": 1, "error": 0}
+    got = outputs["scraped"].collect()
+    assert {r.site for r in got} == {r.site for r in frontier_rows}
+    assert len(got) == 2 * len(frontier_rows)  # 2 products per site, deduped
