@@ -68,6 +68,44 @@ def anti_join(df: DataFrame, exclude: DataFrame, on: list[str]) -> DataFrame:
     return df.join(exclude, on=on, how="left_anti")
 
 
+def drop_parent_paths(df: DataFrame, url_col: str) -> DataFrame:
+    """D4, concrete: drop every url that is a PARENT of another url in the
+    set — the category-menu pruning ``menus_crawling.py:12-19`` *intends*
+    (as written, the reference compares each url's path against a list
+    that includes itself, so its filter is a no-op; this implements the
+    documented intent: keep only leaf category urls).
+
+    A url is a parent when another url's path strictly extends its path
+    below a ``/`` boundary (``/cakes`` < ``/cakes/birthday``; ``/cake``
+    is NOT a parent of ``/cakes``). Join key = scheme-less host so the
+    comparison never crosses sites, and candidate pairs are
+    host-bucketed: per-host menu lists are dozens of urls (the
+    reference's regime), so the within-host prefix join is tiny even
+    when the url table itself is huge. Trailing slashes are normalized
+    off before comparison; duplicates collapse first (the reference set
+    semantics)."""
+    path = F.regexp_replace(F.parse_url(F.col(url_col), F.lit("PATH")), "/+$", "")
+    keyed = (
+        df.select(F.col(url_col))
+        .distinct()
+        .select(
+            F.col(url_col),
+            F.parse_url(F.col(url_col), F.lit("HOST")).alias("__host"),
+            path.alias("__path"),
+        )
+    )
+    children = keyed.select(
+        F.col("__host").alias("__chost"), F.col("__path").alias("__cpath")
+    )
+    parents = keyed.join(
+        children,
+        (F.col("__host") == F.col("__chost"))
+        & F.col("__cpath").startswith(F.concat(F.col("__path"), F.lit("/"))),
+        "left_semi",
+    ).select(url_col)
+    return keyed.join(parents, on=[url_col], how="left_anti").select(url_col)
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen_digests: DataFrame | None,

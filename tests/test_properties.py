@@ -444,3 +444,40 @@ def test_neardup_keep_best_matches_dominance_rule(spark, quals, rawpairs):
         comps.append(comp)
     for comp in comps:
         assert min(comp, key=order) in got
+
+
+_SEG = st.sampled_from(["a", "b", "c"])
+
+
+@given(
+    paths=st.lists(st.lists(_SEG, min_size=0, max_size=3), min_size=1, max_size=12),
+    hosts=st.lists(st.sampled_from(["h1.vn", "h2.vn"]), min_size=1, max_size=12),
+)
+@_SETTINGS
+def test_drop_parent_paths_matches_bruteforce(spark, paths, hosts):
+    """For ANY url set (shared prefixes, duplicates, roots, trailing
+    slashes, multiple hosts): survivors are exactly the urls with no
+    strict path-extension on the SAME host; prefix-without-boundary
+    (/cake vs /cakes) never counts as parentage."""
+    from bytesme_etl_batch_pipeline_spark.operators.dedup import drop_parent_paths
+
+    urls = [
+        f"https://{hosts[i % len(hosts)]}/" + "/".join(p)
+        for i, p in enumerate(paths)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = sorted(r.url for r in drop_parent_paths(df, "url").collect())
+
+    def norm(u):
+        host, _, path = u.removeprefix("https://").partition("/")
+        return host, "/" + path.rstrip("/") if path else ""
+
+    uniq = sorted(set(urls))
+    want = sorted(
+        u for u in uniq
+        if not any(
+            norm(v)[0] == norm(u)[0] and norm(v)[1].startswith(norm(u)[1] + "/")
+            for v in uniq
+        )
+    )
+    assert got == want
