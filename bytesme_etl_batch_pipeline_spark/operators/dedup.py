@@ -77,20 +77,26 @@ def drop_parent_paths(df: DataFrame, url_col: str) -> DataFrame:
 
     A url is a parent when another url's path strictly extends its path
     below a ``/`` boundary (``/cakes`` < ``/cakes/birthday``; ``/cake``
-    is NOT a parent of ``/cakes``). Join key = scheme-less host so the
-    comparison never crosses sites, and candidate pairs are
-    host-bucketed: per-host menu lists are dozens of urls (the
-    reference's regime), so the within-host prefix join is tiny even
-    when the url table itself is huge. Trailing slashes are normalized
-    off before comparison; duplicates collapse first (the reference set
-    semantics)."""
+    is NOT a parent of ``/cakes``). Join key = scheme + authority
+    (host INCLUDING any explicit port) so the comparison never crosses
+    sites — two services on different ports of one host are different
+    sites — and candidate pairs are site-bucketed: per-site menu lists
+    are dozens of urls (the reference's regime), so the within-site
+    prefix join is tiny even when the url table itself is huge.
+    Trailing slashes are normalized off before comparison; duplicates
+    collapse first (the reference set semantics)."""
     path = F.regexp_replace(F.parse_url(F.col(url_col), F.lit("PATH")), "/+$", "")
+    site_key = F.concat_ws(
+        "://",
+        F.parse_url(F.col(url_col), F.lit("PROTOCOL")),
+        F.parse_url(F.col(url_col), F.lit("AUTHORITY")),
+    )
     keyed = (
         df.select(F.col(url_col))
         .distinct()
         .select(
             F.col(url_col),
-            F.parse_url(F.col(url_col), F.lit("HOST")).alias("__host"),
+            site_key.alias("__host"),
             path.alias("__path"),
         )
     )

@@ -179,7 +179,9 @@ def crawl_products(
     browser_factory: Callable[[], BrowserSession],
 ) -> DataFrame:
     """Distributed dynamic-page crawl: one row of ``frontier`` =
-    (site, url, mode ∈ {tab, pagination, progressive}); each partition
+    (site, url, mode) with mode any key of ``_CRAWLERS`` — the engine's
+    short names or the reference's verbatim ``loading_type`` vocabulary
+    (tab/tab-based, pagination, progressive, single/single-page); each partition
     drives ONE browser session sequentially through its sites (session
     reuse across sites on the same executor — the expensive object is the
     browser, exactly like the codec/embedder executor caches). Repartition
@@ -247,6 +249,11 @@ def frontier_from_webs_config(spark, path: str) -> DataFrame:
         cfg = json.loads(text)
     rows = []
     for site, block in (cfg.get("websites") or {}).items():
+        if not isinstance(block, dict):  # empty/commented-out block
+            raise ValueError(
+                f"webs_config site {site!r}: block is {block!r}, expected a "
+                "mapping with path/scraping sections"
+            )
         url = (block.get("path") or {}).get("website_path")
         mode = (block.get("scraping") or {}).get("loading_type")
         if not url:
@@ -259,9 +266,12 @@ def frontier_from_webs_config(spark, path: str) -> DataFrame:
         rows.append((site, url, mode))
     if not rows:
         raise ValueError(f"webs_config at {path!r} declares no websites")
-    # one site per partition: the site is the unit of parallelism
-    return spark.createDataFrame(rows, "site string, url string, mode string") \
-        .repartition(len(rows), "site")
+    # one site per partition, guaranteed: the frontier is driver-side
+    # config data, so parallelize with one slice per site (hash/round-robin
+    # repartition can collide on small frontiers and serialize two sites
+    # behind one browser session)
+    rdd = spark.sparkContext.parallelize(rows, len(rows))
+    return spark.createDataFrame(rdd, "site string, url string, mode string")
 
 
 # ---------------------------------------------------------------------------

@@ -128,8 +128,8 @@ def extract_category_urls(
     which as written compares every url's path against the full list
     INCLUDING ITSELF, so it always finds an equal path and the filter
     keeps everything; fidelity = no row dropped here. The *intended*
-    parent-path pruning is available as ``operators/dedup.anti_join`` on
-    the path column (SURVEY D4).
+    parent-path pruning is ``operators/dedup.drop_parent_paths`` (SURVEY
+    D4) — compose it over this output to keep leaf categories only.
 
     Returns (site_url, category_url), distinct. Everything above is
     ``regexp_extract_all``/``parse_url`` inside whole-stage codegen — at
@@ -155,16 +155,22 @@ def extract_category_urls(
             F.regexp_extract_all(F.col("__block"), F.lit(r"(?is)<a\s[^>]*>"), 0)
         ).alias("__a"),
     )
-    # both quote styles: the reference's HTML parser is quote-agnostic
+    # both quote styles (the reference's HTML parser is quote-agnostic);
+    # the lookbehind keeps `data-href`/`x-data-url` attributes from
+    # shadowing the real href/data-url
     href = F.coalesce(
-        F.nullif(F.regexp_extract(F.col("__a"), r'(?i)href="([^"]*)"', 1), F.lit("")),
-        F.regexp_extract(F.col("__a"), r"(?i)href='([^']*)'", 1),
+        F.nullif(
+            F.regexp_extract(F.col("__a"), r'(?i)(?<![\w-])href="([^"]*)"', 1),
+            F.lit(""),
+        ),
+        F.regexp_extract(F.col("__a"), r"(?i)(?<![\w-])href='([^']*)'", 1),
     )
     data_url = F.coalesce(
         F.nullif(
-            F.regexp_extract(F.col("__a"), r'(?i)data-url="([^"]*)"', 1), F.lit("")
+            F.regexp_extract(F.col("__a"), r'(?i)(?<![\w-])data-url="([^"]*)"', 1),
+            F.lit(""),
         ),
-        F.regexp_extract(F.col("__a"), r"(?i)data-url='([^']*)'", 1),
+        F.regexp_extract(F.col("__a"), r"(?i)(?<![\w-])data-url='([^']*)'", 1),
     )
     url = F.when(F.substring(href, 1, 1) == "#", data_url).otherwise(href)
     raw = anchors.select("site_url", url.alias("__u")).filter(F.col("__u") != "")
@@ -172,12 +178,28 @@ def extract_category_urls(
         raw = raw.filter(F.col("__u").contains(filter_keyword))
     site = F.col("site_url")
     proto = F.parse_url(site, F.lit("PROTOCOL"))
-    host = F.parse_url(site, F.lit("HOST"))
+    # AUTHORITY (not HOST): keeps an explicit port, like urljoin does
+    auth = F.parse_url(site, F.lit("AUTHORITY"))
+    # base DIRECTORY from the parsed PATH (query strings may contain '/');
+    # a base url with no path at all resolves relatives against '/'
+    base_dir = F.regexp_replace(
+        F.coalesce(F.parse_url(site, F.lit("PATH")), F.lit("")), "[^/]*$", ""
+    )
     u = F.col("__u")
     absolute = (
-        F.when(u.rlike("^https?://"), u)
+        # any scheme-prefixed reference is already absolute (urljoin
+        # passes tel:/mailto:/HTTP://... through unchanged)
+        F.when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), u)
         .when(u.startswith("//"), F.concat(proto, F.lit(":"), u))
-        .when(u.startswith("/"), F.concat(proto, F.lit("://"), host, u))
-        .otherwise(F.concat(F.regexp_replace(site, "[^/]*$", ""), u))
+        .when(u.startswith("/"), F.concat(proto, F.lit("://"), auth, u))
+        .otherwise(
+            F.concat(
+                proto,
+                F.lit("://"),
+                auth,
+                F.when(base_dir == "", F.lit("/")).otherwise(base_dir),
+                u,
+            )
+        )
     )
     return raw.select("site_url", absolute.alias("category_url")).distinct()

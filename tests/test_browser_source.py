@@ -290,3 +290,29 @@ def test_reference_webs_config_drives_full_extract_flow(spark):
     got = outputs["scraped"].collect()
     assert {r.site for r in got} == {r.site for r in frontier_rows}
     assert len(got) == 2 * len(frontier_rows)  # 2 products per site, deduped
+
+
+def test_frontier_from_webs_config_names_empty_block(spark, tmp_path):
+    """A commented-out/empty site block fails with the site named, not an
+    anonymous AttributeError."""
+    from bytesme_etl_batch_pipeline_spark.sources.browser import (
+        frontier_from_webs_config,
+    )
+
+    cfg = tmp_path / "webs.yml"
+    cfg.write_text("websites:\n  stub:\n")
+    with pytest.raises(ValueError, match="stub"):
+        frontier_from_webs_config(spark, str(cfg))
+
+
+def test_frontier_gets_one_site_per_partition(spark, tmp_path):
+    """Round-robin repartition: every frontier partition holds exactly one
+    site, so no two browser sessions serialize behind each other."""
+    from bytesme_etl_batch_pipeline_spark.sources.browser import (
+        frontier_from_webs_config,
+    )
+
+    f = frontier_from_webs_config(spark, "/root/reference/utils/webs_config.yml")
+    per_part = f.rdd.glom().map(len).collect()
+    assert sorted(per_part, reverse=True)[0] == 1
+    assert sum(per_part) == len(per_part)  # n rows in n partitions, 1 each

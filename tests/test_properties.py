@@ -481,3 +481,18 @@ def test_drop_parent_paths_matches_bruteforce(spark, paths, hosts):
         )
     )
     assert got == want
+
+
+def test_drop_parent_paths_never_crosses_ports_or_schemes(spark):
+    """Different ports (and schemes) of one host are different sites: a
+    path on :8080 is never pruned by its extension on :9090."""
+    from bytesme_etl_batch_pipeline_spark.operators.dedup import drop_parent_paths
+
+    urls = [
+        "https://shop.vn:8080/a",
+        "https://shop.vn:9090/a/b",
+        "http://shop.vn/a",
+        "https://shop.vn/a/b/c",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    assert sorted(r.url for r in drop_parent_paths(df, "url").collect()) == sorted(urls)

@@ -464,3 +464,35 @@ def test_extract_category_urls_single_quoted_attributes(spark):
         ).collect()
     )
     assert got == ["https://t.vn/cakes", "https://t.vn/promo"]
+
+
+def test_extract_category_urls_urljoin_edge_cases(spark):
+    """urljoin parity on the hard shapes: a base url with NO path, a query
+    string containing '/', scheme-prefixed refs (tel:/mailto:/uppercase)
+    passing through, an explicit port surviving absolutization, and
+    data-href never shadowing the real href."""
+    from urllib.parse import urljoin
+
+    from bytesme_etl_batch_pipeline_spark.sources.http import extract_category_urls
+
+    cases = [
+        ("https://example.com", "drinks/tea"),         # pathless base
+        ("https://h.vn/p?a=b/c", "rel"),               # '/' inside query
+        ("https://t.vn/menu", "tel:+84123"),            # non-http scheme
+        ("https://t.vn/menu", "HTTP://OTHER.COM/x"),    # uppercase scheme
+        ("https://t.vn:8443/menu/", "/root-rel"),       # port + root-relative
+        ("https://t.vn:8443/menu/", "kid"),             # port + path-relative
+    ]
+    rows = [
+        (base, f'<nav class="menu"><a data-href="/lazy" href="{h}">x</a></nav>')
+        for base, h in cases
+    ]
+    pages = spark.createDataFrame(rows, "url string, body string")
+    got = {
+        (r.site_url, r.category_url)
+        for r in extract_category_urls(
+            pages, menu_tag="nav", menu_selector="menu"
+        ).collect()
+    }
+    want = {(base, urljoin(base, h)) for base, h in cases}
+    assert got == want  # and no '/lazy' anywhere: data-href never matched
