@@ -163,6 +163,13 @@ def hll_merge_estimate(
     )
 
 
+#: Applied-batch ids remembered by ``incremental_rollup``'s marker file:
+#: redelivery (retry or out-of-order replay) of any of the last N batches
+#: is refused; older replay is the caller's responsibility. 1024 ids is a
+#: few KB — far past any real queue's redrive horizon.
+_APPLIED_BATCH_LOG_SIZE = 1024
+
+
 def incremental_rollup(
     spark,
     state_path: str,
@@ -196,16 +203,25 @@ def incremental_rollup(
     ``merge_upsert_parquet`` (version-latest-wins, so re-applying a batch
     is a semantic no-op), these aggregates are ADDITIVE — a crash after
     the staging→state promotion followed by a blind retry of the same
-    delta would double-count it. With ``batch_id`` set, the id is written
-    to an ``_applied_batch`` marker INSIDE the staging dir (it rides the
-    rename atomically, and parquet readers ignore underscore files); a
-    retry that finds the current state already carrying its batch_id
-    returns the state untouched. Callers without stable batch ids must
-    track delta application themselves.
+    delta would double-count it. With ``batch_id`` set, the id is
+    appended to an ``_applied_batch`` marker INSIDE the staging dir (it
+    rides the rename atomically, and parquet readers ignore underscore
+    files) holding the last ``_APPLIED_BATCH_LOG_SIZE`` applied ids; a
+    retry OR an out-of-order redelivery (an older batch re-delivered
+    after newer ones applied — queue redrives, multiple producers) whose
+    id is still inside that horizon returns the state untouched.
+    Redelivery delayed by MORE than ``_APPLIED_BATCH_LOG_SIZE``
+    intervening batches is undetectable here — callers with unbounded
+    replay lag must keep their own applied-batch ledger. Callers without
+    stable batch ids must track delta application themselves.
     """
     import os
 
-    from ..sources.files import publish_staging_swap, recover_retired
+    from ..sources.files import (
+        protocol_sibling,
+        publish_staging_swap,
+        recover_retired,
+    )
 
     sum_cols = sum_cols or []
     min_cols = min_cols or []
@@ -227,18 +243,24 @@ def incremental_rollup(
     # into it instead of silently rebuilding from scratch.
     recover_retired(state_path)
     marker = os.path.join(state_path, "_applied_batch")
-    if batch_id is not None and os.path.exists(marker):
+    applied: list[str] = []
+    if os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
-            if f.read() == batch_id:
-                # this exact delta already promoted (retry after a crash
-                # in the post-promotion cleanup): re-applying would
-                # double-count — return the state untouched
-                import shutil
+            applied = [ln for ln in f.read().splitlines() if ln]
+    if batch_id is not None and batch_id in applied:
+        # this delta already promoted — either an immediate retry after a
+        # crash in the post-promotion cleanup, or an OUT-OF-ORDER redelivery
+        # of an older batch (queue redrive, multiple producers): the marker
+        # is a bounded LOG of recent batch ids, not just the latest, so a
+        # delayed replay of batch N-2 after N-1 applied is also refused
+        # instead of silently double-counting (ADVICE r4). Re-applying
+        # would double-count — return the state untouched.
+        import shutil
 
-                shutil.rmtree(
-                    state_path.rstrip("/") + "__retired", ignore_errors=True
-                )
-                return spark.read.parquet(state_path)
+        shutil.rmtree(
+            protocol_sibling(state_path, "retired"), ignore_errors=True
+        )
+        return spark.read.parquet(state_path)
     if os.path.exists(state_path):
         state = spark.read.parquet(state_path)
         merge_aggs = [F.sum(F.col(count_col)).cast("long").alias(count_col)]
@@ -252,10 +274,15 @@ def incremental_rollup(
         )
     else:
         merged = fresh
-    staging = state_path.rstrip("/") + "__staging"
+    staging = protocol_sibling(state_path, "staging")
     merged.write.mode("overwrite").parquet(staging)
     if batch_id is not None:
+        # bounded log: the last _APPLIED_BATCH_LOG_SIZE applied ids ride the
+        # promotion rename atomically. Redelivery older than the horizon is
+        # undetectable — callers with arbitrarily-delayed replay need their
+        # own ledger (documented in the docstring).
+        log = (applied + [batch_id])[-_APPLIED_BATCH_LOG_SIZE:]
         with open(os.path.join(staging, "_applied_batch"), "w", encoding="utf-8") as f:
-            f.write(batch_id)
+            f.write("\n".join(log) + "\n")
     publish_staging_swap(state_path)
     return spark.read.parquet(state_path)

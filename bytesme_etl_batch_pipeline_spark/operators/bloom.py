@@ -202,7 +202,13 @@ def bloom_decontaminate(
     # — cache it so the explode+distinct shuffle runs once. It is
     # benchmark-sized by assumption, exactly what executor storage memory is
     # for; at 100 TB you'd persist it to disk-backed storage the same way.
-    eval_grams = eval_grams.cache()
+    # If the CALLER already cached it (reuse across several decontamination
+    # calls), leave their persistence level untouched: cache() here would be
+    # a no-op and the unpersist below would silently evict their entry,
+    # forcing a recompute on their next use (ADVICE r4).
+    owns_cache = not eval_grams.is_cached
+    if owns_cache:
+        eval_grams = eval_grams.cache()
     # Sizing: an upstream ESTIMATE is enough — oversizing only widens the
     # bitset (still KBs/MBs), undersizing only raises fpp, never correctness
     # (the exact join sheds every false positive). Passing one avoids a
@@ -221,8 +227,10 @@ def bloom_decontaminate(
     # Materialize the (contaminated-id-sized, tiny) result eagerly so the
     # benchmark-sized gram cache can be RELEASED here instead of pinning
     # executor storage for the session lifetime — repeated calls would
-    # otherwise accumulate one gram set each. The returned frame is cached;
-    # callers holding it long-term may .unpersist() when done.
+    # otherwise accumulate one gram set each. Only the cache THIS call
+    # created is released. The returned frame is cached; callers holding
+    # it long-term may .unpersist() when done.
     out.count()
-    eval_grams.unpersist()
+    if owns_cache:
+        eval_grams.unpersist()
     return out

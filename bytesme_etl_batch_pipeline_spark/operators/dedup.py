@@ -84,8 +84,16 @@ def drop_parent_paths(df: DataFrame, url_col: str) -> DataFrame:
     are dozens of urls (the reference's regime), so the within-site
     prefix join is tiny even when the url table itself is huge.
     Trailing slashes are normalized off before comparison; duplicates
-    collapse first (the reference set semantics)."""
-    path = F.regexp_replace(F.parse_url(F.col(url_col), F.lit("PATH")), "/+$", "")
+    collapse first (the reference set semantics). Both site-root
+    spellings behave identically (ADVICE r4): 'https://x.com' parses to
+    a NULL path while 'https://x.com/' parses to '/', so the normalized
+    path coalesces to '' — without it, concat(NULL, '/') is NULL, the
+    startswith gate evaluates to NULL, and the bare-root spelling would
+    survive even when children exist on the same site."""
+    path = F.coalesce(
+        F.regexp_replace(F.parse_url(F.col(url_col), F.lit("PATH")), "/+$", ""),
+        F.lit(""),
+    )
     site_key = F.concat_ws(
         "://",
         F.parse_url(F.col(url_col), F.lit("PROTOCOL")),

@@ -292,14 +292,33 @@ def overwrite_partitions(
     )
 
 
+def protocol_sibling(base_path: str, kind: str) -> str:
+    """Path of the staging-swap protocol dir for ``base_path``: a
+    DOT-PREFIXED sibling (``.<name>__staging`` / ``.<name>__retired``) in
+    the same parent directory. The dot prefix is the invisibility
+    guarantee (ADVICE r4, medium): Spark/Hadoop file listing skips any
+    path whose name starts with ``.`` — unconditionally, even when the
+    name contains ``=`` (an underscore prefix is NOT enough: partition
+    discovery exempts ``_``-names containing ``=``) — so a reader
+    scanning a partitioned table root during the swap window, or between
+    a crash and the retry, can never pick up a protocol dir as a junk
+    ``key=value__staging`` partition or read its rows twice. Python
+    ``glob`` likewise skips dot-entries, which keeps these dirs out of
+    leaf enumeration for free; recovery walks with ``os.walk`` (which
+    does see them)."""
+    trimmed = base_path.rstrip("/")
+    parent, name = os.path.split(trimmed)
+    return os.path.join(parent, f".{name}__{kind}")
+
+
 def recover_retired(base_path: str) -> None:
     """Crash recovery shared by every staging-swap publisher: a crash
-    between ``rename(base -> __retired)`` and ``rename(__staging ->
-    base)`` leaves ``__retired`` holding the ONLY complete copy. Restore
+    between ``rename(base -> retired)`` and ``rename(staging -> base)``
+    leaves the retired sibling holding the ONLY complete copy. Restore
     it before reading/merging — otherwise the caller would treat the
     table as a first load and the sole surviving copy would be deleted at
     publish time."""
-    retired = base_path.rstrip("/") + "__retired"
+    retired = protocol_sibling(base_path, "retired")
     if not os.path.exists(base_path) and os.path.exists(retired):
         os.rename(retired, base_path)
 
@@ -307,22 +326,27 @@ def recover_retired(base_path: str) -> None:
 def publish_staging_swap(base_path: str) -> None:
     """Crash-atomic publish shared by every staging-swap writer (MERGE,
     incremental rollup, in-place compaction): the COMPLETE new generation
-    must already sit at ``<base>__staging``; swap it in via rename-aside.
-    Ordering invariant: the previous generation (base, then ``__retired``)
-    survives until the new base is in place, so a crash at any point
-    leaves a complete copy that ``recover_retired`` (or the final cleanup
-    of the next run) converges. NOT reader-atomic: between the two
-    renames the base path briefly does not exist, so a concurrent reader
-    can hit a transient path-not-found — retry, schedule off-peak, or use
-    a catalog-level swap (the JDBC sink restores availability at entry;
-    plain directories have no catalog to indirect through). Single
-    WRITER assumed per table: two concurrent publishers would race on
-    the same ``__staging`` dir — serialize maintenance jobs externally.
-    ``__staging``/``__retired`` sibling names are reserved."""
+    must already sit at ``protocol_sibling(base, "staging")``; swap it in
+    via rename-aside. Ordering invariant: the previous generation (base,
+    then the retired sibling) survives until the new base is in place, so
+    a crash at any point leaves a complete copy that ``recover_retired``
+    (or the final cleanup of the next run) converges. NOT reader-atomic:
+    between the two renames the base path briefly does not exist, so a
+    concurrent reader can hit a transient path-not-found — retry,
+    schedule off-peak, or use a catalog-level swap (the JDBC sink
+    restores availability at entry; plain directories have no catalog to
+    indirect through). The protocol dirs themselves are DOT-PREFIXED
+    siblings, invisible to Spark file listing (see ``protocol_sibling``),
+    so a partitioned-table reader racing a per-leaf swap sees at worst
+    the transient path-not-found — never duplicate rows or a junk
+    partition value. Single WRITER assumed per table: two concurrent
+    publishers would race on the same staging dir — serialize
+    maintenance jobs externally. The dot-prefixed ``__staging`` /
+    ``__retired`` sibling names are reserved."""
     import shutil
 
-    staging = base_path.rstrip("/") + "__staging"
-    retired = base_path.rstrip("/") + "__retired"
+    staging = protocol_sibling(base_path, "staging")
+    retired = protocol_sibling(base_path, "retired")
     if os.path.exists(retired):
         shutil.rmtree(retired)
     if os.path.exists(base_path):
@@ -332,11 +356,14 @@ def publish_staging_swap(base_path: str) -> None:
 
 
 #: Reserved directory-name suffixes of the staging-swap publish protocol
-#: (``publish_staging_swap``). A ``<leaf>__retired`` / ``<leaf>__staging``
+#: (``publish_staging_swap``). A ``.<leaf>__retired`` / ``.<leaf>__staging``
 #: sibling left by a crash mid-swap is PROTOCOL state, not a partition —
 #: enumerating it as one would compact a retired generation in place
 #: (silently renaming the partition value) or read a staging dir another
-#: leaf's swap is about to consume.
+#: leaf's swap is about to consume. Protocol dirs are dot-prefixed (see
+#: ``protocol_sibling``) so Spark listing and Python glob skip them; this
+#: name check is the defensive second layer for explicit ``os.listdir``
+#: walks, and still matches pre-dot-prefix leftovers.
 _RESERVED_SUFFIXES = ("__retired", "__staging")
 
 
@@ -365,19 +392,29 @@ def _hive_partition_keys(path: str) -> list[str]:
 
 def recover_retired_tree(path: str) -> None:
     """Per-LEAF crash recovery for partitioned staging-swap writers: restore
-    every ``<dir>__retired`` under ``path`` whose base dir is missing (the
-    mid-swap crash window of ``publish_staging_swap``, at any partition
-    depth). Run BEFORE enumerating partition leaves — a leaf parked at
-    ``__retired`` has no base dir to enumerate, so without this sweep the
-    retry would never restore (or even see) that partition."""
-    import glob as _glob
-
-    for suffix in ("__retired",):
-        for parked in _glob.glob(
-            os.path.join(path, "**", f"*{suffix}"), recursive=True
-        ):
-            if os.path.isdir(parked):
-                recover_retired(parked[: -len(suffix)])
+    every ``.<dir>__retired`` sibling under ``path`` whose base dir is
+    missing (the mid-swap crash window of ``publish_staging_swap``, at any
+    partition depth). Run BEFORE enumerating partition leaves — a leaf
+    parked at its retired sibling has no base dir to enumerate, so without
+    this sweep the retry would never restore (or even see) that partition.
+    Walks with ``os.walk`` (NOT glob): protocol dirs are dot-prefixed
+    precisely so glob and Spark listing skip them."""
+    suffix = "__retired"
+    if not os.path.isdir(path):
+        return
+    # fixpoint: a restored dir may itself contain a parked descendant that
+    # this walk's snapshot could not see — re-walk until nothing moves
+    moved = True
+    while moved:
+        moved = False
+        for root, dirs, _files in os.walk(path):
+            for d in list(dirs):
+                if d.startswith(".") and d.endswith(suffix):
+                    base = os.path.join(root, d[1 : -len(suffix)])
+                    if not os.path.exists(base):
+                        recover_retired(base)
+                        moved = True
+                    dirs.remove(d)  # protocol dir: never descend into it
 
 
 def _partition_leaf_dirs(path: str) -> list[str]:
@@ -444,7 +481,7 @@ def _compact_flat_dir(
     if inplace:
         recover_retired(src)
     n_out = max(1, -(-_dir_data_bytes(src) // (target_file_mb * 1024 * 1024)))
-    out_dir = src.rstrip("/") + "__staging" if inplace else dst
+    out_dir = protocol_sibling(src, "staging") if inplace else dst
     spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(out_dir)
     if inplace:
         publish_staging_swap(src)
@@ -482,8 +519,14 @@ def compact_parquet_inplace(
     always survives; see ``publish_staging_swap``) but NOT reader-atomic
     — between the two renames the directory briefly does not exist, so a
     concurrent reader can hit a transient path-not-found (per leaf, for
-    partitioned tables). Schedule against live tables accordingly, or
-    use the catalog-swap JDBC sink shape where readers must never miss.
+    partitioned tables). That transient miss is the ONLY reader-visible
+    artifact even on partitioned tables: the staging/retired siblings are
+    dot-prefixed (``protocol_sibling``), which Spark's file listing skips
+    unconditionally, so a root-scanning reader during the swap window —
+    or between a crash and the retry — never sees duplicated rows or a
+    junk ``key=value__staging`` partition value (ADVICE r4). Schedule
+    against live tables accordingly, or use the catalog-swap JDBC sink
+    shape where readers must never miss.
     Returns the number of data files after compaction."""
     recover_retired(path)
     recover_retired_tree(path)
@@ -516,13 +559,14 @@ def merge_upsert_parquet(
     for it — "not provided", not "delete the column").
 
     Write protocol (the file-layer twin of
-    ``jdbc.write_jdbc_exactly_once``): the merged result lands in a
-    ``<base>__staging`` directory first; only after that write fully
-    succeeds does the old table move to ``<base>__retired`` and the
-    staging directory take its place — readers see the old table or the
-    new one, never a half-written mix, and a crash mid-publish leaves a
-    recoverable staging dir that the next run overwrites. ``__staging`` /
-    ``__retired`` sibling names are reserved.
+    ``jdbc.write_jdbc_exactly_once``): the merged result lands in the
+    dot-prefixed ``.<base>__staging`` sibling first; only after that
+    write fully succeeds does the old table move to ``.<base>__retired``
+    and the staging directory take its place — readers see the old table
+    or the new one, never a half-written mix, and a crash mid-publish
+    leaves a recoverable staging dir that the next run overwrites. The
+    dot-prefixed sibling names are reserved (``protocol_sibling``) and
+    invisible to Spark file listing.
 
     Merge semantics are ``operators/cdc``-style latest-change-wins,
     expressed as one window over the union — a keyed shuffle, no driver
@@ -532,7 +576,7 @@ def merge_upsert_parquet(
     from pyspark.sql import Window
     from pyspark.sql import functions as _F
 
-    staging = base_path.rstrip("/") + "__staging"
+    staging = protocol_sibling(base_path, "staging")
     recover_retired(base_path)
     if os.path.exists(base_path):
         base = spark.read.parquet(base_path)

@@ -174,3 +174,31 @@ def test_bloom_decontaminate_releases_gram_cache(spark):
     after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert after - before <= 1, "gram cache leaked"
     out.unpersist()
+
+
+def test_bloom_decontaminate_preserves_caller_cache(spark):
+    """ADVICE r4 (low): a CALLER-cached eval-gram frame (reused across
+    several decontamination calls) must keep its cache entry — the
+    function only releases the cache it created itself."""
+    from bytesme_etl_batch_pipeline_spark.operators.bloom import (
+        bloom_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z")], "doc_id long, text string"
+    ).selectExpr("doc_id", "explode(split(text, ' ')) AS gram")
+    ev = (
+        spark.createDataFrame([("a b c",)], "text string")
+        .selectExpr("explode(split(text, ' ')) AS gram")
+        .cache()
+    )
+    try:
+        out1 = bloom_decontaminate(corpus, ev)
+        assert [r["doc_id"] for r in out1.collect()] == [1]
+        assert ev.is_cached, "caller's cache entry was dropped"
+        out2 = bloom_decontaminate(corpus, ev)  # reuse still works
+        assert [r["doc_id"] for r in out2.collect()] == [1]
+        assert ev.is_cached
+        out1.unpersist(), out2.unpersist()
+    finally:
+        ev.unpersist()

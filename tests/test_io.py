@@ -18,6 +18,7 @@ from pyspark.sql.types import (
 
 from bytesme_etl_batch_pipeline_spark.operators.dedup import dedup_keep_first
 from bytesme_etl_batch_pipeline_spark.sources.files import (
+    protocol_sibling,
     read_csv,
     read_json,
     write_csv,
@@ -335,7 +336,7 @@ def test_merge_upsert_parquet_lifecycle(spark, tmp_path):
     assert n == 2
     assert {r.k: r.v for r in spark.read.parquet(base).collect()} == {1: "a2", 3: "c"}
     # stale staging from a simulated crash must not poison the next publish
-    staging = base + "__staging"
+    staging = protocol_sibling(base, "staging")
     os.makedirs(staging, exist_ok=True)
     open(os.path.join(staging, "junk"), "w").write("partial")
     n = merge_upsert_parquet(
@@ -345,7 +346,7 @@ def test_merge_upsert_parquet_lifecycle(spark, tmp_path):
     assert {r.k: r.v for r in spark.read.parquet(base).collect()} == {
         1: "a2", 3: "c", 4: "d",
     }
-    assert not os.path.exists(base + "__retired")
+    assert not os.path.exists(protocol_sibling(base, "retired"))
 
 
 def test_merge_upsert_recovers_retired_after_crash(spark, tmp_path):
@@ -366,14 +367,14 @@ def test_merge_upsert_recovers_retired_after_crash(spark, tmp_path):
         ["k"], "version", "deleted",
     )
     # simulate the crash window: base retired, staging lost, no new base
-    os.rename(base, base + "__retired")
+    os.rename(base, protocol_sibling(base, "retired"))
     n = merge_upsert_parquet(
         spark, base, rows((3, "c", 2, False)), ["k"], "version", "deleted"
     )
     assert n == 3  # old rows survived the crash
     got = {r.k: r.v for r in spark.read.parquet(base).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
-    assert not os.path.exists(base + "__retired")
+    assert not os.path.exists(protocol_sibling(base, "retired"))
 
 
 def test_incremental_rollup_recovers_retired_after_crash(spark, tmp_path):
@@ -387,12 +388,12 @@ def test_incremental_rollup_recovers_retired_after_crash(spark, tmp_path):
     state = str(tmp_path / "state")
     d1 = spark.createDataFrame([("x", 10), ("y", 20)], "k string, v long")
     incremental_rollup(spark, state, d1, keys=["k"], sum_cols=["v"])
-    os.rename(state, state + "__retired")
+    os.rename(state, protocol_sibling(state, "retired"))
     d2 = spark.createDataFrame([("x", 5)], "k string, v long")
     out = incremental_rollup(spark, state, d2, keys=["k"], sum_cols=["v"])
     got = {r.k: int(r.sum_v) for r in out.collect()}
     assert got == {"x": 15, "y": 20}  # first delta survived the crash
-    assert not os.path.exists(state + "__retired")
+    assert not os.path.exists(protocol_sibling(state, "retired"))
 
 
 @pytest.mark.parametrize("crash_after", [0, 1, 2])
@@ -429,7 +430,7 @@ def test_incremental_rollup_exactly_once_crash_retry(spark, tmp_path, crash_afte
     )
     got = {r["k"]: float(r["sum_v"]) for r in out.collect()}
     assert got == {"a": 11.0, "b": 2.0}  # never 21.0: no double-apply
-    assert not os.path.exists(state + "__retired")
+    assert not os.path.exists(protocol_sibling(state, "retired"))
 
 
 @pytest.mark.parametrize("crash_after", [0, 1, 2])
@@ -459,12 +460,12 @@ def test_merge_upsert_crash_retry_converges(spark, tmp_path, crash_after):
             merge_upsert_parquet(spark, base, b2, ["k"], "version", "deleted")
 
     # some complete copy (pre- or post-merge) is always readable
-    assert os.path.exists(base) or os.path.exists(base + "__retired")
+    assert os.path.exists(base) or os.path.exists(protocol_sibling(base, "retired"))
     n = merge_upsert_parquet(spark, base, b2, ["k"], "version", "deleted")
     assert n == 2
     got = {r["k"]: r["v"] for r in spark.read.parquet(base).collect()}
     assert got == {2: "B", 3: "c"}  # k=1 deleted, k=2 replaced, k=3 new
-    assert not os.path.exists(base + "__retired")
+    assert not os.path.exists(protocol_sibling(base, "retired"))
 
 
 def test_compact_parquet_inplace_preserves_rows(spark, tmp_path):
@@ -487,8 +488,8 @@ def test_compact_parquet_inplace_preserves_rows(spark, tmp_path):
     assert n == len(after_files) == 1  # tiny table -> one right-sized file
     after_rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert after_rows == before_rows
-    assert not os.path.exists(path + "__staging")
-    assert not os.path.exists(path + "__retired")
+    assert not os.path.exists(protocol_sibling(path, "staging"))
+    assert not os.path.exists(protocol_sibling(path, "retired"))
 
 
 @pytest.mark.parametrize("crash_after", [0, 1, 2])
@@ -510,12 +511,12 @@ def test_compact_parquet_inplace_crash_retry(spark, tmp_path, crash_after):
     with _crash(crash_after, (os, "rename"), (shutil, "rmtree")):
         with pytest.raises(OSError, match="injected crash"):
             compact_parquet_inplace(spark, path, target_file_mb=128)
-    assert os.path.exists(path) or os.path.exists(path + "__retired")
+    assert os.path.exists(path) or os.path.exists(protocol_sibling(path, "retired"))
 
     n = compact_parquet_inplace(spark, path, target_file_mb=128)
     assert n == 1
     assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
-    assert not os.path.exists(path + "__retired")
+    assert not os.path.exists(protocol_sibling(path, "retired"))
 
 
 def test_merge_upsert_schema_guard_and_evolution(spark, tmp_path):
@@ -654,6 +655,54 @@ def test_compact_partitioned_crash_retry_converges(spark, tmp_path, crash_after)
     ]
 
 
+def test_partitioned_swap_dirs_invisible_to_readers(spark, tmp_path):
+    """ADVICE r4 (medium): protocol dirs are DOT-PREFIXED siblings, so a
+    Spark reader scanning the TABLE ROOT while a leaf's staging/retired
+    dirs exist (the swap window, or a crash before the retry) sees exactly
+    one copy of every row and only real partition values — never a junk
+    'part=1__staging' partition or duplicated rows. (With the old
+    suffix-only names, key=value__staging matched partition discovery.)"""
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.range(0, 300).selectExpr(
+        "id", "cast(id % 3 as int) as part"
+    ).write.partitionBy("part").parquet(path)
+    want = sorted(
+        (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
+    )
+    leaf = os.path.join(path, "part=1")
+    # worst-case snapshot: full copies of the leaf parked at BOTH protocol
+    # siblings (covers the {base,staging} and {base,retired} crash windows)
+    shutil.copytree(leaf, protocol_sibling(leaf, "staging"))
+    shutil.copytree(leaf, protocol_sibling(leaf, "retired"))
+    got_rows = spark.read.parquet(path).collect()
+    assert sorted((r["id"], r["part"]) for r in got_rows) == want
+    assert {r["part"] for r in got_rows} == {0, 1, 2}
+
+
+def test_incremental_rollup_refuses_out_of_order_redelivery(spark, tmp_path):
+    """ADVICE r4 (low): the applied-batch marker is a bounded LOG, not
+    just the latest id — a delayed replay of batch N-2 delivered after
+    N-1 applied must be refused, not double-counted."""
+    from bytesme_etl_batch_pipeline_spark.operators.aggregate import (
+        incremental_rollup,
+    )
+
+    state = str(tmp_path / "state")
+    mk = lambda *rs: spark.createDataFrame(list(rs), "k string, v long")
+    incremental_rollup(spark, state, mk(("a", 1)), keys=["k"], sum_cols=["v"],
+                       batch_id="b1")
+    incremental_rollup(spark, state, mk(("a", 10)), keys=["k"], sum_cols=["v"],
+                       batch_id="b2")
+    incremental_rollup(spark, state, mk(("a", 100)), keys=["k"], sum_cols=["v"],
+                       batch_id="b3")
+    # queue redrive re-delivers b1 AFTER b2/b3 applied: must be a no-op
+    out = incremental_rollup(spark, state, mk(("a", 1)), keys=["k"],
+                             sum_cols=["v"], batch_id="b1")
+    assert {r["k"]: float(r["sum_v"]) for r in out.collect()} == {"a": 111.0}
+
+
 def test_compact_mixed_layout_raises(spark, tmp_path):
     """Loose data files ABOVE the partition-leaf level must fail loudly:
     per-leaf compaction would silently drop them (and Spark cannot attach
@@ -698,7 +747,10 @@ def test_compact_copy_restores_parked_partition(spark, tmp_path):
     ).write.partitionBy("part").parquet(src)
     want = sorted((r["id"], r["part"]) for r in spark.read.parquet(src).collect())
     # simulate the mid-swap crash window on one leaf
-    os.rename(os.path.join(src, "part=1"), os.path.join(src, "part=1__retired"))
+    os.rename(
+        os.path.join(src, "part=1"),
+        protocol_sibling(os.path.join(src, "part=1"), "retired"),
+    )
 
     compact_parquet(spark, src, dst, target_file_mb=128)
     got = sorted((r["id"], r["part"]) for r in spark.read.parquet(dst).collect())

@@ -461,10 +461,16 @@ def test_drop_parent_paths_matches_bruteforce(spark, paths, hosts):
     (/cake vs /cakes) never counts as parentage."""
     from bytesme_etl_batch_pipeline_spark.operators.dedup import drop_parent_paths
 
-    urls = [
-        f"https://{hosts[i % len(hosts)]}/" + "/".join(p)
-        for i, p in enumerate(paths)
-    ]
+    urls = []
+    for i, p in enumerate(paths):
+        host = hosts[i % len(hosts)]
+        if p:
+            urls.append(f"https://{host}/" + "/".join(p))
+        else:
+            # exercise BOTH site-root spellings (ADVICE r4): the bare
+            # authority ('https://h') parses to a NULL path, the slashed
+            # root to '/' — they must behave identically
+            urls.append(f"https://{host}" + ("/" if i % 2 else ""))
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = sorted(r.url for r in drop_parent_paths(df, "url").collect())
 
@@ -481,6 +487,26 @@ def test_drop_parent_paths_matches_bruteforce(spark, paths, hosts):
         )
     )
     assert got == want
+
+
+def test_drop_parent_paths_bare_root_dropped_like_slashed_root(spark):
+    """ADVICE r4 (low): 'https://x.com' (NULL path) and 'https://x.com/'
+    (path '/') are the same site root — BOTH must be dropped when any
+    child exists on that site, and both survive on a childless site."""
+    from bytesme_etl_batch_pipeline_spark.operators.dedup import drop_parent_paths
+
+    urls = [
+        "https://x.com",          # bare root, has a child -> dropped
+        "https://x.com/",         # slashed root, same site -> dropped
+        "https://x.com/cakes",    # leaf -> kept
+        "https://lonely.vn",      # bare root, no children -> kept
+        "https://alone.vn/",      # slashed root, no children -> kept
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = sorted(r.url for r in drop_parent_paths(df, "url").collect())
+    assert got == sorted(
+        ["https://x.com/cakes", "https://lonely.vn", "https://alone.vn/"]
+    )
 
 
 def test_drop_parent_paths_never_crosses_ports_or_schemes(spark):
