@@ -37,6 +37,25 @@ def test_streaming_sessionization_matches_batch(spark, sf_dir):
     assert _sorted_rows(got) == _sorted_rows(expected)
 
 
+def test_parquet_snapshot_drain_matches_memory_sink(spark, sf_dir, tmp_path):
+    """VERDICT r4: the foreachBatch parquet-snapshot drain (which keeps the
+    result set off the driver) must produce exactly the memory-sink result
+    — same rows, same schema — and repeated drains must overwrite, not
+    accumulate."""
+    out = str(tmp_path / "snap")
+    for _ in range(2):  # second drain overwrites the first
+        stream = stream_events.read_events_stream(spark, sf_dir)
+        agg = stream_events.windowed_counts(stream)
+        with tempfile.TemporaryDirectory() as ckpt:
+            stream_events.run_stream_to_parquet_snapshot(agg, out, ckpt)
+    got_df = spark.read.parquet(out)
+    expected = catalog.SPARK_QUERIES["events_tumbling_window"](spark, sf_dir)
+    assert [f.name for f in got_df.schema.fields] == [
+        f.name for f in expected.schema.fields
+    ]
+    assert _sorted_rows(got_df.collect()) == _sorted_rows(expected.collect())
+
+
 def test_multibatch_drain_of_ordered_directory_layout(spark, sf_dir, tmp_path):
     """read_events_stream(max_files_per_trigger=1) over a DIRECTORY-layout
     dump whose part files respect event-time order: per-file micro-batches
