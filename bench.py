@@ -14,6 +14,14 @@ Everything else (Spark logs, progress) is kept off stdout entirely.
 
 Each query is executed to completion (count() action — no driver-side
 collect of big results) after a warm-up of the session.
+
+Noise floor (VERDICT r4 item 2): this host swings ±50% under outside load,
+which made single-shot round-over-round totals unreadable. Each query now
+runs ``$SPARK_GRAFT_BENCH_REPEATS`` times (default 3, back-to-back so the
+comparison is warm-vs-warm) and the reported number is the per-query MIN —
+the standard noise-floor estimator. ``BENCH_DETAIL.json`` additionally
+carries the median and every raw run so a regression can be told apart
+from one noisy sample without re-running.
 """
 
 from __future__ import annotations
@@ -109,11 +117,19 @@ def main() -> None:
         lambda pdf: pdf, schema="id long, x double, g long"
     ).count()
 
-    timings: dict[str, float] = {}
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    runs: dict[str, list[float]] = {}
+    timings: dict[str, float] = {}   # per-query MIN (the noise floor)
+    medians: dict[str, float] = {}
     for name, fn in catalog.SPARK_QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(round(time.perf_counter() - t0, 4))
+        runs[name] = samples
+        timings[name] = min(samples)
+        medians[name] = sorted(samples)[len(samples) // 2]
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -128,6 +144,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "median": medians,
+                "runs": runs,
+                "repeats": repeats,
                 "n_queries": len(timings),
                 "sf": sf_val,
             },

@@ -11563,11 +11563,44 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- ROUND-4 DRIVER WINDOW (first 50 = the driver's correctness
-    #    window): oracle-paired queries that have NEVER had a driver row
-    #    (r01|r02|r03). Order follows VERDICT r3 item 1: the 9 TPC-H
-    #    completions, the remaining TPC-H shapes, the named high-risk
-    #    LLM-data/analytics tail, then the rest of the never-checked set.
+    # -- ROUND-5 DRIVER WINDOW (first 50 = the driver's correctness
+    #    window), per VERDICT r4 item 1: slots 1-44 are the LAST 44
+    #    oracle-paired queries with no driver row in any round, slots
+    #    45-49 the 5 never-checked rows-only sketches (weaker rows-only
+    #    driver check by design), slot 50 re-checks
+    #    streaming_windowed_counts after this round's snapshot-drain
+    #    rewrite (VERDICT r4 item 4). A green r05 closes the evidence
+    #    ledger: every catalog query then has a driver row at or after
+    #    its last semantic change.
+    'running_distinct_event_types', 'purchase_attribution',
+    'missing_activity_days', 'tpch_q8_nation_market_share',
+    'inverted_token_index', 'copurchase_triangles', 'daily_activity_spine',
+    'hour_weekday_heatmap', 'daily_volume_anomalies',
+    'revenue_pareto_deciles', 'cohort_ltv_matrix', 'monthly_revenue_growth',
+    'supplier_hhi_by_type', 'orders_keyset_page',
+    'dedup_effectiveness_report', 'session_bounce_rate',
+    'linear_touch_attribution', 'order_total_reconciliation',
+    'returns_rate_by_brand', 'lang_id_confusion_matrix',
+    'weekly_engagement_segments', 'dup_rate_by_source', 'doc_token_entropy',
+    'size_price_correlation', 'winsorized_value_stats',
+    'source_token_divergence', 'lang_purity_by_source',
+    'partition_skew_report', 'token_position_bias', 'dow_seasonality_index',
+    'dup_cluster_size_distribution', 'order_interarrival_percentiles',
+    'embedding_norm_outliers', 'heaps_law_curve',
+    'extraction_artifact_screen', 'rollup_share_of_parent',
+    'part_skyline_pareto', 'zipf_fit_report', 'session_path_topk',
+    'revenue_gini_by_nation', 'new_vs_returning_revenue',
+    'doc_ngram_novelty', 'supplier_delivery_reliability',
+    'source_quality_scorecard',
+    # -- slots 45-49: never-checked rows-only (weaker driver check) --
+    'pq_adc_search', 'ivfpq_topk', 'bpe_train_encode',
+    'source_overlap_estimate', 'doc_compression_screen',
+    # -- slot 50: re-check after the r5 foreachBatch snapshot rewrite --
+    'streaming_windowed_counts',
+    # -- driver-green in r04 (CORRECTNESS_r04.json, 50/50; order kept).
+    #    streaming_session_counts shares the r5 snapshot rewrite; its
+    #    post-change parity is pinned by tools/driver_gate.py (green,
+    #    recorded in COVERAGE.md) since only one slot-50 was free. --
     'tpch_q2_min_cost_supplier', 'tpch_q7_volume_shipping',
     'tpch_q9_product_type_profit', 'tpch_q11_important_stock',
     'tpch_q12_shipmode_priority', 'tpch_q13_customer_distribution',
@@ -11590,38 +11623,13 @@ _CATALOG_ORDER = [
     'customer_rfm_scores', 'vocab_oov_rate', 'k_anonymity_report',
     'minhash_estimator_quality', 'shingle_containment_pairs',
     'purchase_linear_regression',
-    # -- ROUND-5 QUEUE: remaining never-driver-checked oracle-paired
-    #    queries (rotate these into the r05 window) --
-    'running_distinct_event_types', 'purchase_attribution',
-    'missing_activity_days', 'tpch_q8_nation_market_share',
-    'inverted_token_index', 'copurchase_triangles', 'daily_activity_spine',
-    'hour_weekday_heatmap', 'daily_volume_anomalies',
-    'revenue_pareto_deciles', 'cohort_ltv_matrix', 'monthly_revenue_growth',
-    'supplier_hhi_by_type', 'orders_keyset_page',
-    'dedup_effectiveness_report', 'session_bounce_rate',
-    'linear_touch_attribution', 'order_total_reconciliation',
-    'returns_rate_by_brand', 'lang_id_confusion_matrix',
-    'weekly_engagement_segments', 'dup_rate_by_source', 'doc_token_entropy',
-    'size_price_correlation', 'winsorized_value_stats',
-    'source_token_divergence', 'lang_purity_by_source',
-    'partition_skew_report', 'token_position_bias', 'dow_seasonality_index',
-    'dup_cluster_size_distribution', 'order_interarrival_percentiles',
-    'embedding_norm_outliers', 'heaps_law_curve',
-    'extraction_artifact_screen', 'rollup_share_of_parent',
-    'part_skyline_pareto', 'zipf_fit_report', 'session_path_topk',
-    'revenue_gini_by_nation', 'new_vs_returning_revenue',
-    'doc_ngram_novelty', 'supplier_delivery_reliability',
-    'source_quality_scorecard',
-    # -- never-checked rows-only (weaker driver check by design) --
-    'pq_adc_search', 'ivfpq_topk', 'bpe_train_encode',
-    'source_overlap_estimate', 'doc_compression_screen',
     # -- driver-green in r01|r02|r03 (evidence on file; order preserved) --
     'doc_chunking', 'udtf_unit_price_explode', 'repetition_signals',
     'simhash_hamming_pairs', 'cdc_apply', 'join_skew_report',
     'doc_template_vi', 'decontaminate_ngram_overlap', 'neardup_dedup_docs',
     'heavy_hitter_tokens', 'embedding_quantize_int8',
     'semantic_dedup_embeddings', 'neardup_clusters',
-    'range_join_balance_tiers', 'streaming_windowed_counts',
+    'range_join_balance_tiers',
     'doc_embeddings', 'semantic_search_pipeline', 'media_decode',
     'approx_percentiles', 'approx_distinct_counts', 'ann_lsh_topk',
     'ann_ivf_topk', 'rule_cascade_classify', 'array_ops_battery',

@@ -157,12 +157,14 @@ def test_catalog_plan_lint(spark, sf_dir):
 
 def test_driver_window_holds_rotation_priority():
     """The driver records correctness rows for the FIRST 50 catalog
-    entries. Round 4's window must hold exactly the 50 oracle-paired
-    never-driver-checked queries chosen per VERDICT r3 item 1, and
-    _apply_catalog_order puts UNLISTED registrations at the very front —
-    so (a) the window is bit-for-bit the planned rotation, and (b) every
-    registered query MUST be explicitly pinned in _CATALOG_ORDER (an
-    unlisted one would evict the window tail silently)."""
+    entries. Round 5's window must hold exactly the 49 remaining
+    never-driver-checked queries (44 oracle-paired + 5 rows-only) plus
+    streaming_windowed_counts (re-check after the r5 snapshot-drain
+    rewrite), per VERDICT r4 items 1 and 4. _apply_catalog_order puts
+    UNLISTED registrations at the very front — so (a) the window is
+    bit-for-bit the planned rotation, and (b) every registered query MUST
+    be explicitly pinned in _CATALOG_ORDER (an unlisted one would evict
+    the window tail silently)."""
     from bytesme_etl_batch_pipeline_spark.plans.queries import (
         _CATALOG_ORDER,
         ORACLE_SQL,
@@ -174,40 +176,49 @@ def test_driver_window_holds_rotation_priority():
         f"{sorted(set(SPARK_QUERIES) - set(_CATALOG_ORDER))}; stale: "
         f"{sorted(set(_CATALOG_ORDER) - set(SPARK_QUERIES))}"
     )
-    r04_window = [
-        "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
-        "tpch_q9_product_type_profit", "tpch_q11_important_stock",
-        "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
-        "tpch_q20_part_share_suppliers", "tpch_q21_waiting_supplier",
-        "tpch_q22_global_sales_opportunity", "tpch_q6_forecast_revenue",
-        "tpch_q10_returned_items", "tpch_q14_promo_share",
-        "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
-        "tpch_q18_big_orders", "tpch_q19_disjunctive_revenue",
-        "llm_corpus_pipeline", "kmeans_lloyd_step", "bigram_logprob_quality",
-        "cms_heavy_hitters", "ccnet_quality_buckets",
-        "boilerplate_purge_docs", "bitext_margin_mining",
-        "media_phash_dedup", "scd2_point_in_time", "cuped_ab_adjusted_lift",
-        "dsir_importance_resample", "gopher_quality_rules",
-        "ann_recall_report", "hourly_interpolated_values",
-        "streaming_session_counts", "neardup_keep_best_docs",
-        "events_hopping_window", "nation_dual_presence_intersect",
-        "part_hierarchy_rollup", "benford_digit_audit",
-        "contrastive_training_pairs", "event_burst_dedup",
-        "cusum_changepoint_scan", "bigram_pmi_collocations",
-        "column_profile", "media_frame_sample", "basket_lift_rules",
-        "session_funnel", "customer_rfm_scores", "vocab_oov_rate",
-        "k_anonymity_report", "minhash_estimator_quality",
-        "shingle_containment_pairs", "purchase_linear_regression",
+    r05_window = [
+        # 44 oracle-paired, never driver-checked in r01-r04
+        "running_distinct_event_types", "purchase_attribution",
+        "missing_activity_days", "tpch_q8_nation_market_share",
+        "inverted_token_index", "copurchase_triangles",
+        "daily_activity_spine", "hour_weekday_heatmap",
+        "daily_volume_anomalies", "revenue_pareto_deciles",
+        "cohort_ltv_matrix", "monthly_revenue_growth",
+        "supplier_hhi_by_type", "orders_keyset_page",
+        "dedup_effectiveness_report", "session_bounce_rate",
+        "linear_touch_attribution", "order_total_reconciliation",
+        "returns_rate_by_brand", "lang_id_confusion_matrix",
+        "weekly_engagement_segments", "dup_rate_by_source",
+        "doc_token_entropy", "size_price_correlation",
+        "winsorized_value_stats", "source_token_divergence",
+        "lang_purity_by_source", "partition_skew_report",
+        "token_position_bias", "dow_seasonality_index",
+        "dup_cluster_size_distribution", "order_interarrival_percentiles",
+        "embedding_norm_outliers", "heaps_law_curve",
+        "extraction_artifact_screen", "rollup_share_of_parent",
+        "part_skyline_pareto", "zipf_fit_report", "session_path_topk",
+        "revenue_gini_by_nation", "new_vs_returning_revenue",
+        "doc_ngram_novelty", "supplier_delivery_reliability",
+        "source_quality_scorecard",
+        # 5 rows-only sketches, never driver-checked
+        "pq_adc_search", "ivfpq_topk", "bpe_train_encode",
+        "source_overlap_estimate", "doc_compression_screen",
+        # re-check after this round's foreachBatch snapshot rewrite
+        "streaming_windowed_counts",
     ]
-    assert len(r04_window) == 50
+    assert len(r05_window) == 50
     first50 = list(SPARK_QUERIES)[:50]
-    assert first50 == r04_window, (
-        "driver window drifted from the planned r04 rotation: "
-        f"{[n for n in r04_window if n not in first50]} fell out; "
-        f"{[n for n in first50 if n not in r04_window]} crept in"
+    assert first50 == r05_window, (
+        "driver window drifted from the planned r05 rotation: "
+        f"{[n for n in r05_window if n not in first50]} fell out; "
+        f"{[n for n in first50 if n not in r05_window]} crept in"
     )
-    # every window slot must carry the hard signal (an oracle pair)
-    assert all(n in ORACLE_SQL for n in first50)
+    # exactly the 5 rows-only sketches lack the hard signal (oracle pair)
+    no_oracle = [n for n in first50 if n not in ORACLE_SQL]
+    assert no_oracle == [
+        "pq_adc_search", "ivfpq_topk", "bpe_train_encode",
+        "source_overlap_estimate", "doc_compression_screen",
+    ]
 
 
 def test_catalog_counts_match_coverage_doc():
