@@ -255,6 +255,30 @@ def test_catalog_counts_match_coverage_doc():
         f"doc names {sorted(named)} but catalog rows-only is {sorted(rows_only)}"
     )
 
+    # VERDICT r4 item 5 (third miscount in three rounds — make the class
+    # impossible): EVERY present-tense whole-catalog tally in the doc must
+    # match the live registry, not just the 'Final catalog state' line.
+    # Historical counts are fine when phrased as such ("the round-2 ledger
+    # said ..."); the patterns below only match the canonical current-state
+    # claim shapes.
+    norm = re.sub(r"\s+", " ", doc)
+    offenders = []
+    for num in re.findall(r"All (\d+) oracle pairs", norm):
+        if int(num) != len(ORACLE_SQL):
+            offenders.append(f"'All {num} oracle pairs' vs live {len(ORACLE_SQL)}")
+    for q, o in re.findall(r"\*\*(\d+) queries, (\d+) oracle-paired\*\*", norm):
+        if int(q) != len(SPARK_QUERIES) or int(o) != len(ORACLE_SQL):
+            offenders.append(
+                f"'**{q} queries, {o} oracle-paired**' vs live "
+                f"{len(SPARK_QUERIES)}/{len(ORACLE_SQL)}"
+            )
+    for num in re.findall(r"(\d+) declared rows-only", norm):
+        if int(num) != len(rows_only):
+            offenders.append(
+                f"'{num} declared rows-only' vs live {len(rows_only)}"
+            )
+    assert not offenders, f"stale catalog tallies in COVERAGE.md: {offenders}"
+
 
 def test_neardup_lsh_edges_memoized_per_app_and_sfdir(spark, sf_dir):
     """Both CC cluster queries must reuse ONE materialized LSH artifact
