@@ -317,10 +317,19 @@ def recover_retired(base_path: str) -> None:
     leaves the retired sibling holding the ONLY complete copy. Restore
     it before reading/merging — otherwise the caller would treat the
     table as a first load and the sole surviving copy would be deleted at
-    publish time."""
-    retired = protocol_sibling(base_path, "retired")
-    if not os.path.exists(base_path) and os.path.exists(retired):
-        os.rename(retired, base_path)
+    publish time. Also restores the LEGACY (pre-dot-prefix)
+    ``<base>__retired`` spelling: a table parked by a writer from before
+    the protocol dirs went hidden would otherwise read as a first load —
+    silent data loss on upgrade."""
+    if os.path.exists(base_path):
+        return
+    for retired in (
+        protocol_sibling(base_path, "retired"),
+        base_path.rstrip("/") + "__retired",  # legacy spelling
+    ):
+        if os.path.exists(retired):
+            os.rename(retired, base_path)
+            return
 
 
 def publish_staging_swap(base_path: str) -> None:
@@ -403,14 +412,17 @@ def recover_retired_tree(path: str) -> None:
     if not os.path.isdir(path):
         return
     # fixpoint: a restored dir may itself contain a parked descendant that
-    # this walk's snapshot could not see — re-walk until nothing moves
+    # this walk's snapshot could not see — re-walk until nothing moves.
+    # Legacy (pre-dot-prefix) parked dirs are restored too: a crash from
+    # before the protocol rename must not strand a partition on upgrade.
     moved = True
     while moved:
         moved = False
         for root, dirs, _files in os.walk(path):
             for d in list(dirs):
-                if d.startswith(".") and d.endswith(suffix):
-                    base = os.path.join(root, d[1 : -len(suffix)])
+                if d.endswith(suffix):
+                    name = d[1:] if d.startswith(".") else d
+                    base = os.path.join(root, name[: -len(suffix)])
                     if not os.path.exists(base):
                         recover_retired(base)
                         moved = True

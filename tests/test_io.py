@@ -681,6 +681,45 @@ def test_partitioned_swap_dirs_invisible_to_readers(spark, tmp_path):
     assert {r["part"] for r in got_rows} == {0, 1, 2}
 
 
+def test_recover_restores_legacy_retired_spelling(spark, tmp_path):
+    """Upgrade safety: a table parked at the LEGACY (pre-dot-prefix)
+    '<base>__retired' name by a writer from before the protocol dirs went
+    hidden must still be restored — treating it as a first load would
+    delete the only surviving copy at publish time."""
+    import shutil
+
+    from bytesme_etl_batch_pipeline_spark.sources.files import (
+        compact_parquet,
+        merge_upsert_parquet,
+    )
+
+    base = str(tmp_path / "tbl")
+    rows = lambda *rs: spark.createDataFrame(
+        list(rs), "k long, v string, version long, deleted boolean"
+    )
+    merge_upsert_parquet(
+        spark, base, rows((1, "a", 1, False)), ["k"], "version", "deleted"
+    )
+    os.rename(base, base + "__retired")  # legacy crash leftover
+    n = merge_upsert_parquet(
+        spark, base, rows((2, "b", 2, False)), ["k"], "version", "deleted"
+    )
+    assert n == 2  # the parked generation survived
+    assert not os.path.exists(base + "__retired")
+
+    # legacy PARTITION leaf leftover, exercised through the tree walk
+    src = str(tmp_path / "part_tbl")
+    spark.range(0, 100).selectExpr(
+        "id", "cast(id % 2 as int) as part"
+    ).write.partitionBy("part").parquet(src)
+    want = sorted((r["id"], r["part"]) for r in spark.read.parquet(src).collect())
+    os.rename(os.path.join(src, "part=1"), os.path.join(src, "part=1__retired"))
+    dst = str(tmp_path / "part_dst")
+    compact_parquet(spark, src, dst, target_file_mb=128)
+    got = sorted((r["id"], r["part"]) for r in spark.read.parquet(dst).collect())
+    assert got == want
+
+
 def test_incremental_rollup_refuses_out_of_order_redelivery(spark, tmp_path):
     """ADVICE r4 (low): the applied-batch marker is a bounded LOG, not
     just the latest id — a delayed replay of batch N-2 delivered after

@@ -56,6 +56,28 @@ def test_parquet_snapshot_drain_matches_memory_sink(spark, sf_dir, tmp_path):
     assert _sorted_rows(got_df.collect()) == _sorted_rows(expected.collect())
 
 
+def test_parquet_snapshot_drain_empty_source(spark, tmp_path):
+    """Zero-batch drain: an empty (schema-only) source must come back as
+    an empty result, not a read error on a never-created snapshot dir."""
+    from bytesme_etl_batch_pipeline_spark.plans.queries import (
+        _drain_stream_snapshot,
+    )
+
+    src = str(tmp_path / "empty_events")
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    )
+    empty.write.parquet(src)
+    stream = spark.readStream.schema(empty.schema).parquet(src)
+    agg = stream_events.windowed_counts(stream)
+    got = _drain_stream_snapshot(spark, agg, "empty_drain_test")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in agg.schema.fields
+    ]
+
+
 def test_multibatch_drain_of_ordered_directory_layout(spark, sf_dir, tmp_path):
     """read_events_stream(max_files_per_trigger=1) over a DIRECTORY-layout
     dump whose part files respect event-time order: per-file micro-batches
