@@ -121,12 +121,22 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}   # per-query MIN (the noise floor)
     medians: dict[str, float] = {}
+    import gc
+
     for name, fn in catalog.SPARK_QUERIES.items():
         samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(round(time.perf_counter() - t0, 4))
+        # Release the finished query's py4j handles NOW: localCheckpoint
+        # blocks are reclaimed by the ContextCleaner only after the JVM-side
+        # RDD refs die, which waits on Python GC of the DataFrame objects.
+        # Without this, a long single-session catalog run accumulates the
+        # checkpoint blocks of every multi-branch query (observed: heap OOM
+        # at 8g on repeated sf1 passes; with per-query GC, storage stays at
+        # the one memoized LSH artifact).
+        gc.collect()
         runs[name] = samples
         timings[name] = min(samples)
         medians[name] = sorted(samples)[len(samples) // 2]

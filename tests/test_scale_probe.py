@@ -52,11 +52,17 @@ def test_sf1_ratio_stays_linear(spark, sf_dir, name):
     sf01 = "/root/testdata/sf0.1"
 
     def warm_min(d: str, runs: int = 2) -> float:
+        import gc
+
         best = float("inf")
         for _ in range(runs + 1):  # first run warms caches, then min-of-N
             t0 = time.perf_counter()
             Q.SPARK_QUERIES[name](spark, d).count()
             dt = time.perf_counter() - t0
+            # free the run's checkpoint blocks before timing the next one
+            # (ContextCleaner reclaims only after Python drops the refs;
+            # without this, sf1 passes accumulate blocks until heap OOM)
+            gc.collect()
             best = min(best, dt)
         return best
 
@@ -86,11 +92,15 @@ def test_sf1_driver_rss_stays_flat(spark):
                     return int(ln.split()[1]) // 1024
         raise RuntimeError("VmRSS not found")
 
+    import gc
+
     for name in PROBE_QUERIES:  # warm allocator high-water first
         Q.SPARK_QUERIES[name](spark, SF1_DIR).count()
+        gc.collect()
     before = rss_mb()
     for name in PROBE_QUERIES:
         Q.SPARK_QUERIES[name](spark, SF1_DIR).count()
+        gc.collect()
     after = rss_mb()
     assert after - before < 200, (
         f"driver RSS grew {after - before} MB across a repeated sf1 pass "

@@ -69,24 +69,46 @@ def main() -> int:
             c = base
             for col in keys:
                 c = c.withColumn(col, (F.col(col) + F.lit(k * OFFSET)).cast("long"))
-            if t == "documents" and "text" in c.columns:
-                # keep near-dup structure WITHIN a copy, break it across
-                # copies (n_chars deliberately left as-is: a +4-char drift
-                # is below every length gate's granularity)
+            if t == "documents" and "text" in c.columns and k > 0:
+                # Hold the DUPLICATION RATE constant across scale: a mere
+                # suffix leaves copies as near-duplicates of each other
+                # (word-bigram Jaccard ~0.95), so the shared-shingle join
+                # correctly finds ~10 true twins per doc and pair volume
+                # grows ~quadratically in the copy count — measuring the
+                # data's degeneracy, not the engine. Mutating every other
+                # WORD in place with a copy tag (no token-position shift)
+                # makes every word bigram copy-specific, so cross-copy
+                # shared shingles drop to ~zero while within-copy near-dup
+                # structure is preserved (the mutation is position-
+                # deterministic, identical texts stay identical, aligned
+                # regions of near-dups keep their shared shingles).
                 c = c.withColumn(
                     "text",
                     F.when(
-                        F.lit(k > 0) & F.col("text").isNotNull(),
-                        F.concat(F.col("text"), F.lit(f" c{k:02d}")),
-                    ).otherwise(F.col("text")),
+                        F.col("text").isNotNull(),
+                        F.expr(
+                            "array_join(transform(split(text, ' '), "
+                            f"(tok, i) -> IF(i % 2 = 1, concat(tok, '~c{k:02d}'), tok)"
+                            "), ' ')"
+                        ),
+                    ),
                 )
-            if t == "embeddings" and "embedding" in c.columns:
-                jitter = F.lit(k * 1e-4).cast("float")
+            if t == "embeddings" and "embedding" in c.columns and k > 0:
+                # Same control for vector ops: translate each copy by a
+                # fixed pseudo-random offset at NORM scale (elements are
+                # ~N(0,1); per-element offsets in [-0.5, 0.5] scaled by
+                # 2.0 push cross-copy cosine to ~0.7, below semantic-dup
+                # thresholds) while preserving within-copy L2 structure
+                # exactly (translation) and cosine structure approximately.
                 c = c.withColumn(
                     "embedding",
                     F.when(
                         F.col("embedding").isNotNull(),
-                        F.transform(F.col("embedding"), lambda x: (x + jitter).cast("float")),
+                        F.expr(
+                            "transform(embedding, (x, i) -> cast(x + "
+                            f"((((({k} * 31 + i + 7) * 2654435761) % 1000) "
+                            "/ 1000.0 - 0.5) * 2.0) as float))"
+                        ),
                     ),
                 )
             parts.append(c)
