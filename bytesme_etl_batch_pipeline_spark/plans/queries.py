@@ -9750,11 +9750,20 @@ def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path enumerations, materialized-path trees); truly dynamic graphs go
     through ``graph.connected_components`` instead."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") > 0)
-    # ~log10(maxkey) ancestor levels, EXACT integer division (`div`); the
-    # tail repeats 0 once the chain bottoms out — array_distinct keeps the
-    # single 0 the recursive oracle also emits
+    # Ancestor levels must cover the FULL key domain, not the current
+    # data's: a fixed 7-level enumeration loses the terminal 0 ancestor
+    # (and any deeper levels) for keys ≥ 10^7 — caught by the r5 sf1
+    # sweep, where shifted keys reach ~9×10^7 and the rollup under-counted
+    # every high key's subtree. 18 EXACT integer divisions (`div`) reach
+    # ≤ 9 for any positive BIGINT (10^18 is the largest power of ten in
+    # int64), and the explicit 0 completes the chain the recursive oracle
+    # always emits; array_distinct collapses the repeated tail, so output
+    # volume is unchanged for small keys.
     anc = F.array_distinct(
-        F.array(*[F.expr(f"p_partkey div {10 ** i}") for i in range(1, 8)])
+        F.array(
+            *[F.expr(f"p_partkey div {10 ** i}") for i in range(1, 19)],
+            F.lit(0).cast("long"),
+        )
     )
     exploded = p.select(
         F.explode(anc).alias("ancestor"), _dec("p_retailprice").alias("val")
