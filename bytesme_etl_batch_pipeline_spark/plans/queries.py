@@ -3644,8 +3644,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -3659,9 +3659,14 @@ def q_big_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    # decimal → STRING → double (r3 lesson, resurfaced by the sf1 sweep):
+    # a direct decimal→double cast lets the two engines double-round
+    # differently once the sums grow past 2^53 — the string detour makes
+    # both parse the same exact decimal literal
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("string")
         .cast("double")
         .alias("revenue"),
     )
@@ -5259,20 +5264,28 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_market_share",
     oracle="""
     WITH rev AS (
+      -- keep the group sums EXACT decimal; the nation total must be a
+      -- decimal sum of decimals, not a sum of doubles (addition order
+      -- across 5 doubles differs between engines in the last ulp and
+      -- flips round(...,6) boundaries at large SF — r5 sf1 sweep)
       SELECT n.n_name AS nation,
              o.o_orderpriority AS priority,
-             CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS rev_dec
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name, o.o_orderpriority
     ),
-    tot AS (SELECT nation, sum(revenue) AS nation_rev FROM rev GROUP BY nation)
+    tot AS (SELECT nation, sum(rev_dec) AS nation_rev_dec FROM rev GROUP BY nation)
     SELECT r.nation, r.priority,
-           round(r.revenue, 2) AS revenue,
-           round(r.revenue / nullif(t.nation_rev, 0), 6) AS share
+           -- round the DECIMAL (exact HALF_UP in both engines), then cast:
+           -- rounding the double flips on .xx5 boundary cells (r5 sf1 sweep)
+           CAST(CAST(round(r.rev_dec, 2) AS VARCHAR) AS DOUBLE) AS revenue,
+           round(CAST(CAST(r.rev_dec AS VARCHAR) AS DOUBLE)
+                 / nullif(CAST(CAST(t.nation_rev_dec AS VARCHAR) AS DOUBLE), 0),
+                 6) AS share
     FROM rev r JOIN tot t USING (nation)
     """,
 )
@@ -5292,8 +5305,12 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT /*+ BROADCAST(c), BROADCAST(n) */
                  n.n_name AS nation,
                  o.o_orderpriority AS priority,
-                 CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                     * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue
+                 -- EXACT decimal until the final casts: the nation total
+                 -- below must sum decimals, not doubles — a double sum's
+                 -- addition order differs across engines in the last ulp
+                 -- and flips round(...,6) at large SF (r5 sf1 sweep)
+                 sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS rev_dec
           FROM {li} l
           JOIN {o} o ON l.l_orderkey = o.o_orderkey
           JOIN {c} c ON o.o_custkey = c.c_custkey
@@ -5301,10 +5318,12 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY n.n_name, o.o_orderpriority
         )
         SELECT nation, priority,
-               round(revenue, 2) AS revenue,
+               CAST(CAST(round(rev_dec, 2) AS STRING) AS DOUBLE) AS revenue,
                -- nullif: a zero-revenue nation has no defined share (and
                -- ANSI mode makes the bare division a runtime error)
-               round(revenue / nullif(sum(revenue) OVER (PARTITION BY nation), 0),
+               round(CAST(CAST(rev_dec AS STRING) AS DOUBLE)
+                     / nullif(CAST(CAST(sum(rev_dec) OVER (PARTITION BY nation)
+                                        AS STRING) AS DOUBLE), 0),
                      6) AS share
         FROM rev
         """,
