@@ -210,7 +210,7 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -232,7 +232,7 @@ def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        F.sum(_dec("c_acctbal")).cast("string").cast("double").alias("sum_acctbal"),
     )
 
 
@@ -491,7 +491,7 @@ def q_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_total
     FROM orders
     GROUP BY 1
     """,
@@ -504,7 +504,7 @@ def q_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("sum_total"),
+            F.sum(_dec("o_totalprice")).cast("string").cast("double").alias("sum_total"),
         )
     )
 
@@ -2700,7 +2700,7 @@ def q_stars_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS gid,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -2712,7 +2712,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(_dec("l_extendedprice")).cast("string").cast("double").alias("sum_price"),
     ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_price")
 
 
@@ -2738,9 +2738,10 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS DOUBLE)
              AS running_spend
     FROM orders
     """,
@@ -2757,7 +2758,8 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.sum(_dec("o_totalprice")).over(w).cast("string").cast("double")
+        .alias("running_spend"),
     )
 
 
@@ -2800,7 +2802,7 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -2814,7 +2816,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.sum(_dec("value")).cast("string").cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -3818,7 +3820,11 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_acctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(18,4)))::DOUBLE FROM customer)
+    WHERE c_acctbal > (
+      SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+                  AS DOUBLE) / count(*)
+      FROM customer
+    )
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3833,7 +3839,11 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_acctbal
         FROM {c}
         WHERE c_acctbal > (
-          SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) FROM {c}
+          -- sum exact-decimal, cast via string, divide by count: avg()'s
+          -- internal sum crosses 2^53 at large SF and the two engines
+          -- double-round it differently (same class as the r5 sf1 reds)
+          SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING)
+                      AS DOUBLE) / count(*) FROM {c}
         )
         """,
         c=c,
@@ -7521,7 +7531,7 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND (t.ts < p.p_ts OR (t.ts = p.p_ts AND t.event_id < p.p_eid))
     )
     SELECT event_type,
-           round(CAST(SUM(CAST(c AS DECIMAL(18,10))) AS DOUBLE), 4)
+           round(CAST(CAST(SUM(CAST(c AS DECIMAL(18,10))) AS VARCHAR) AS DOUBLE), 4)
              AS total_credit,
            CAST(count(*) AS BIGINT) AS n_touches
     FROM credit GROUP BY event_type
@@ -7575,7 +7585,7 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (F.lit(1.0) / F.col("n_prior_touches")).cast("decimal(18,10)")
     return credit.groupBy("event_type").agg(
-        F.round(F.sum(c).cast("double"), 4).alias("total_credit"),
+        F.round(F.sum(c).cast("string").cast("double"), 4).alias("total_credit"),
         F.count(F.lit(1)).cast("long").alias("n_touches"),
     )
 
