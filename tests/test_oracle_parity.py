@@ -50,6 +50,34 @@ def test_oracle_output_types_driver_hashable(con, name):
     assert not hazards, hazards
 
 
+def test_no_direct_decimal_sum_to_double_casts():
+    """Static lint for the r5 sf1-sweep failure class: a DIRECT
+    `CAST(SUM(decimal) AS DOUBLE)` diverges between engines once the sum's
+    integer representation crosses 2^53 (engine-specific double-rounding);
+    every SF-growing decimal sum must go through the string detour
+    (`CAST(... AS VARCHAR) AS DOUBLE`). Bounded quotients (`sum/count`
+    means) are exempt — the quotient's magnitude is scale-stable.
+    Heuristic window-scan; if it false-positives on a genuinely bounded
+    construct, restructure the SQL or extend the exemption pattern with a
+    comment explaining why the value cannot grow with SF."""
+    import re
+
+    flagged = []
+    for name, sql in catalog.ORACLE_SQL.items():
+        for m in re.finditer(r"AS DOUBLE\)", sql):
+            window = sql[max(0, m.start() - 160) : m.end()]
+            if (
+                re.search(r"SUM\(\s*CAST\([^)]*DECIMAL", window, re.I)
+                and "VARCHAR" not in window
+                and not re.search(r"/\s*COUNT", window, re.I)
+            ):
+                flagged.append((name, " ".join(window[-100:].split())))
+    assert not flagged, (
+        "direct decimal-sum→double casts (use the string detour): "
+        f"{flagged}"
+    )
+
+
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_FULL_SF") != "1",
     reason="slow full-catalog sweep at sf0.1; set SPARK_GRAFT_FULL_SF=1",
