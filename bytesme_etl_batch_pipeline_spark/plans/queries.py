@@ -7873,14 +7873,23 @@ def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "size_price_correlation",
     oracle="""
     WITH s AS (
+      -- EXACT moment sums (r5 double-sum-order closure): integer sums are
+      -- order-invariant and BIGINT→DOUBLE of the same integer is identical
+      -- in both engines; price moments sum as exact decimals (prices are
+      -- 2-dp) and cross into double once via the string detour. Raw double
+      -- sums were order-dependent in the last ulp — green only while no
+      -- round(...,6) boundary was hit.
       SELECT p_type,
              count(*) AS n,
-             SUM(CAST(p_size AS DOUBLE)) AS sx,
-             SUM(CAST(p_retailprice AS DOUBLE)) AS sy,
-             SUM(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS sxx,
-             SUM(CAST(p_retailprice AS DOUBLE)
-                 * CAST(p_retailprice AS DOUBLE)) AS syy,
-             SUM(CAST(p_size AS DOUBLE) * CAST(p_retailprice AS DOUBLE)) AS sxy
+             CAST(SUM(CAST(p_size AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(p_size AS BIGINT) * p_size) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))
+                           * CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR)
+                  AS DOUBLE) AS syy,
+             CAST(CAST(SUM(p_size * CAST(p_retailprice AS DECIMAL(18,4)))
+                       AS VARCHAR) AS DOUBLE) AS sxy
       FROM part GROUP BY p_type
     )
     SELECT p_type, CAST(n AS BIGINT) AS n_parts,
@@ -7897,15 +7906,19 @@ def q_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     differently across engines, the algebraic formula over identical sums
     does not. One map-side moment projection + one keyed aggregate."""
     p = load_table(spark, sf_dir, "part")
-    x = F.col("p_size").cast("double")
-    y = F.col("p_retailprice").cast("double")
+    # exact moments, mirroring the oracle: integer sums (order-invariant,
+    # identical BIGINT→DOUBLE in both engines) and decimal price sums with
+    # ONE string-mediated double cast — raw double sums were last-ulp
+    # order-dependent across shuffles
+    xl = F.col("p_size").cast("long")
+    yd = _dec("p_retailprice")
     s = p.groupBy("p_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(xl).cast("double").alias("sx"),
+        F.sum(yd).cast("string").cast("double").alias("sy"),
+        F.sum(xl * F.col("p_size")).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("string").cast("double").alias("syy"),
+        F.sum(F.col("p_size") * yd).cast("string").cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
