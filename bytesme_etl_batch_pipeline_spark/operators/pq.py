@@ -68,21 +68,25 @@ def _collect_sample(train: DataFrame, vec_col: str, id_col: str):
     """One collect shared by the local training paths: rows sorted by id
     (partition-invariant), vectors as float64. Returns the (n, dim) numpy
     matrix; raises a clear error on an empty input instead of the opaque
-    NoneType crash a bare ``first()[0]`` would give."""
+    NoneType crash a bare ``first()[0]`` would give.
+
+    Arrow transfer + DRIVER-side sort: the original ``orderBy().collect()``
+    cost ~1.9 s of the 3 s ivfpq catalog query — a range-partitioning
+    sampling job for the shuffle plus row-at-a-time deserialization of
+    nested arrays. ``toArrow()`` moves the (bounded, sample-sized) batch in
+    one columnar hop and numpy argsorts the ids; same matrix, ~10× less
+    wall."""
     import numpy as np
 
-    rows = (
-        train.select(
-            F.col(id_col),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-        )
-        .orderBy(id_col)
-        .collect()
-    )
-    if not rows:
+    tbl = train.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).toArrow()
+    if tbl.num_rows == 0:
         raise ValueError("no vectors to train on (empty input/sample)")
-    if any(
-        r["__v"] is None or any(x is None for x in r["__v"]) for r in rows
+    vec_col_arrow = tbl.column("__v")
+    if vec_col_arrow.null_count or any(
+        c.values.null_count for c in vec_col_arrow.chunks
     ):
         # a NULL ELEMENT is as corrupt as a NULL vector: np.asarray would
         # turn it into NaN, NaN-poisoning every Lloyd distance/mean and
@@ -91,7 +95,11 @@ def _collect_sample(train: DataFrame, vec_col: str, id_col: str):
             "NULL vectors (or vectors with NULL elements) in training "
             "sample — filter them first"
         )
-    return np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    ids = np.asarray(tbl.column("__id").to_pylist())
+    vecs = vec_col_arrow.to_pylist()
+    order = np.argsort(ids, kind="stable")
+    # ragged vectors fail np.asarray's shape check, as before
+    return np.asarray(vecs, dtype=np.float64)[order]
 
 
 def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
@@ -453,7 +461,8 @@ def train_ivfpq(
     sample_fraction: float = 1.0,
     seed: int = 42,
     local: bool = True,
-) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    encode: bool = True,
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame | None]:
     """Train the two-level IVF-PQ index (Jégou et al. 2011 §IV): a coarse
     quantizer partitions the space into cells, then PQ codebooks train on
     the RESIDUALS (vector − cell centroid) — residuals concentrate around
@@ -465,7 +474,10 @@ def train_ivfpq(
     (id, cell, codes) — the m-byte-per-vector index payload. Everything
     after training is map-side; past ``similarity.IVF_EXPRESSION_MAX_K``
     coarse cells, assignment + residual run on the Arrow path (O(1) plan
-    size) instead of embedding k×dim literals."""
+    size) instead of embedding k×dim literals. ``encode=False`` skips
+    building the train-slice code frame (returns ``None`` third) — callers
+    that immediately encode a DIFFERENT frame (the full table) otherwise
+    pay ~1 s of py4j expression construction for a plan nobody runs."""
     from .similarity import IVF_EXPRESSION_MAX_K, ivf_assign, train_ivf_centroids
 
     if local:
@@ -521,6 +533,8 @@ def train_ivfpq(
             seed=seed,
             local=False,
         )
+    if not encode:
+        return coarse, books, None
     if len(coarse) > IVF_EXPRESSION_MAX_K:
         with_res = _assign_and_residual_pandas(vectors, coarse, vec_col)
     else:

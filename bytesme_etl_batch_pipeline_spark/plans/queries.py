@@ -8418,8 +8418,10 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings")
     # fixed-slice training sample: constant train cost at any corpus scale
-    coarse, books, encoded = train_ivfpq(
-        em.filter(F.col("vec_id") < 500), k_coarse=4, m=8, k_pq=16
+    coarse, books, _ = train_ivfpq(
+        em.filter(F.col("vec_id") < 500), k_coarse=4, m=8, k_pq=16,
+        encode=False,  # the full table is encoded below; skip the unused
+        # train-slice code frame (~1 s of py4j expression construction)
     )
     from ..operators.similarity import ivf_assign
 
