@@ -8435,9 +8435,13 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="__res",
     ).select("vec_id", "cell", "codes")
     qrow = list(em.filter(F.col("vec_id") == 0).first()["embedding"])
-    return ivfpq_search(
+    hits = ivfpq_search(
         em, full_encoded, qrow, coarse, books, k=10, n_probe=2, candidates=50
     )
+    # scalar projection: the raw embedding array<float> column is
+    # driver-unhashable under the comparator's pandas canonicalizer
+    # (CORRECTNESS_r05 err) and is redundant with (vec_id, distance)
+    return hits.select("vec_id", "distance", "score")
 
 
 @register("pq_adc_search")  # no oracle: codebooks come from iterative k-means
@@ -8459,7 +8463,10 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq(em.filter(F.col("vec_id") < 500), m=8, k=16, max_iter=3)
     enc = pq_encode(em, books)
     qrow = list(em.filter(F.col("vec_id") == 0).first()["embedding"])
-    return pq_search(em, enc, qrow, books, k=10, candidates=50)
+    hits = pq_search(em, enc, qrow, books, k=10, candidates=50)
+    # scalar projection — see ivfpq_topk: list columns crash the driver's
+    # pandas sort_values canonicalization even on rows-only queries
+    return hits.select("vec_id", "distance", "score")
 
 
 # ---------------------------------------------------------------------------
@@ -11616,15 +11623,39 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- ROUND-5 DRIVER WINDOW (first 50 = the driver's correctness
-    #    window), per VERDICT r4 item 1: slots 1-44 are the LAST 44
-    #    oracle-paired queries with no driver row in any round, slots
-    #    45-49 the 5 never-checked rows-only sketches (weaker rows-only
-    #    driver check by design), slot 50 re-checks
-    #    streaming_windowed_counts after this round's snapshot-drain
-    #    rewrite (VERDICT r4 item 4). A green r05 closes the evidence
-    #    ledger: every catalog query then has a driver row at or after
-    #    its last semantic change.
+    # -- ROUND-6 DRIVER WINDOW (first 50 = the driver's correctness
+    #    window), per VERDICT r5 items 1+3: slots 1-2 are pq_adc_search /
+    #    ivfpq_topk — the only two queries without a clean driver row
+    #    (their r05 rows err'd on the unhashable embedding list column;
+    #    this round projects both to scalar (vec_id, distance, score), a
+    #    schema change that itself needs a fresh driver row). Slots 3-50
+    #    REFRESH the 48 catalog entries with the OLDEST driver evidence
+    #    (r01 rows, several semantically touched since — e.g. the r5
+    #    string-detour decimal rewrites of running_total/month_rollup):
+    #    every other query has r03+ evidence, so the stalest rows are the
+    #    highest-value re-checks now that the ledger is closed. The full
+    #    241-query order below keeps most-recently-checked last.
+    'pq_adc_search', 'ivfpq_topk',
+    # -- slots 3-50: oldest (r01) driver evidence, refreshed --
+   
+    'global_shuffle_shards', 'lag_lead_deltas', 'running_total',
+    'doc_fingerprint', 'stars_beta', 'token_stats', 'ratings_exponential',
+    'doc_template', 'doc_quality', 'seeded_enrichment', 'lang_id',
+    'nation_set_ops', 'l2_topk', 'snowflake_dims', 'events_tumbling_window',
+    'snowflake_facts', 'pricing_summary', 'dedup_keep_first', 'dup_report',
+    'distinct_projection', 'dim_join_rollup',
+    'anti_join_customers_without_orders', 'semi_join_active_customers',
+    'topk_orders', 'window_topk_per_customer', 'group_sequence_codes',
+    'dense_dim_ids', 'union_all_entities', 'string_normalize',
+    'truncate_preview', 'json_extract_events', 'tolerant_json_parse',
+    'month_rollup', 'conditional_rewrite', 'membership_filter', 'wordcount',
+    'zip_explode_pairs', 'cube_sales', 'cosine_topk', 'rollup_sales',
+    'exact_dedup_docs', 'sessionization', 'simhash16',
+    'llm_enrich_descriptions', 'minhash_signatures',
+    'embedding_pairs_blocked', 'minhash_lsh_candidates',
+    'ngram_jaccard_pairs',
+    # -- driver evidence r03-r05 on file; order preserved --
+   
     'running_distinct_event_types', 'purchase_attribution',
     'missing_activity_days', 'tpch_q8_nation_market_share',
     'inverted_token_index', 'copurchase_triangles', 'daily_activity_spine',
@@ -11642,31 +11673,22 @@ _CATALOG_ORDER = [
     'embedding_norm_outliers', 'heaps_law_curve',
     'extraction_artifact_screen', 'rollup_share_of_parent',
     'part_skyline_pareto', 'zipf_fit_report', 'session_path_topk',
-    'revenue_gini_by_nation', 'new_vs_returning_revenue',
-    'doc_ngram_novelty', 'supplier_delivery_reliability',
-    'source_quality_scorecard',
-    # -- slots 45-49: never-checked rows-only (weaker driver check) --
-    'pq_adc_search', 'ivfpq_topk', 'bpe_train_encode',
-    'source_overlap_estimate', 'doc_compression_screen',
-    # -- slot 50: re-check after the r5 foreachBatch snapshot rewrite --
-    'streaming_windowed_counts',
-    # -- driver-green in r04 (CORRECTNESS_r04.json, 50/50; order kept).
-    #    streaming_session_counts shares the r5 snapshot rewrite; its
-    #    post-change parity is pinned by tools/driver_gate.py (green,
-    #    recorded in COVERAGE.md) since only one slot-50 was free. --
-    'tpch_q2_min_cost_supplier', 'tpch_q7_volume_shipping',
-    'tpch_q9_product_type_profit', 'tpch_q11_important_stock',
-    'tpch_q12_shipmode_priority', 'tpch_q13_customer_distribution',
-    'tpch_q20_part_share_suppliers', 'tpch_q21_waiting_supplier',
-    'tpch_q22_global_sales_opportunity', 'tpch_q6_forecast_revenue',
-    'tpch_q10_returned_items', 'tpch_q14_promo_share',
-    'tpch_q15_top_supplier', 'tpch_q17_small_qty_revenue',
-    'tpch_q18_big_orders', 'tpch_q19_disjunctive_revenue',
-    'llm_corpus_pipeline', 'kmeans_lloyd_step', 'bigram_logprob_quality',
-    'cms_heavy_hitters', 'ccnet_quality_buckets', 'boilerplate_purge_docs',
-    'bitext_margin_mining', 'media_phash_dedup', 'scd2_point_in_time',
-    'cuped_ab_adjusted_lift', 'dsir_importance_resample',
-    'gopher_quality_rules', 'ann_recall_report',
+    'revenue_gini_by_nation', 'new_vs_returning_revenue', 'doc_ngram_novelty',
+    'supplier_delivery_reliability', 'source_quality_scorecard',
+    'bpe_train_encode', 'source_overlap_estimate', 'doc_compression_screen',
+    'streaming_windowed_counts', 'tpch_q2_min_cost_supplier',
+    'tpch_q7_volume_shipping', 'tpch_q9_product_type_profit',
+    'tpch_q11_important_stock', 'tpch_q12_shipmode_priority',
+    'tpch_q13_customer_distribution', 'tpch_q20_part_share_suppliers',
+    'tpch_q21_waiting_supplier', 'tpch_q22_global_sales_opportunity',
+    'tpch_q6_forecast_revenue', 'tpch_q10_returned_items',
+    'tpch_q14_promo_share', 'tpch_q15_top_supplier',
+    'tpch_q17_small_qty_revenue', 'tpch_q18_big_orders',
+    'tpch_q19_disjunctive_revenue', 'llm_corpus_pipeline',
+    'kmeans_lloyd_step', 'bigram_logprob_quality', 'cms_heavy_hitters',
+    'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bitext_margin_mining',
+    'media_phash_dedup', 'scd2_point_in_time', 'cuped_ab_adjusted_lift',
+    'dsir_importance_resample', 'gopher_quality_rules', 'ann_recall_report',
     'hourly_interpolated_values', 'streaming_session_counts',
     'neardup_keep_best_docs', 'events_hopping_window',
     'nation_dual_presence_intersect', 'part_hierarchy_rollup',
@@ -11675,24 +11697,21 @@ _CATALOG_ORDER = [
     'media_frame_sample', 'basket_lift_rules', 'session_funnel',
     'customer_rfm_scores', 'vocab_oov_rate', 'k_anonymity_report',
     'minhash_estimator_quality', 'shingle_containment_pairs',
-    'purchase_linear_regression',
-    # -- driver-green in r01|r02|r03 (evidence on file; order preserved) --
-    'doc_chunking', 'udtf_unit_price_explode', 'repetition_signals',
-    'simhash_hamming_pairs', 'cdc_apply', 'join_skew_report',
-    'doc_template_vi', 'decontaminate_ngram_overlap', 'neardup_dedup_docs',
-    'heavy_hitter_tokens', 'embedding_quantize_int8',
+    'purchase_linear_regression', 'doc_chunking', 'udtf_unit_price_explode',
+    'repetition_signals', 'simhash_hamming_pairs', 'cdc_apply',
+    'join_skew_report', 'doc_template_vi', 'decontaminate_ngram_overlap',
+    'neardup_dedup_docs', 'heavy_hitter_tokens', 'embedding_quantize_int8',
     'semantic_dedup_embeddings', 'neardup_clusters',
-    'range_join_balance_tiers',
-    'doc_embeddings', 'semantic_search_pipeline', 'media_decode',
-    'approx_percentiles', 'approx_distinct_counts', 'ann_lsh_topk',
-    'ann_ivf_topk', 'rule_cascade_classify', 'array_ops_battery',
-    'data_quality_report', 'funnel_conversion', 'pivot_event_counts',
-    'corpus_stats', 'scd2_history', 'snapshot_diff_orders',
-    'content_checksums', 'per_group_sample_docs', 'equidepth_histogram',
-    'token_bigram_counts', 'multires_rollup', 'cumulative_new_users',
-    'rolling_7d_active_users', 'tpch_q3_shipping_priority',
-    'tpch_q5_local_supplier', 'fuzzy_name_pairs', 'neardup_clusters_star',
-    'longest_user_streaks', 'part_supplier_variety',
+    'range_join_balance_tiers', 'doc_embeddings', 'semantic_search_pipeline',
+    'media_decode', 'approx_percentiles', 'approx_distinct_counts',
+    'ann_lsh_topk', 'ann_ivf_topk', 'rule_cascade_classify',
+    'array_ops_battery', 'data_quality_report', 'funnel_conversion',
+    'pivot_event_counts', 'corpus_stats', 'scd2_history',
+    'snapshot_diff_orders', 'content_checksums', 'per_group_sample_docs',
+    'equidepth_histogram', 'token_bigram_counts', 'multires_rollup',
+    'cumulative_new_users', 'rolling_7d_active_users',
+    'tpch_q3_shipping_priority', 'tpch_q5_local_supplier', 'fuzzy_name_pairs',
+    'neardup_clusters_star', 'longest_user_streaks', 'part_supplier_variety',
     'modal_quantity_per_flag', 'top_tokens_per_lang',
     'event_transition_matrix', 'weekly_cohort_retention', 'label_centroids',
     'dau_wau_stickiness', 'intra_doc_span_dedup', 'regex_extract_battery',
@@ -11707,27 +11726,11 @@ _CATALOG_ORDER = [
     'winnow_fingerprints', 'quality_filter_chain', 'pii_redact',
     'temperature_sample_mix', 'sequence_packing', 'zorder_layout_key',
     'grouped_robust_zscore', 'domain_cap', 'tfidf_top_terms',
-    'line_dedup_docs', 'bloom_decontaminate',
-    'late_shipment_priority_counts', 'copurchase_pairs',
-    'weighted_sample_docs', 'next_day_retention', 'order_total_histogram',
-    'url_canonical_dedup', 'sql_market_share', 'percentile_quality_gate',
-    'unicode_normalize_docs', 'unigram_logprob_quality',
-    'global_shuffle_shards', 'lag_lead_deltas', 'running_total',
-    'doc_fingerprint', 'stars_beta', 'token_stats', 'ratings_exponential',
-    'doc_template', 'doc_quality', 'seeded_enrichment', 'lang_id',
-    'nation_set_ops', 'l2_topk', 'snowflake_dims', 'events_tumbling_window',
-    'snowflake_facts', 'pricing_summary', 'dedup_keep_first', 'dup_report',
-    'distinct_projection', 'dim_join_rollup',
-    'anti_join_customers_without_orders', 'semi_join_active_customers',
-    'topk_orders', 'window_topk_per_customer', 'group_sequence_codes',
-    'dense_dim_ids', 'union_all_entities', 'string_normalize',
-    'truncate_preview', 'json_extract_events', 'tolerant_json_parse',
-    'month_rollup', 'conditional_rewrite', 'membership_filter', 'wordcount',
-    'zip_explode_pairs', 'cube_sales', 'cosine_topk', 'rollup_sales',
-    'exact_dedup_docs', 'sessionization', 'simhash16',
-    'llm_enrich_descriptions', 'minhash_signatures',
-    'embedding_pairs_blocked', 'minhash_lsh_candidates',
-    'ngram_jaccard_pairs',
+    'line_dedup_docs', 'bloom_decontaminate', 'late_shipment_priority_counts',
+    'copurchase_pairs', 'weighted_sample_docs', 'next_day_retention',
+    'order_total_histogram', 'url_canonical_dedup', 'sql_market_share',
+    'percentile_quality_gate', 'unicode_normalize_docs',
+    'unigram_logprob_quality',
 ]
 
 

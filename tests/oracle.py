@@ -168,6 +168,24 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     return result
 
 
+def rows_only_canon(spark_df) -> int:
+    """Replicate the driver's canonicalization for NO-ORACLE queries: the
+    driver converts even rows-only outputs to pandas and ``sort_values``
+    over ALL columns before recording the row count — a list/struct cell
+    crashes its comparator (``TypeError: unhashable type: 'list'``, the
+    CORRECTNESS_r05 `pq_adc_search`/`ivfpq_topk` rows). Raises exactly
+    where the driver would; returns the row count on success."""
+    import pandas as pd
+
+    rows = [tuple(r) for r in spark_df.collect()]
+    pdf = pd.DataFrame(rows, columns=spark_df.columns)
+    if len(pdf.columns):
+        # driver's _canon: lexicographic sort over every output column —
+        # pandas factorizes each column, which requires hashable cells
+        pdf = pdf.sort_values(by=list(pdf.columns))
+    return len(pdf)
+
+
 def catalog_table_reads() -> dict[str, set[str]]:
     """query name -> the set of driver base tables its plan reads, derived
     from the catalog SOURCE (Spark-free, seconds): direct

@@ -50,6 +50,30 @@ def test_oracle_output_types_driver_hashable(con, name):
     assert not hazards, hazards
 
 
+ROWS_ONLY_KEYS = sorted(set(catalog.SPARK_QUERIES) - set(catalog.ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_output_driver_hashable(spark, sf_dir, name):
+    """The driver canonicalizes even NO-ORACLE outputs through pandas
+    ``sort_values`` over all columns, so a list/struct/map/decimal output
+    column is a driver ERROR row, not a pass — exactly how
+    `pq_adc_search`/`ivfpq_topk` became the only two non-green rows of
+    CORRECTNESS_r05 despite correct math. Two layers: the schema lint
+    (hazard classes) and the driver's literal pandas canonicalization."""
+    from .oracle import rows_only_canon, spark_hash_class
+
+    df = catalog.SPARK_QUERIES[name](spark, sf_dir)
+    hazards = {
+        f.name: reason
+        for f in df.schema.fields
+        for cls, reason in [spark_hash_class(f.dataType)]
+        if reason
+    }
+    assert not hazards, hazards
+    rows_only_canon(df)  # raises exactly where the driver's comparator would
+
+
 def test_no_direct_decimal_sum_to_double_casts():
     """Static lint for the r5 sf1-sweep failure class: a DIRECT
     `CAST(SUM(decimal) AS DOUBLE)` diverges between engines once the sum's

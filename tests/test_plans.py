@@ -157,14 +157,16 @@ def test_catalog_plan_lint(spark, sf_dir):
 
 def test_driver_window_holds_rotation_priority():
     """The driver records correctness rows for the FIRST 50 catalog
-    entries. Round 5's window must hold exactly the 49 remaining
-    never-driver-checked queries (44 oracle-paired + 5 rows-only) plus
-    streaming_windowed_counts (re-check after the r5 snapshot-drain
-    rewrite), per VERDICT r4 items 1 and 4. _apply_catalog_order puts
-    UNLISTED registrations at the very front — so (a) the window is
-    bit-for-bit the planned rotation, and (b) every registered query MUST
-    be explicitly pinned in _CATALOG_ORDER (an unlisted one would evict
-    the window tail silently)."""
+    entries. Round 6's window: slots 1-2 are pq_adc_search/ivfpq_topk —
+    the only queries without a clean driver row (their r05 rows err'd on
+    an unhashable list column; this round projects both to scalar
+    columns, a schema change needing a fresh row) — per VERDICT r5 items
+    1+3; slots 3-50 refresh the 48 entries with the oldest (r01) driver
+    evidence. _apply_catalog_order puts UNLISTED registrations at the
+    very front — so (a) the window is bit-for-bit the planned rotation,
+    and (b) every registered query MUST be explicitly pinned in
+    _CATALOG_ORDER (an unlisted one would evict the window tail
+    silently)."""
     from bytesme_etl_batch_pipeline_spark.plans.queries import (
         _CATALOG_ORDER,
         ORACLE_SQL,
@@ -176,49 +178,40 @@ def test_driver_window_holds_rotation_priority():
         f"{sorted(set(SPARK_QUERIES) - set(_CATALOG_ORDER))}; stale: "
         f"{sorted(set(_CATALOG_ORDER) - set(SPARK_QUERIES))}"
     )
-    r05_window = [
-        # 44 oracle-paired, never driver-checked in r01-r04
-        "running_distinct_event_types", "purchase_attribution",
-        "missing_activity_days", "tpch_q8_nation_market_share",
-        "inverted_token_index", "copurchase_triangles",
-        "daily_activity_spine", "hour_weekday_heatmap",
-        "daily_volume_anomalies", "revenue_pareto_deciles",
-        "cohort_ltv_matrix", "monthly_revenue_growth",
-        "supplier_hhi_by_type", "orders_keyset_page",
-        "dedup_effectiveness_report", "session_bounce_rate",
-        "linear_touch_attribution", "order_total_reconciliation",
-        "returns_rate_by_brand", "lang_id_confusion_matrix",
-        "weekly_engagement_segments", "dup_rate_by_source",
-        "doc_token_entropy", "size_price_correlation",
-        "winsorized_value_stats", "source_token_divergence",
-        "lang_purity_by_source", "partition_skew_report",
-        "token_position_bias", "dow_seasonality_index",
-        "dup_cluster_size_distribution", "order_interarrival_percentiles",
-        "embedding_norm_outliers", "heaps_law_curve",
-        "extraction_artifact_screen", "rollup_share_of_parent",
-        "part_skyline_pareto", "zipf_fit_report", "session_path_topk",
-        "revenue_gini_by_nation", "new_vs_returning_revenue",
-        "doc_ngram_novelty", "supplier_delivery_reliability",
-        "source_quality_scorecard",
-        # 5 rows-only sketches, never driver-checked
-        "pq_adc_search", "ivfpq_topk", "bpe_train_encode",
-        "source_overlap_estimate", "doc_compression_screen",
-        # re-check after this round's foreachBatch snapshot rewrite
-        "streaming_windowed_counts",
+    r06_window = [
+        # slots 1-2: the last two queries without a clean driver row,
+        # re-entering after the scalar-projection schema fix
+        "pq_adc_search", "ivfpq_topk",
+        # slots 3-50: oldest (r01) driver evidence, refreshed
+        "global_shuffle_shards", "lag_lead_deltas", "running_total",
+        "doc_fingerprint", "stars_beta", "token_stats", "ratings_exponential",
+        "doc_template", "doc_quality", "seeded_enrichment", "lang_id",
+        "nation_set_ops", "l2_topk", "snowflake_dims",
+        "events_tumbling_window", "snowflake_facts", "pricing_summary",
+        "dedup_keep_first", "dup_report", "distinct_projection",
+        "dim_join_rollup", "anti_join_customers_without_orders",
+        "semi_join_active_customers", "topk_orders",
+        "window_topk_per_customer", "group_sequence_codes", "dense_dim_ids",
+        "union_all_entities", "string_normalize", "truncate_preview",
+        "json_extract_events", "tolerant_json_parse", "month_rollup",
+        "conditional_rewrite", "membership_filter", "wordcount",
+        "zip_explode_pairs", "cube_sales", "cosine_topk", "rollup_sales",
+        "exact_dedup_docs", "sessionization", "simhash16",
+        "llm_enrich_descriptions", "minhash_signatures",
+        "embedding_pairs_blocked", "minhash_lsh_candidates",
+        "ngram_jaccard_pairs",
     ]
-    assert len(r05_window) == 50
+    assert len(r06_window) == 50
     first50 = list(SPARK_QUERIES)[:50]
-    assert first50 == r05_window, (
-        "driver window drifted from the planned r05 rotation: "
-        f"{[n for n in r05_window if n not in first50]} fell out; "
-        f"{[n for n in first50 if n not in r05_window]} crept in"
+    assert first50 == r06_window, (
+        "driver window drifted from the planned r06 rotation: "
+        f"{[n for n in r06_window if n not in first50]} fell out; "
+        f"{[n for n in first50 if n not in r06_window]} crept in"
     )
-    # exactly the 5 rows-only sketches lack the hard signal (oracle pair)
+    # exactly three window entries lack the hard signal (oracle pair):
+    # the two PQ sketches and the declared-no-oracle beta sampler
     no_oracle = [n for n in first50 if n not in ORACLE_SQL]
-    assert no_oracle == [
-        "pq_adc_search", "ivfpq_topk", "bpe_train_encode",
-        "source_overlap_estimate", "doc_compression_screen",
-    ]
+    assert no_oracle == ["pq_adc_search", "ivfpq_topk", "stars_beta"]
 
 
 def test_catalog_counts_match_coverage_doc():

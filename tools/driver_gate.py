@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
 from bytesme_etl_batch_pipeline_spark.session import get_spark
-from tests.oracle import compare, duckdb_con
+from tests.oracle import compare, duckdb_con, rows_only_canon
 
 
 def main() -> int:
@@ -64,10 +64,18 @@ def main() -> int:
         t0 = time.perf_counter()
         sql = catalog.ORACLE_SQL.get(name)
         if sql is None:
-            # driver records a weaker rows-only check for these
-            n = catalog.SPARK_QUERIES[name](spark, args.sf_dir).count()
-            no_oracle.append(name)
-            status = f"no_oracle rows={n}"
+            # driver records a weaker rows-only check for these — but it
+            # STILL canonicalizes the output through pandas sort_values
+            # over all columns, so an unhashable (list/struct) cell is a
+            # driver error, not a pass (the r05 PQ rows). Replicate that.
+            try:
+                n = rows_only_canon(catalog.SPARK_QUERIES[name](spark, args.sf_dir))
+            except Exception as e:  # noqa: BLE001 — mirror the driver's err row
+                red.append(name)
+                status = f"RED rows-only canonicalization failed: {e!r}"
+            else:
+                no_oracle.append(name)
+                status = f"no_oracle rows={n}"
         else:
             r = compare(catalog.SPARK_QUERIES[name](spark, args.sf_dir), con, sql)
             ok = r["values_match"] and r["types_match"]
