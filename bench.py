@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -139,7 +140,9 @@ def main() -> None:
         gc.collect()
         runs[name] = samples
         timings[name] = min(samples)
-        medians[name] = sorted(samples)[len(samples) // 2]
+        # statistics.median interpolates the middle pair for even repeat
+        # counts — the old upper-middle pick biased the field upward
+        medians[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

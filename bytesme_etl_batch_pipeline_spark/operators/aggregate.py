@@ -276,12 +276,18 @@ def incremental_rollup(
         merged = fresh
     staging = protocol_sibling(state_path, "staging")
     merged.write.mode("overwrite").parquet(staging)
-    if batch_id is not None:
-        # bounded log: the last _APPLIED_BATCH_LOG_SIZE applied ids ride the
-        # promotion rename atomically. Redelivery older than the horizon is
-        # undetectable — callers with arbitrarily-delayed replay need their
-        # own ledger (documented in the docstring).
-        log = (applied + [batch_id])[-_APPLIED_BATCH_LOG_SIZE:]
+    # bounded log: the last _APPLIED_BATCH_LOG_SIZE applied ids ride the
+    # promotion rename atomically. Redelivery older than the horizon is
+    # undetectable — callers with arbitrarily-delayed replay need their
+    # own ledger (documented in the docstring). An id-LESS delta must
+    # still carry the EXISTING log forward (ADVICE r5): promoting a
+    # marker-free staging dir would wipe it, so a later redelivery of an
+    # earlier id'd batch (b1, id-less delta, b1 again) double-counts
+    # despite being inside the horizon.
+    log = (applied + ([batch_id] if batch_id is not None else []))[
+        -_APPLIED_BATCH_LOG_SIZE:
+    ]
+    if log:
         with open(os.path.join(staging, "_applied_batch"), "w", encoding="utf-8") as f:
             f.write("\n".join(log) + "\n")
     publish_staging_swap(state_path)

@@ -3777,16 +3777,28 @@ def _drain_stream_snapshot(spark: SparkSession, agg: DataFrame, tag: str) -> Dat
     availableNow → ``foreachBatch`` parquet snapshot → return a SCAN of the
     snapshot. The result set never crosses the driver — the old memory-sink
     + collect() + createDataFrame round-trip was the one driver-heap
-    ceiling the rest of the catalog doesn't have. The snapshot dir is a
-    fixed per-query path overwritten on every invocation (bench loops,
-    driver retries accumulate nothing); single writer per query name, same
-    assumption as every maintenance sink."""
+    ceiling the rest of the catalog doesn't have. The snapshot dir is
+    keyed by the Spark application id (no cross-process/user collisions
+    on the shared tempdir) and CLEARED before the drain starts — a
+    leftover snapshot from a prior invocation must never masquerade as
+    this run's result when the source drains zero batches (the isdir
+    fallback then correctly means 'zero batches THIS run'). It must
+    outlive the return (the caller collects the lazy scan), so it is
+    overwritten in place, not tempdir-scoped; one dir per (app, query)
+    accumulates nothing across bench loops or driver retries."""
     import os
+    import shutil
     import tempfile
 
     from ..streaming import events as SE
 
-    out = os.path.join(tempfile.gettempdir(), "bytesme_stream_snapshots", tag)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "bytesme_stream_snapshots",
+        spark.sparkContext.applicationId,
+        tag,
+    )
+    shutil.rmtree(out, ignore_errors=True)
     with tempfile.TemporaryDirectory() as ckpt:
         SE.run_stream_to_parquet_snapshot(agg, out, ckpt)
     if not os.path.isdir(out):  # zero-batch drain (empty source)

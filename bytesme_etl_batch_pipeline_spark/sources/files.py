@@ -426,7 +426,13 @@ def recover_retired_tree(path: str) -> None:
                     if not os.path.exists(base):
                         recover_retired(base)
                         moved = True
-                    dirs.remove(d)  # protocol dir: never descend into it
+                if d.endswith(_RESERVED_SUFFIXES):
+                    # protocol dir (retired OR staging, dot-prefixed or
+                    # legacy): never descend — os.walk sees dot-entries, and
+                    # a parked retired dir inside an abandoned half-written
+                    # staging dir must not be "restored" INSIDE protocol
+                    # state (ADVICE r5)
+                    dirs.remove(d)
 
 
 def _partition_leaf_dirs(path: str) -> list[str]:

@@ -681,6 +681,38 @@ def test_partitioned_swap_dirs_invisible_to_readers(spark, tmp_path):
     assert {r["part"] for r in got_rows} == {0, 1, 2}
 
 
+def test_recover_tree_never_descends_into_staging_dirs(tmp_path):
+    """ADVICE r5 (low): os.walk sees dot-entries, so a parked retired dir
+    INSIDE an abandoned half-written staging dir used to be 'restored'
+    inside protocol state. recover_retired_tree must prune BOTH reserved
+    suffixes (staging and retired, dot-prefixed or legacy) from descent —
+    while still restoring genuine parked leaves outside protocol dirs."""
+    from bytesme_etl_batch_pipeline_spark.sources.files import (
+        protocol_sibling,
+        recover_retired_tree,
+    )
+
+    root = tmp_path / "t"
+    root.mkdir()
+    # genuine mid-swap crash: leaf parked at its retired sibling, base gone
+    parked = protocol_sibling(str(root / "part=0"), "retired")
+    os.makedirs(os.path.join(parked, "inner"))
+    open(os.path.join(parked, "f.parquet"), "w").write("x")
+    # abandoned half-written staging dir containing a retired-parked dir
+    staging = protocol_sibling(str(root / "part=1"), "staging")
+    inner_retired = protocol_sibling(os.path.join(staging, "sub"), "retired")
+    os.makedirs(inner_retired)
+    open(os.path.join(inner_retired, "g.parquet"), "w").write("y")
+
+    recover_retired_tree(str(root))
+
+    assert os.path.isdir(root / "part=0"), "genuine parked leaf not restored"
+    assert not os.path.exists(parked)
+    # protocol-internal state untouched: nothing restored inside staging
+    assert os.path.isdir(inner_retired), "descended into a staging dir"
+    assert not os.path.exists(os.path.join(staging, "sub"))
+
+
 def test_recover_restores_legacy_retired_spelling(spark, tmp_path):
     """Upgrade safety: a table parked at the LEGACY (pre-dot-prefix)
     '<base>__retired' name by a writer from before the protocol dirs went
@@ -740,6 +772,27 @@ def test_incremental_rollup_refuses_out_of_order_redelivery(spark, tmp_path):
     out = incremental_rollup(spark, state, mk(("a", 1)), keys=["k"],
                              sum_cols=["v"], batch_id="b1")
     assert {r["k"]: float(r["sum_v"]) for r in out.collect()} == {"a": 111.0}
+
+
+def test_incremental_rollup_idless_delta_preserves_applied_log(spark, tmp_path):
+    """ADVICE r5 (low): an id-LESS delta must carry the applied-ids log
+    forward — promoting a marker-free staging dir wiped it, so the
+    sequence (b1, id-less delta, b1 redelivered) double-counted b1
+    despite being inside the documented horizon."""
+    from bytesme_etl_batch_pipeline_spark.operators.aggregate import (
+        incremental_rollup,
+    )
+
+    state = str(tmp_path / "state")
+    mk = lambda *rs: spark.createDataFrame(list(rs), "k string, v long")
+    incremental_rollup(spark, state, mk(("a", 1)), keys=["k"], sum_cols=["v"],
+                       batch_id="b1")
+    # an anonymous (no batch_id) delta — e.g. a manual backfill
+    incremental_rollup(spark, state, mk(("a", 10)), keys=["k"], sum_cols=["v"])
+    # b1 redelivered: must STILL be refused
+    out = incremental_rollup(spark, state, mk(("a", 1)), keys=["k"],
+                             sum_cols=["v"], batch_id="b1")
+    assert {r["k"]: float(r["sum_v"]) for r in out.collect()} == {"a": 11.0}
 
 
 def test_compact_mixed_layout_raises(spark, tmp_path):

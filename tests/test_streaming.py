@@ -78,6 +78,45 @@ def test_parquet_snapshot_drain_empty_source(spark, tmp_path):
     ]
 
 
+def test_zero_batch_drain_ignores_stale_snapshot(spark, tmp_path):
+    """A snapshot left by a PRIOR invocation must not masquerade as this
+    run's result when the source drains zero batches: the drain clears its
+    keyed snapshot dir first, so the isdir fallback means 'zero batches
+    THIS run' (ADVICE r5: the old fixed shared path only covered a
+    never-created dir)."""
+    import os
+    import tempfile as _tf
+
+    from bytesme_etl_batch_pipeline_spark.plans.queries import (
+        _drain_stream_snapshot,
+    )
+
+    tag = "stale_drain_test"
+    snap = os.path.join(
+        _tf.gettempdir(),
+        "bytesme_stream_snapshots",
+        spark.sparkContext.applicationId,
+        tag,
+    )
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    )
+    # plant a stale non-empty snapshot at the exact keyed path
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00", "stale", 99)],
+        "window_start string, window_end string, event_type string, n int",
+    ).write.mode("overwrite").parquet(snap)
+    assert spark.read.parquet(snap).count() == 1
+
+    src = str(tmp_path / "empty_events2")
+    empty.write.parquet(src)
+    stream = spark.readStream.schema(empty.schema).parquet(src)
+    agg = stream_events.windowed_counts(stream)
+    got = _drain_stream_snapshot(spark, agg, tag)
+    assert got.count() == 0, "stale snapshot leaked into a zero-batch drain"
+
+
 def test_multibatch_drain_of_ordered_directory_layout(spark, sf_dir, tmp_path):
     """read_events_stream(max_files_per_trigger=1) over a DIRECTORY-layout
     dump whose part files respect event-time order: per-file micro-batches
