@@ -86,6 +86,12 @@ def main() -> int:
             file=sys.stderr,
             flush=True,
         )
+        # free the finished query's py4j handles so localCheckpoint blocks
+        # are reclaimed (same session-lifecycle leak bench.py guards
+        # against; at sf10 an unreleased multi-branch query's blocks add up)
+        import gc
+
+        gc.collect()
 
     print(
         json.dumps(
