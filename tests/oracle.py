@@ -32,6 +32,18 @@ TABLES = [
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp_directory, so out-of-core operators
+    # cannot spill and a big aggregation (sf10 bigram LM: ~100M groups)
+    # dies with a malloc failure instead. Point it at a scratch dir so the
+    # oracle side spills like a real engine; optional cap via env for
+    # scale sweeps that share the host with a large-heap JVM.
+    import tempfile
+
+    spill = os.path.join(tempfile.gettempdir(), "duck_oracle_spill")
+    con.execute(f"SET temp_directory = '{spill}'")
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit = '{mem}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):  # Spark-written directory layout
