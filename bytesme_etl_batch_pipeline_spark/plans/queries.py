@@ -5791,15 +5791,20 @@ def q_boilerplate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_logprob_quality",
     oracle=f"""
     WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
-    pe AS (
-      SELECT doc_id, ws,
-             unnest(range(0, greatest(len(ws) - 1, 0))) AS pos
-      FROM w
-    ),
+    -- linear-memory positional explode: build the per-doc struct list ONCE
+    -- and drop ws before the unnest. The previous shape carried the whole
+    -- ws list on every exploded row (O(doc_len^2) buffered), which at sf10
+    -- pushed DuckDB past a 48 GB cap; this is the documented
+    -- list_transform(range(...)) ordinality idiom, bit-identical output.
     bg AS (
-      SELECT doc_id, pos, ws[pos + 1] AS w1,
-             ws[pos + 1] || ' ' || ws[pos + 2] AS bigram
-      FROM pe
+      SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.bigram AS bigram
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+                      i -> {{'pos': i, 'w1': ws[i + 1],
+                            'bigram': ws[i + 1] || ' ' || ws[i + 2]}})) AS s
+        FROM w
+      )
     ),
     bc AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
     cc AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
