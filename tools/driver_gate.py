@@ -95,23 +95,31 @@ def main() -> int:
                 no_oracle.append(name)
                 status = f"no_oracle rows={n}"
         else:
-            df = catalog.SPARK_QUERIES[name](spark, args.sf_dir)
-            n_spark = df.count() if args.bigout_rows else None
-            if args.bigout_rows and n_spark > args.bigout_rows:
-                n_duck = con.sql(
-                    f"SELECT COUNT(*) FROM ({sql})"
-                ).fetchone()[0]
-                if n_spark == n_duck:
-                    bigout.append(name)
-                    status = f"bigout count-match rows={n_spark}"
+            # a crash (engine OOM, result-size cap) is a RED row for THIS
+            # query, never a sweep abort — an sf10 pass that dies on query
+            # 40 silently leaves 200 unchecked (three aborted runs taught
+            # this). The driver's own gate records an err row and moves on.
+            try:
+                df = catalog.SPARK_QUERIES[name](spark, args.sf_dir)
+                n_spark = df.count() if args.bigout_rows else None
+                if args.bigout_rows and n_spark > args.bigout_rows:
+                    n_duck = con.sql(
+                        f"SELECT COUNT(*) FROM ({sql})"
+                    ).fetchone()[0]
+                    if n_spark == n_duck:
+                        bigout.append(name)
+                        status = f"bigout count-match rows={n_spark}"
+                    else:
+                        red.append(name)
+                        status = f"RED bigout count mismatch spark={n_spark} duck={n_duck}"
                 else:
-                    red.append(name)
-                    status = f"RED bigout count mismatch spark={n_spark} duck={n_duck}"
-            else:
-                r = compare(df, con, sql)
-                ok = r["values_match"] and r["types_match"]
-                (green if ok else red).append(name)
-                status = "green" if ok else f"RED {json.dumps({k: r[k] for k in ('rows_match', 'cols_match', 'types_match', 'values_match')})}"
+                    r = compare(df, con, sql)
+                    ok = r["values_match"] and r["types_match"]
+                    (green if ok else red).append(name)
+                    status = "green" if ok else f"RED {json.dumps({k: r[k] for k in ('rows_match', 'cols_match', 'types_match', 'values_match')})}"
+            except Exception as e:  # noqa: BLE001 — record, continue the sweep
+                red.append(name)
+                status = f"RED comparator crashed: {type(e).__name__}: {str(e)[:200]}"
         print(
             f"{name:45s} {status}  ({time.perf_counter() - t0:.2f}s)",
             file=sys.stderr,
