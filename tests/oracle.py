@@ -37,10 +37,16 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # dies with a malloc failure instead. Point it at a scratch dir so the
     # oracle side spills like a real engine; optional cap via env for
     # scale sweeps that share the host with a large-heap JVM.
+    import atexit
+    import shutil
     import tempfile
 
-    spill = os.path.join(tempfile.gettempdir(), "duck_oracle_spill")
+    # pid-keyed: two concurrent processes (suite + scale sweep) sharing one
+    # spill dir can collide on DuckDB temp block files — same cross-process
+    # collision class as the applicationId-keyed stream snapshots.
+    spill = os.path.join(tempfile.gettempdir(), f"duck_oracle_spill_{os.getpid()}")
     con.execute(f"SET temp_directory = '{spill}'")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
     if mem:
         con.execute(f"SET memory_limit = '{mem}'")
@@ -196,6 +202,200 @@ def rows_only_canon(spark_df) -> int:
         # pandas factorizes each column, which requires hashable cells
         pdf = pdf.sort_values(by=list(pdf.columns))
     return len(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Engine-side fingerprint for big outputs.
+#
+# The full comparator collects both engines' results into Python, which caps
+# out around driver maxResultSize on O(N)-row outputs at sf10. Count-vs-count
+# triage is blind to value divergence in tie-breaking/selection semantics
+# (dedup_keep_first would count-match even if the engines keep different
+# survivor rows). This path pins VALUES without collecting: both engines
+# compute the same order-insensitive aggregate — a SUM over a 60-bit hash of
+# each row's canonical string form (md5 is identical cross-engine on UTF-8)
+# for every non-float column, plus exact COUNT/MIN/MAX and a
+# tolerance-compared SUM per float column (FP addition is not associative, so
+# a cross-engine SUM of bit-identical doubles in different orders drifts in
+# the low bits; MIN/MAX/COUNT of a bit-identical multiset are exact).
+#
+# Canonical string forms verified identical between Spark 4.1 and DuckDB 1.0:
+#   int/bool/date -> CAST AS STRING ('5', 'true', '2024-01-05')
+#   string        -> the value itself
+#   timestamp     -> 'yyyy-MM-dd HH:mm:ss.SSSSSS' / '%Y-%m-%d %H:%M:%S.%f'
+#   binary        -> hex() (uppercase in both)
+#   NULL          -> chr(1) sentinel (concat_ws would silently DROP nulls)
+# Row hash: int(md5(canon)[0:15], 16) summed exactly — Spark
+# conv(...,16,10)::DECIMAL(38,0) vs DuckDB CAST('0x'||... AS UBIGINT) summed
+# as HUGEINT, verified bit-identical on range(1000).
+# ---------------------------------------------------------------------------
+
+_NULL_SENTINEL = "\x01"
+_SEP = "\x1f"
+
+
+def _split_fp_cols(cols_with_class):
+    """[(name, class)] -> (sorted non-float names, sorted float names)."""
+    nonfloat = sorted(n for n, c in cols_with_class if c != "float")
+    floats = sorted(n for n, c in cols_with_class if c == "float")
+    return nonfloat, floats
+
+
+def spark_fingerprint(spark_df) -> dict:
+    """One aggregation job over the DataFrame; no collect of the result set."""
+    from pyspark.sql import functions as F
+
+    classes = [
+        (f.name, spark_hash_class(f.dataType)[0]) for f in spark_df.schema.fields
+    ]
+    nonfloat, floats = _split_fp_cols(classes)
+    cls = dict(classes)
+
+    def canon(name):
+        c = F.col(f"`{name}`")
+        k = cls[name]
+        if k == "timestamp":
+            return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        if k == "bytes":
+            return F.hex(c)
+        return c.cast("string")
+
+    pieces = []
+    for name in nonfloat:
+        pieces += [F.coalesce(canon(name), F.lit(_NULL_SENTINEL)), F.lit(_SEP)]
+    row = F.concat(*pieces) if pieces else F.lit("")
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("__rowhash"),
+    ]
+    for name in floats:
+        c = F.col(f"`{name}`").cast("double")
+        aggs += [
+            F.count(c).alias(f"__cnt_{name}"),
+            F.min(c).alias(f"__min_{name}"),
+            F.max(c).alias(f"__max_{name}"),
+            F.sum(c).alias(f"__sum_{name}"),
+        ]
+    r = spark_df.agg(*aggs).collect()[0]
+    out = {
+        "n": r["__n"],
+        "rowhash": None if r["__rowhash"] is None else int(r["__rowhash"]),
+        "floats": {},
+    }
+    for name in floats:
+        out["floats"][name] = (
+            r[f"__cnt_{name}"],
+            r[f"__min_{name}"],
+            r[f"__max_{name}"],
+            r[f"__sum_{name}"],
+        )
+    return out
+
+
+def duck_fingerprint(con, sql: str) -> dict:
+    rel = con.sql(sql)
+    classes = [
+        (n, duck_hash_class(t)[0]) for n, t in zip(rel.columns, rel.types)
+    ]
+    nonfloat, floats = _split_fp_cols(classes)
+    cls = dict(classes)
+
+    def canon(name):
+        q = f'"{name}"'
+        k = cls[name]
+        if k == "timestamp":
+            return f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+        if k == "bytes":
+            return f"hex({q})"
+        return f"CAST({q} AS VARCHAR)"
+
+    pieces = []
+    for name in nonfloat:
+        pieces += [f"coalesce({canon(name)}, chr(1))", "chr(31)"]
+    row = f"concat({', '.join(pieces)})" if pieces else "''"
+    selects = [
+        "count(*) AS __n",
+        "SUM(CAST(CAST(concat('0x', substring(md5("
+        + row
+        + "),1,15)) AS UBIGINT) AS HUGEINT)) AS __rowhash",
+    ]
+    for name in floats:
+        c = f'CAST("{name}" AS DOUBLE)'
+        selects += [
+            f'count({c}) AS "__cnt_{name}"',
+            f'min({c}) AS "__min_{name}"',
+            f'max({c}) AS "__max_{name}"',
+            f'sum({c}) AS "__sum_{name}"',
+        ]
+    q = f"SELECT {', '.join(selects)} FROM ({sql}) __fp_q"
+    row_out = con.sql(q).fetchone()
+    names = ["__n", "__rowhash"] + [
+        f"__{k}_{name}" for name in floats for k in ("cnt", "min", "max", "sum")
+    ]
+    vals = dict(zip(names, row_out))
+    out = {
+        "n": vals["__n"],
+        "rowhash": None if vals["__rowhash"] is None else int(vals["__rowhash"]),
+        "floats": {},
+    }
+    for name in floats:
+        out["floats"][name] = tuple(
+            vals[f"__{k}_{name}"] for k in ("cnt", "min", "max", "sum")
+        )
+    return out
+
+
+def _float_agg_match(a, b) -> bool:
+    """(cnt, min, max, sum) tuples: cnt/min/max exact (NaN==NaN), sum to a
+    1e-9 relative tolerance (cross-engine fold order)."""
+
+    def scalar_eq(x, y, tol=False):
+        if x is None or y is None:
+            return x is None and y is None
+        fx, fy = float(x), float(y)
+        if math.isnan(fx) or math.isnan(fy):
+            return math.isnan(fx) and math.isnan(fy)
+        if tol:
+            return abs(fx - fy) <= 1e-9 * max(1.0, abs(fx), abs(fy))
+        return fx == fy
+
+    return (
+        a[0] == b[0]
+        and scalar_eq(a[1], b[1])
+        and scalar_eq(a[2], b[2])
+        and scalar_eq(a[3], b[3], tol=True)
+    )
+
+
+def fingerprint_compare(spark_df, con, sql: str) -> dict:
+    """Full engine-side comparison for outputs too big to collect: column
+    names + hash classes (type_report), row count, non-float row-hash-sum,
+    per-float-column aggregate pins. Executes ONE aggregation per engine."""
+    rel = con.sql(sql)
+    types = type_report(spark_df, rel)
+    result = {
+        "cols_match": sorted(spark_df.columns) == sorted(rel.columns),
+        "types_match": types["types_match"],
+        "type_report": types,
+    }
+    fs = spark_fingerprint(spark_df)
+    fd = duck_fingerprint(con, sql)
+    result["spark_rows"], result["duck_rows"] = fs["n"], fd["n"]
+    result["rows_match"] = fs["n"] == fd["n"]
+    float_ok = set(fs["floats"]) == set(fd["floats"]) and all(
+        _float_agg_match(fs["floats"][k], fd["floats"][k]) for k in fs["floats"]
+    )
+    result["values_match"] = (
+        result["rows_match"]
+        and result["cols_match"]
+        and fs["rowhash"] == fd["rowhash"]
+        and float_ok
+    )
+    if not result["values_match"]:
+        result["spark_fp"], result["duck_fp"] = fs, fd
+    return result
 
 
 def catalog_table_reads() -> dict[str, set[str]]:

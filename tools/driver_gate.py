@@ -22,6 +22,7 @@ stdout; exit code 1 if any checked query is not green.
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -31,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
 from bytesme_etl_batch_pipeline_spark.session import get_spark
-from tests.oracle import compare, duckdb_con, rows_only_canon
+from tests.oracle import compare, duckdb_con, fingerprint_compare, rows_only_canon
 
 
 def main() -> int:
@@ -49,13 +50,15 @@ def main() -> int:
         type=int,
         default=0,
         help="scale-probe triage (0 = off, full driver parity): oracle-paired "
-        "queries whose Spark output exceeds N rows are checked count-vs-count "
-        "only instead of the full collect+hash — the comparator's "
-        "collect-into-Python design caps out around driver maxResultSize on "
-        "O(N)-row outputs at sf10 (dedup_keep_first: 60M rows > 1 GiB "
-        "serialized). Row-local transforms were value-checked in full at "
-        "sf0.01/sf1; magnitude-dependent divergence lives in SF-growing "
-        "aggregates, which stay small and keep the full hash compare.",
+        "queries whose Spark output exceeds N rows are checked with the "
+        "engine-side fingerprint (tests/oracle.fingerprint_compare: row count "
+        "+ order-insensitive row-hash-sum over non-float columns + exact "
+        "COUNT/MIN/MAX and tolerant SUM per float column) instead of the full "
+        "collect+hash — the comparator's collect-into-Python design caps out "
+        "around driver maxResultSize on O(N)-row outputs at sf10 "
+        "(dedup_keep_first: 60M rows > 1 GiB serialized). Unlike the former "
+        "count-vs-count triage this still pins VALUES, so divergent "
+        "tie-breaking/survivor selection at scale is caught.",
     )
     args = p.parse_args()
 
@@ -99,19 +102,27 @@ def main() -> int:
             # query, never a sweep abort — an sf10 pass that dies on query
             # 40 silently leaves 200 unchecked (three aborted runs taught
             # this). The driver's own gate records an err row and moves on.
+            persisted = None
             try:
                 df = catalog.SPARK_QUERIES[name](spark, args.sf_dir)
-                n_spark = df.count() if args.bigout_rows else None
+                if args.bigout_rows:
+                    # persist so the triage count and the subsequent compare
+                    # (either path) execute the plan ONCE, not twice — at sf10
+                    # the re-execution roughly doubled sweep wall time
+                    persisted = df.persist()
+                    n_spark = persisted.count()
+                    df = persisted
+                else:
+                    n_spark = None
                 if args.bigout_rows and n_spark > args.bigout_rows:
-                    n_duck = con.sql(
-                        f"SELECT COUNT(*) FROM ({sql})"
-                    ).fetchone()[0]
-                    if n_spark == n_duck:
+                    r = fingerprint_compare(df, con, sql)
+                    ok = r["values_match"] and r["types_match"]
+                    if ok:
                         bigout.append(name)
-                        status = f"bigout count-match rows={n_spark}"
+                        status = f"bigout fingerprint-match rows={n_spark}"
                     else:
                         red.append(name)
-                        status = f"RED bigout count mismatch spark={n_spark} duck={n_duck}"
+                        status = f"RED bigout fingerprint {json.dumps({k: r[k] for k in ('rows_match', 'cols_match', 'types_match', 'values_match')})}"
                 else:
                     r = compare(df, con, sql)
                     ok = r["values_match"] and r["types_match"]
@@ -120,6 +131,9 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001 — record, continue the sweep
                 red.append(name)
                 status = f"RED comparator crashed: {type(e).__name__}: {str(e)[:200]}"
+            finally:
+                if persisted is not None:
+                    persisted.unpersist()
         print(
             f"{name:45s} {status}  ({time.perf_counter() - t0:.2f}s)",
             file=sys.stderr,
@@ -128,8 +142,6 @@ def main() -> int:
         # free the finished query's py4j handles so localCheckpoint blocks
         # are reclaimed (same session-lifecycle leak bench.py guards
         # against; at sf10 an unreleased multi-branch query's blocks add up)
-        import gc
-
         gc.collect()
 
     print(
@@ -139,7 +151,7 @@ def main() -> int:
                 "checked": len(names),
                 "green": len(green),
                 "no_oracle": no_oracle,
-                "bigout_count_only": bigout,
+                "bigout_fingerprint": bigout,
                 "red": red,
             }
         )
