@@ -46,6 +46,14 @@ def main() -> int:
     )
     p.add_argument("--names", nargs="*", help="explicit query names (overrides --window)")
     p.add_argument(
+        "--skip",
+        nargs="*",
+        default=[],
+        help="query names to exclude (recorded in the summary as skipped) — "
+        "the sf10 sweep uses this for the documented quadratic-verify skips "
+        "whose EXACT pair-verify work grows ~SF² on both engines",
+    )
+    p.add_argument(
         "--bigout-rows",
         type=int,
         default=0,
@@ -70,6 +78,11 @@ def main() -> int:
         names = args.names
     else:
         names = order if args.window == 0 else order[: args.window]
+    if args.skip:
+        unknown = [n for n in args.skip if n not in catalog.SPARK_QUERIES]
+        if unknown:
+            p.error(f"unknown --skip queries: {unknown}")
+        names = [n for n in names if n not in args.skip]
 
     spark = get_spark(
         "driver-gate",
@@ -152,6 +165,7 @@ def main() -> int:
                 "green": len(green),
                 "no_oracle": no_oracle,
                 "bigout_fingerprint": bigout,
+                "skipped": args.skip,
                 "red": red,
             }
         )
