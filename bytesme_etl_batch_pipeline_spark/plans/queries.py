@@ -6868,10 +6868,28 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
       ) GROUP BY node
     ),
+    -- Degree-oriented (same Suri-Vassilvitskii orientation as the engine):
+    -- the naive three-way self-join of e buffered >77 GB of spill at sf10
+    -- (unoriented wedge fan-out is SUM d^2 over hub nodes); orienting each
+    -- edge from its lower-(degree, id) endpoint bounds per-node fan-out by
+    -- out-degree <= O(sqrt m) and counts each triangle exactly once.
+    -- Bit-identical to the naive spec (verified at sf0.001/sf0.01/sf1).
+    oriented AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                  THEN e.pa ELSE e.pb END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                  THEN e.pb ELSE e.pa END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                  THEN db.d ELSE da.d END AS dst_deg
+      FROM e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+    ),
     tri AS (
       SELECT count(*) AS t
-      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
-                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+      FROM oriented o1
+      JOIN oriented o2 ON o1.src = o2.src
+       AND (o1.dst_deg < o2.dst_deg
+            OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
+      JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
     ),
     wed AS (SELECT SUM(d * (d - 1) // 2) AS w FROM deg)
     SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
