@@ -91,7 +91,6 @@ def main() -> int:
         extra_conf={"spark.driver.maxResultSize": "4g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb_con(args.sf_dir)
 
     green, red, no_oracle, bigout = [], [], [], []
     for name in names:
@@ -116,6 +115,14 @@ def main() -> int:
             # 40 silently leaves 200 unchecked (three aborted runs taught
             # this). The driver's own gate records an err row and moves on.
             persisted = None
+            # FRESH oracle connection per query: DuckDB's buffer pool is
+            # per-connection state, and a giant spilling oracle (sf10
+            # bigram LM, 61 GB peak) leaves it pinned at memory_limit after
+            # the query returns — every subsequent oracle on the shared
+            # connection then dies failing to allocate kilobytes while the
+            # host sits at 90+ GB free. This, not host-level contention,
+            # was the r6 sweep's 37-consecutive-OOM failure mode.
+            con = duckdb_con(args.sf_dir)
             try:
                 df = catalog.SPARK_QUERIES[name](spark, args.sf_dir)
                 if args.bigout_rows:
@@ -147,6 +154,7 @@ def main() -> int:
             finally:
                 if persisted is not None:
                     persisted.unpersist()
+                con.close()
         print(
             f"{name:45s} {status}  ({time.perf_counter() - t0:.2f}s)",
             file=sys.stderr,
