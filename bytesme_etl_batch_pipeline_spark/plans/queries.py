@@ -6862,8 +6862,14 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
     ),
-    e AS (SELECT pa, pb FROM pe WHERE n >= 2),
-    deg AS (
+    -- MATERIALIZED is load-bearing at scale: e is referenced 4x and
+    -- oriented 3x below; DuckDB inlines non-materialized CTEs per
+    -- reference, so each inline re-derives the whole 120M-row pair
+    -- pipeline and the planner join-reorders across the copies — measured
+    -- >51 GB of spill before filling the disk at sf10. Materialized, the
+    -- same query runs in ~150 s with ZERO spill under a 20 GB cap.
+    e AS MATERIALIZED (SELECT pa, pb FROM pe WHERE n >= 2),
+    deg AS MATERIALIZED (
       SELECT node, count(*) AS d FROM (
         SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
       ) GROUP BY node
@@ -6874,7 +6880,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- edge from its lower-(degree, id) endpoint bounds per-node fan-out by
     -- out-degree <= O(sqrt m) and counts each triangle exactly once.
     -- Bit-identical to the naive spec (verified at sf0.001/sf0.01/sf1).
-    oriented AS (
+    oriented AS MATERIALIZED (
       SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
                   THEN e.pa ELSE e.pb END AS src,
              CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
