@@ -115,15 +115,28 @@ def main() -> int:
             # 40 silently leaves 200 unchecked (three aborted runs taught
             # this). The driver's own gate records an err row and moves on.
             persisted = None
-            # FRESH oracle connection per query: DuckDB's buffer pool is
-            # per-connection state, and a giant spilling oracle (sf10
-            # bigram LM, 61 GB peak) leaves it pinned at memory_limit after
-            # the query returns — every subsequent oracle on the shared
-            # connection then dies failing to allocate kilobytes while the
-            # host sits at 90+ GB free. This, not host-level contention,
-            # was the r6 sweep's 37-consecutive-OOM failure mode.
-            con = duckdb_con(args.sf_dir)
+            con = None
             try:
+                # FRESH oracle connection per query: DuckDB's buffer pool
+                # is per-connection state, and a giant spilling oracle
+                # (sf10 bigram LM, 61 GB peak) leaves it pinned at
+                # memory_limit after the query returns — every subsequent
+                # oracle on the shared connection then dies failing to
+                # allocate kilobytes while the host sits at 90+ GB free.
+                # This, not host-level contention, was the r6 sweep's
+                # 37-consecutive-OOM failure mode. Creation sits INSIDE
+                # the try (a failed open is this query's RED row, not a
+                # sweep abort) with a short retry, because a transient
+                # host-memory spike right after a pandas-UDF-heavy query
+                # can fail even a kilobyte allocation for a moment.
+                for attempt in range(3):
+                    try:
+                        con = duckdb_con(args.sf_dir)
+                        break
+                    except Exception:  # noqa: BLE001 — transient pressure
+                        if attempt == 2:
+                            raise
+                        time.sleep(30)
                 df = catalog.SPARK_QUERIES[name](spark, args.sf_dir)
                 if args.bigout_rows:
                     # persist so the triage count and the subsequent compare
@@ -154,7 +167,8 @@ def main() -> int:
             finally:
                 if persisted is not None:
                     persisted.unpersist()
-                con.close()
+                if con is not None:
+                    con.close()
         print(
             f"{name:45s} {status}  ({time.perf_counter() - t0:.2f}s)",
             file=sys.stderr,
