@@ -6914,9 +6914,15 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-(degree, id) endpoint, wedges form only among OUT-edges of a
     node, and each triangle is counted exactly once at its lowest vertex.
     Orientation bounds per-node wedge fan-out by out-degree ≤ O(√m), which
-    is what survives power-law graphs at scale — the oracle's naive
-    three-way self-join is the semantic spec, not the plan. Also reports
-    the global clustering coefficient (3·triangles / open wedges)."""
+    is what survives power-law graphs at scale. Since round 7 the ORACLE
+    uses the same degree orientation (plus MATERIALIZED CTEs — DuckDB
+    otherwise inlines the 4×-referenced edge set and spills >51 GB at
+    sf10), so engine and oracle share the algorithm; the INDEPENDENT
+    naive-spec check lives in
+    tests/test_graph.py::test_triangle_oracle_matches_naive_spec, which
+    asserts the oriented oracle is bit-identical to the naive three-way
+    edge self-join SQL at small SF. Also reports the global clustering
+    coefficient (3·triangles / open wedges)."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")

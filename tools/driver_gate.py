@@ -69,6 +69,8 @@ def main() -> int:
         "tie-breaking/survivor selection at scale is caught.",
     )
     args = p.parse_args()
+    if not os.path.isdir(args.sf_dir):
+        p.error(f"--sf-dir does not exist: {args.sf_dir}")
 
     order = list(catalog.SPARK_QUERIES)  # catalog dict is _CATALOG_ORDER-sorted
     if args.names:
@@ -129,12 +131,19 @@ def main() -> int:
                 # sweep abort) with a short retry, because a transient
                 # host-memory spike right after a pandas-UDF-heavy query
                 # can fail even a kilobyte allocation for a moment.
+                # Retry ONLY allocation/OOM-shaped failures — a permanent
+                # config error (bad --sf-dir, missing parquet) must fail fast,
+                # not sleep 60 s per query across a 241-query catalog.
                 for attempt in range(3):
                     try:
                         con = duckdb_con(args.sf_dir)
                         break
-                    except Exception:  # noqa: BLE001 — transient pressure
-                        if attempt == 2:
+                    except Exception as oe:  # noqa: BLE001 — transient pressure
+                        transient = any(
+                            t in str(oe).lower()
+                            for t in ("memory", "alloc", "resource temporarily")
+                        )
+                        if attempt == 2 or not transient:
                             raise
                         time.sleep(30)
                 df = catalog.SPARK_QUERIES[name](spark, args.sf_dir)
@@ -163,7 +172,12 @@ def main() -> int:
                     status = "green" if ok else f"RED {json.dumps({k: r[k] for k in ('rows_match', 'cols_match', 'types_match', 'values_match')})}"
             except Exception as e:  # noqa: BLE001 — record, continue the sweep
                 red.append(name)
-                status = f"RED comparator crashed: {type(e).__name__}: {str(e)[:200]}"
+                # collapse whitespace: Py4J/Spark exception text is multi-line,
+                # and merge_gate_logs.py depends on one-physical-line-per-query
+                status = (
+                    "RED comparator crashed: "
+                    f"{type(e).__name__}: {' '.join(str(e).split())[:200]}"
+                )
             finally:
                 if persisted is not None:
                     persisted.unpersist()

@@ -17,21 +17,30 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
+import sys
 
 LINE = re.compile(r"^(\w+)\s+(.*\S)\s+\((\d+(?:\.\d+)?)s\)$")
+# a line that carries the per-query timing suffix but failed the full row
+# match — e.g. the tail fragment of a (pre-fix) multi-line RED status
+SUSPECT = re.compile(r"\(\d+(?:\.\d+)?s\)$")
 
 
-def parse_log(path: str) -> dict[str, tuple[str, float]]:
+def parse_log(path: str) -> tuple[dict[str, tuple[str, float]], list[str]]:
     out: dict[str, tuple[str, float]] = {}
+    suspects: list[str] = []
     with open(path, errors="replace") as f:
         for raw in f:
             # progress bars are \r-separated on the same physical line
             for seg in raw.split("\r"):
-                m = LINE.match(seg.strip())
+                seg = seg.strip()
+                m = LINE.match(seg)
                 if m and not m.group(1).startswith("Stage"):
                     out[m.group(1)] = (m.group(2).strip(), float(m.group(3)))
-    return out
+                elif not m and SUSPECT.search(seg) and not seg.startswith("["):
+                    suspects.append(seg)
+    return out, suspects
 
 
 def main() -> int:
@@ -40,11 +49,39 @@ def main() -> int:
     p.add_argument("logs", nargs="+")
     p.add_argument("--skip", nargs="*", default=[])
     p.add_argument("--sf-dir", default="")
+    p.add_argument(
+        "--expect",
+        nargs="*",
+        default=None,
+        help="expected query names; default: the full catalog from "
+        "plans.queries. A merged summary missing any expected name FAILS "
+        "(exit 2) — a RED row whose status text broke the one-line log "
+        "contract would otherwise vanish silently and read as 0 red.",
+    )
     args = p.parse_args()
 
+    if args.expect:
+        expected = set(args.expect)
+    else:
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
+
+        expected = set(catalog.SPARK_QUERIES)
+    expected -= set(args.skip)
+
     merged: dict[str, tuple[str, float]] = {}
+    suspects: list[str] = []
     for path in args.logs:
-        merged.update(parse_log(path))  # later segments win
+        seg_rows, seg_suspects = parse_log(path)
+        merged.update(seg_rows)  # later segments win
+        suspects.extend(seg_suspects)
+    for s in suspects[:10]:
+        print(f"WARN unparsed timing-suffixed line: {s[:160]}", file=sys.stderr)
+
+    missing = sorted(expected - set(merged))
+    extra = sorted(set(merged) - expected)
 
     green = sorted(n for n, (s, _) in merged.items() if s == "green")
     red = sorted(n for n, (s, _) in merged.items() if s.startswith("RED"))
@@ -64,6 +101,8 @@ def main() -> int:
         "skipped": args.skip,
         "red": red,
         "red_detail": {n: merged[n][0] for n in red},
+        "missing": missing,
+        "unexpected": extra,
         "slowest": sorted(
             ((n, t) for n, (_, t) in merged.items()),
             key=lambda kv: -kv[1],
@@ -71,7 +110,18 @@ def main() -> int:
     }
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
-    print(json.dumps({k: summary[k] for k in ("checked", "green", "red")}))
+    print(
+        json.dumps(
+            {k: summary[k] for k in ("checked", "green", "red", "missing")}
+        )
+    )
+    if missing:
+        print(
+            f"FAIL: {len(missing)} expected queries absent from merged logs "
+            f"(first: {missing[:5]})",
+            file=sys.stderr,
+        )
+        return 2
     return 1 if red else 0
 
 
