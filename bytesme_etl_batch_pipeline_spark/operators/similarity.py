@@ -166,6 +166,90 @@ def lsh_signature(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -
     return F.when(valid, sig)
 
 
+def lsh_band_window_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    window: int = 8,
+    seed: int = 7,
+    threshold: float | None = None,
+) -> DataFrame:
+    """LSH-candidate near-dup pairs with BOUNDED per-row fan-out — the
+    production shape of the exact-verify stage (`pairs_above_threshold`
+    is the raw-block variant whose work grows with block²; this one is
+    linear in the corpus at every scale).
+
+    Candidate generation: an ``n_planes``-bit hyperplane signature is
+    split into ``n_bands`` bands; within each (band, band_value) bucket,
+    rows sorted by id pair ONLY with their next ``window`` neighbors
+    (sorted-neighborhood blocking — Hernández & Stolfo 1995 — composed
+    with banded LSH). Per-row candidate fan-out is therefore at most
+    ``n_bands * window`` regardless of bucket size, so total candidate
+    volume is O(n) even when near-duplicate families grow with the
+    corpus (the regime where all-bucket-pairs LSH degrades to block²).
+    Exact cosine verification runs only on the deduplicated candidate
+    set. Corrupt vectors (NULL / NULL element / wrong length) get a NULL
+    signature and can never become candidates.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b; ``threshold`` filters
+    on the exact verified cosine when given.
+    """
+    from pyspark.sql import Window
+
+    r_bits = n_planes // n_bands
+    base = vectors.select(
+        F.col(id_col).alias("__id"),
+        lsh_signature(F.col(vec_col), dim, n_planes, seed).alias("__sig"),
+    ).filter(F.col("__sig").isNotNull())
+    bands = F.array(
+        *[
+            F.shiftright(F.col("__sig"), r_bits * b).bitwiseAND(
+                F.lit(2**r_bits - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = base.select(
+        "__id", F.posexplode(bands).alias("__band", "__bval")
+    )
+    w = Window.partitionBy("__band", "__bval").orderBy("__id")
+    # ids only through the window (the vectors re-join below) — leading
+    # the embedding arrays themselves would push window*dim doubles per
+    # row through the sort
+    neigh = F.array(*[F.lead("__id", i).over(w) for i in range(1, window + 1)])
+    cand = (
+        exploded.withColumn("__nb", neigh)
+        .select(F.col("__id").alias("id_a"), F.explode("__nb").alias("id_b"))
+        .filter(F.col("id_b").isNotNull())
+        # a pair can surface from several bands — dedup BEFORE paying the
+        # exact verification
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("__va"), F.col("__vb")), 6
+            ).alias("cosine"),
+        )
+    )
+    if threshold is not None:
+        verified = verified.filter(F.col("cosine") >= threshold)
+    return verified
+
+
 def topk_ann_lsh(
     vectors: DataFrame,
     query: DataFrame,

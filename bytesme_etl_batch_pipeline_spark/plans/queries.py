@@ -2502,6 +2502,235 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.neardup_filter(e.select("vec_id", "label"), pairs, "vec_id")
 
 
+def _duck_lsh_window_cands(n_planes: int = 16, n_bands: int = 4, window: int = 8) -> str:
+    """DuckDB twin of ``similarity.lsh_band_window_pairs``'s candidate +
+    verify stages, as a WITH-clause body ending in a ``verified`` CTE
+    (id_a, id_b, cosine). The oracle independently re-derives the md5
+    hyperplanes, every signature bit, the band decomposition, the
+    sorted-neighborhood lead() pairs, and the exact cosines — nothing is
+    smuggled from the Spark side."""
+    r_bits = n_planes // n_bands
+    leads = ",\n             ".join(
+        f"lead(vec_id, {i}) OVER w AS n{i}" for i in range(1, window + 1)
+    )
+    lead_list = ", ".join(f"n{i}" for i in range(1, window + 1))
+    plane_h = _duck_hash48("'7|' || CAST(j AS VARCHAR) || '|' || CAST(ii AS VARCHAR)")
+    return f"""
+    planes AS (
+      SELECT j, list_transform(range(64), ii ->
+        ({plane_h} / 281474976710656.0) * 2.0 - 1.0) AS plane
+      FROM range({n_planes}) t(j)
+    ),
+    -- valid vectors only: the engine's lsh_signature is NULL for a NULL
+    -- vector, one with a NULL element, or a wrong-length one, so corrupt
+    -- rows can never become candidates
+    sigs AS MATERIALIZED (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN {_duck_dot('e.embedding', 'p.plane')} > 0
+                           THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS sig
+      FROM embeddings e CROSS JOIN planes p
+      WHERE e.embedding IS NOT NULL
+        AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
+        AND len(e.embedding) = 64
+      GROUP BY e.vec_id
+    ),
+    banded AS (
+      SELECT vec_id, b, (sig >> ({r_bits} * b)) & {2**r_bits - 1} AS bval
+      FROM sigs CROSS JOIN range({n_bands}) t(b)
+    ),
+    neigh AS (
+      SELECT vec_id, {leads}
+      FROM banded WINDOW w AS (PARTITION BY b, bval ORDER BY vec_id)
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT vec_id AS id_a, unnest([{lead_list}]) AS id_b FROM neigh
+      ) WHERE id_b IS NOT NULL
+    ),
+    verified AS MATERIALIZED (
+      SELECT c.id_a, c.id_b,
+             {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+    )"""
+
+
+_DUCK_ANN_CANDS = _duck_lsh_window_cands()
+
+
+@register(
+    "embedding_pairs_ann",
+    oracle=f"""
+    WITH {_DUCK_ANN_CANDS}
+    SELECT id_a, id_b, cosine FROM verified WHERE cosine >= 0.3
+    """,
+)
+def q_embedding_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped twin of ``embedding_pairs_blocked``: the exact
+    cosine verify stage fed by LSH CANDIDATES with bounded per-row fan-out
+    (16-plane signature → 4 bands, sorted-neighborhood window 8 inside
+    each band bucket) instead of raw metadata blocks. Raw blocks grow
+    linearly with the corpus, so block-pair work grows ~SF² — the reason
+    the blocked variant is value-verified at sf0.01/sf1 but skipped at
+    sf10. This variant's candidate volume is ≤ 32 pairs/row at ANY scale,
+    so it runs — and is fingerprint-verified — at sf10 too."""
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_band_window_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.3
+    )
+
+
+@register(
+    "semantic_dedup_ann",
+    oracle=f"""
+    WITH {_DUCK_ANN_CANDS},
+    removals AS (
+      SELECT DISTINCT id_b FROM verified WHERE cosine >= 0.35
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT id_b FROM removals)
+    """,
+)
+def q_semantic_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped twin of ``semantic_dedup_embeddings`` (SemDedup):
+    keep-lowest-id survival over LSH-candidate near-dup pairs (bounded
+    fan-out) instead of label-block pairs. Candidate generation is one
+    window shuffle; verification touches ≤ 32 candidates/row; survival is
+    one distinct + one anti-join — every stage linear in the corpus."""
+    from ..operators import neardup as ND
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_band_window_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.35
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return ND.neardup_filter(e.select("vec_id", "label"), pairs, "vec_id")
+
+
+@register(
+    "bitext_margin_ann",
+    oracle=f"""
+    WITH {_DUCK_ANN_CANDS},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cross_pairs AS MATERIALIZED (
+      SELECT CASE WHEN la.label = 0 THEN v.id_a ELSE v.id_b END AS a_id,
+             CASE WHEN la.label = 0 THEN v.id_b ELSE v.id_a END AS b_id,
+             v.cosine AS c
+      FROM verified v
+      JOIN lab la ON la.vec_id = v.id_a
+      JOIN lab lb ON lb.vec_id = v.id_b
+      WHERE (la.label = 0 AND lb.label = 1)
+         OR (la.label = 1 AND lb.label = 0)
+    ),
+    ka AS (
+      SELECT a_id, SUM(CAST(round(c * 1000000) AS BIGINT)) AS ksum_a FROM (
+        SELECT a_id, c,
+               row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rn
+        FROM cross_pairs
+      ) t WHERE rn <= 4 GROUP BY a_id
+    ),
+    kb AS (
+      SELECT b_id, SUM(CAST(round(c * 1000000) AS BIGINT)) AS ksum_b FROM (
+        SELECT b_id, c,
+               row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) AS rn
+        FROM cross_pairs
+      ) t WHERE rn <= 4 GROUP BY b_id
+    ),
+    margins AS (
+      SELECT s.a_id, s.b_id, s.c,
+             round(s.c * 8000000.0 / (ka.ksum_a + kb.ksum_b), 6) AS margin
+      FROM cross_pairs s JOIN ka ON s.a_id = ka.a_id JOIN kb ON s.b_id = kb.b_id
+    ),
+    ranked AS (
+      SELECT a_id, b_id, c, margin,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY margin DESC, b_id) AS ra,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY margin DESC, a_id) AS rb
+      FROM margins
+    )
+    SELECT a_id, b_id, c AS cosine, margin
+    FROM ranked WHERE ra = 1 AND rb = 1 AND margin > 1.0
+    """,
+)
+def q_bitext_margin_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped twin of ``bitext_margin_mining``: the margin math
+    (Artetxe & Schwenk 2019) unchanged, but the pair candidates come from
+    the bounded-fan-out LSH stage (what a CCMatrix-scale miner does with
+    FAISS retrieval) instead of the full A×B cross score whose work grows
+    ~SF². kNN sums run over each side's retrieved candidates (≤ its
+    candidate degree, capped at 4), margin = cos · 8e6 / (ksum_a +
+    ksum_b) on 1e-6-scaled integer sums, mutual best-margin pairs above
+    1.0 survive. Candidates, windows, and the final filter are all linear
+    in the corpus."""
+    from pyspark.sql import Window as W
+
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.lsh_band_window_pairs(e, "vec_id", "embedding", dim=64)
+    la = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"))
+    lb = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"))
+    cp = (
+        v.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(
+            ((F.col("la") == 0) & (F.col("lb") == 1))
+            | ((F.col("la") == 1) & (F.col("lb") == 0))
+        )
+        .select(
+            F.when(F.col("la") == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("a_id"),
+            F.when(F.col("la") == 0, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("b_id"),
+            F.col("cosine").alias("c"),
+        )
+        .localCheckpoint(eager=True)  # three ranking branches reuse it
+    )
+    wa = W.partitionBy("a_id").orderBy(F.col("c").desc(), F.col("b_id"))
+    wb = W.partitionBy("b_id").orderBy(F.col("c").desc(), F.col("a_id"))
+    ci = F.round(F.col("c") * 1000000).cast("long")
+    ka = (
+        cp.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 4)
+        .groupBy("a_id")
+        .agg(F.sum(ci).alias("ksum_a"))
+    )
+    kb = (
+        cp.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 4)
+        .groupBy("b_id")
+        .agg(F.sum(ci).alias("ksum_b"))
+    )
+    margins = (
+        cp.join(ka, "a_id")
+        .join(kb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "c",
+            F.round(
+                F.col("c") * 8000000.0 / (F.col("ksum_a") + F.col("ksum_b")), 6
+            ).alias("margin"),
+        )
+    )
+    wma = W.partitionBy("a_id").orderBy(F.col("margin").desc(), F.col("b_id"))
+    wmb = W.partitionBy("b_id").orderBy(F.col("margin").desc(), F.col("a_id"))
+    return (
+        margins.withColumn("ra", F.row_number().over(wma))
+        .withColumn("rb", F.row_number().over(wmb))
+        .filter(
+            (F.col("ra") == 1) & (F.col("rb") == 1) & (F.col("margin") > 1.0)
+        )
+        .select("a_id", "b_id", F.col("c").alias("cosine"), "margin")
+    )
+
+
 # Full ANN-LSH oracle: DuckDB independently re-derives the md5 hyperplanes
 # (same (seed|plane|i) → first-12-hex-digits/2^48*2-1 arithmetic — division
 # by a power of two and the affine map are exact in doubles), recomputes
@@ -3616,15 +3845,37 @@ _DUCK_SIMHASH16 = ORACLE_SQL["simhash16"]
 @register(
     "simhash_hamming_pairs",
     oracle=f"""
-    WITH sig AS ({_DUCK_SIMHASH16}),
-    tagged AS (
+    WITH sig AS MATERIALIZED ({_DUCK_SIMHASH16}),
+    tagged AS MATERIALIZED (
       SELECT s.doc_id, s.simhash, d.lang
       FROM sig s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    -- Linear-work rewrite of the naive lang-blocked self-join (same
+    -- result set): a 16-bit simhash has <= 65536 distinct VALUES, so
+    -- enumerate the 697 XOR masks of Hamming weight <= 3, pair the
+    -- distinct (lang, value) rows through them (|values| x 697 hash
+    -- probes), and only then expand back to doc pairs — the naive
+    -- doc-level self-join materialized ~(docs/lang)^2 intermediate rows
+    -- and cost 1553 s at sf10 (r7 sweep), where this shape is
+    -- output-bound. MATERIALIZED on sig/tagged additionally stops DuckDB
+    -- re-deriving the whole tokenize->hash simhash pipeline per
+    -- reference. Bit-identical at sf0.001/sf0.01/sf1 (gate-verified).
+    masks AS (SELECT m FROM range(65536) t(m) WHERE bit_count(m) <= 3),
+    vals AS MATERIALIZED (
+      SELECT DISTINCT lang, simhash FROM tagged
+      WHERE simhash IS NOT NULL AND lang IS NOT NULL
+    ),
+    vpairs AS MATERIALIZED (
+      SELECT v.lang, v.simhash AS s_a, b.simhash AS s_b
+      FROM vals v CROSS JOIN masks mk
+      JOIN vals b ON b.lang = v.lang AND b.simhash = xor(v.simhash, mk.m)
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM tagged a JOIN tagged b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
+           bit_count(xor(ta.simhash, tb.simhash)) AS hamming
+    FROM vpairs vp
+    JOIN tagged ta ON ta.lang = vp.lang AND ta.simhash = vp.s_a
+    JOIN tagged tb ON tb.lang = vp.lang AND tb.simhash = vp.s_b
+    WHERE ta.doc_id < tb.doc_id
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11670,6 +11921,14 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
+    # -- ROUND-8 ROTATION: slots 1-3 are the three NEW production-shaped
+    #    ANN-verify queries (VERDICT r7 item 3 — bounded-fan-out LSH
+    #    candidates feeding the exact verify that the quadratic-skip trio
+    #    could not run at sf10); new queries take the front so they get
+    #    official driver rows in their first round. The displaced window
+    #    tail (embedding_pairs_blocked, minhash_lsh_candidates,
+    #    ngram_jaccard_pairs) all hold fresh r07 green rows.
+    'embedding_pairs_ann', 'semantic_dedup_ann', 'bitext_margin_ann',
     # -- ROUND-6 DRIVER WINDOW (first 50 = the driver's correctness
     #    window), per VERDICT r5 items 1+3: slots 1-2 are pq_adc_search /
     #    ivfpq_topk — the only two queries without a clean driver row

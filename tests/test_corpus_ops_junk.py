@@ -433,6 +433,11 @@ EMB_JUNK_QUERIES = [
     "ann_recall_report",
     "bitext_margin_mining",
     "embedding_norm_outliers",
+    # round-8 ANN-verify additions: corrupt vectors get NULL signatures
+    # and must never surface as candidates
+    "embedding_pairs_ann",
+    "semantic_dedup_ann",
+    "bitext_margin_ann",
 ]
 
 EVENT_JUNK_QUERIES = [

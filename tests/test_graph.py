@@ -71,6 +71,54 @@ def test_triangle_oracle_matches_naive_spec(sf_dir: str) -> None:
     assert len(oriented) == 1 and oriented[0][0] > 0
 
 
+def _naive_simhash_pairs_sql() -> str:
+    """The pre-round-8 naive spec: lang-blocked doc-level self-join with a
+    post-join bit_count filter. Unusable as the sf10 oracle (it
+    materializes ~(docs/lang)^2 intermediate rows — 1553 s in the r7
+    sweep), kept here as the executable independent spec for the
+    value-space mask-join rewrite."""
+    from bytesme_etl_batch_pipeline_spark.plans.queries import ORACLE_SQL
+
+    return f"""
+    WITH sig AS ({ORACLE_SQL["simhash16"]}),
+    tagged AS (
+      SELECT s.doc_id, s.simhash, d.lang
+      FROM sig s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM tagged a JOIN tagged b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_simhash_oracle_matches_naive_spec(sf_dir: str) -> None:
+    """Round 8 rewrote the ``simhash_hamming_pairs`` oracle to pair the
+    <=65536 distinct 16-bit VALUES through the 697 XOR masks of Hamming
+    weight <=3 and expand back to doc pairs (linear work). This pins the
+    rewrite to the original naive doc-level self-join, bit for bit."""
+    con = duckdb_con(sf_dir)
+    try:
+        rewritten = sorted(
+            map(
+                tuple,
+                con.execute(
+                    catalog.ORACLE_SQL["simhash_hamming_pairs"]
+                ).fetchall(),
+            )
+        )
+        naive = sorted(
+            map(tuple, con.execute(_naive_simhash_pairs_sql()).fetchall())
+        )
+    finally:
+        con.close()
+    assert rewritten == naive
+    assert len(rewritten) > 0
+
+
 def test_oriented_oracle_still_degree_oriented() -> None:
     """Guard against someone 'simplifying' the oracle back to the naive
     join: the committed oracle must keep both the orientation CTE and the

@@ -157,12 +157,13 @@ def test_catalog_plan_lint(spark, sf_dir):
 
 def test_driver_window_holds_rotation_priority():
     """The driver records correctness rows for the FIRST 50 catalog
-    entries. Round 6's window: slots 1-2 are pq_adc_search/ivfpq_topk —
-    the only queries without a clean driver row (their r05 rows err'd on
-    an unhashable list column; this round projects both to scalar
-    columns, a schema change needing a fresh row) — per VERDICT r5 items
-    1+3; slots 3-50 refresh the 48 entries with the oldest (r01) driver
-    evidence. _apply_catalog_order puts UNLISTED registrations at the
+    entries. Round 8's window: slots 1-3 are the new production-shaped
+    ANN-verify queries (VERDICT r7 item 3) — new queries take the front
+    so they get official driver rows in their first round; slots 4-50
+    keep the r06 rotation (pq_adc_search/ivfpq_topk then the stale-r01
+    refreshes), with the displaced tail (embedding_pairs_blocked,
+    minhash_lsh_candidates, ngram_jaccard_pairs) all holding fresh r07
+    green rows. _apply_catalog_order puts UNLISTED registrations at the
     very front — so (a) the window is bit-for-bit the planned rotation,
     and (b) every registered query MUST be explicitly pinned in
     _CATALOG_ORDER (an unlisted one would evict the window tail
@@ -178,8 +179,10 @@ def test_driver_window_holds_rotation_priority():
         f"{sorted(set(SPARK_QUERIES) - set(_CATALOG_ORDER))}; stale: "
         f"{sorted(set(_CATALOG_ORDER) - set(SPARK_QUERIES))}"
     )
-    r06_window = [
-        # slots 1-2: the last two queries without a clean driver row,
+    r08_window = [
+        # slots 1-3: the round-8 ANN-verify additions, never driver-checked
+        "embedding_pairs_ann", "semantic_dedup_ann", "bitext_margin_ann",
+        # slots 4-5: the last two queries without a clean driver row,
         # re-entering after the scalar-projection schema fix
         "pq_adc_search", "ivfpq_topk",
         # slots 3-50: oldest (r01) driver evidence, refreshed
@@ -198,15 +201,13 @@ def test_driver_window_holds_rotation_priority():
         "zip_explode_pairs", "cube_sales", "cosine_topk", "rollup_sales",
         "exact_dedup_docs", "sessionization", "simhash16",
         "llm_enrich_descriptions", "minhash_signatures",
-        "embedding_pairs_blocked", "minhash_lsh_candidates",
-        "ngram_jaccard_pairs",
     ]
-    assert len(r06_window) == 50
+    assert len(r08_window) == 50
     first50 = list(SPARK_QUERIES)[:50]
-    assert first50 == r06_window, (
-        "driver window drifted from the planned r06 rotation: "
-        f"{[n for n in r06_window if n not in first50]} fell out; "
-        f"{[n for n in first50 if n not in r06_window]} crept in"
+    assert first50 == r08_window, (
+        "driver window drifted from the planned r08 rotation: "
+        f"{[n for n in r08_window if n not in first50]} fell out; "
+        f"{[n for n in first50 if n not in r08_window]} crept in"
     )
     # exactly three window entries lack the hard signal (oracle pair):
     # the two PQ sketches and the declared-no-oracle beta sampler

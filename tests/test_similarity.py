@@ -239,3 +239,104 @@ def test_null_vector_contract_lsh_ivf_and_metric_validation(spark):
         topk_brute_force(vecs, q, metric="dot")
     with pytest.raises(ValueError, match="non-NULL query"):
         topk_ivf(vecs, spark.createDataFrame([(None,)], "q array<double>"), cents)
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_window_pairs: the bounded-fan-out ANN-candidate verify stage
+# (round 8 — production-shaped twin of the raw-block pair queries)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_window_pairs_subset_of_exact_with_exact_scores(spark, sf_dir):
+    """Every emitted pair must be a true pair (id_a < id_b, cosine above
+    threshold and equal to the brute-force cosine for that pair) — the
+    candidate stage may MISS pairs (it's ANN), but never invent or
+    mis-score one."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        lsh_band_window_pairs,
+    )
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = lsh_band_window_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.3
+    ).collect()
+    assert len(got) > 0, "candidate stage found nothing at test SF"
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .collect()
+    }
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) in exact, f"invented pair {r}"
+        assert r["cosine"] == exact[(r["id_a"], r["id_b"])]
+    # no duplicate pairs (multi-band hits must be deduped)
+    keys = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_lsh_window_pairs_fanout_is_bounded(spark, sf_dir):
+    """The scale contract: no row may emit more than n_bands * window
+    candidate pairs, REGARDLESS of how large its near-duplicate family or
+    band bucket is — this is what keeps the stage linear when duplicate
+    families grow with the corpus (the regime where all-bucket-pairs LSH
+    degrades to block^2)."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        lsh_band_window_pairs,
+    )
+
+    # 200 IDENTICAL vectors: one giant family, every signature equal —
+    # an all-bucket-pairs candidate stage would emit 200*199/2 pairs
+    n = 200
+    vec = [1.0] + [0.0] * 63
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    pairs = lsh_band_window_pairs(
+        df, "vec_id", "embedding", dim=64, n_bands=4, window=8, threshold=0.9
+    )
+    per_row = pairs.groupBy("id_a").count().agg(F.max("count")).collect()[0][0]
+    assert per_row <= 4 * 8
+    total = pairs.count()
+    # identical vectors share every band, so the window dedups to exactly
+    # the next-8 neighbors per row: (n - 8) * 8 + 8*7/2 trailing pairs
+    assert total == (n - 8) * 8 + 8 * 7 // 2
+    assert total < n * (n - 1) // 2 / 4, "fan-out not bounded"
+
+
+def test_lsh_window_pairs_excludes_corrupt_vectors(spark):
+    """NULL / NULL-element / wrong-length vectors must never appear in the
+    candidate output (NULL signature contract)."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        lsh_band_window_pairs,
+    )
+
+    good = [1.0] * 64
+    rows = [
+        (1, good),
+        (2, good),
+        (3, None),
+        (4, [1.0] * 63),
+        (5, [None] + [1.0] * 63),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = lsh_band_window_pairs(
+        df, "vec_id", "embedding", dim=64, threshold=0.0
+    ).collect()
+    ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert ids == {1, 2}
