@@ -3849,33 +3849,24 @@ _DUCK_SIMHASH16 = ORACLE_SQL["simhash16"]
     tagged AS MATERIALIZED (
       SELECT s.doc_id, s.simhash, d.lang
       FROM sig s JOIN documents d ON s.doc_id = d.doc_id
-    ),
-    -- Linear-work rewrite of the naive lang-blocked self-join (same
-    -- result set): a 16-bit simhash has <= 65536 distinct VALUES, so
-    -- enumerate the 697 XOR masks of Hamming weight <= 3, pair the
-    -- distinct (lang, value) rows through them (|values| x 697 hash
-    -- probes), and only then expand back to doc pairs — the naive
-    -- doc-level self-join materialized ~(docs/lang)^2 intermediate rows
-    -- and cost 1553 s at sf10 (r7 sweep), where this shape is
-    -- output-bound. MATERIALIZED on sig/tagged additionally stops DuckDB
-    -- re-deriving the whole tokenize->hash simhash pipeline per
-    -- reference. Bit-identical at sf0.001/sf0.01/sf1 (gate-verified).
-    masks AS (SELECT m FROM range(65536) t(m) WHERE bit_count(m) <= 3),
-    vals AS MATERIALIZED (
-      SELECT DISTINCT lang, simhash FROM tagged
-      WHERE simhash IS NOT NULL AND lang IS NOT NULL
-    ),
-    vpairs AS MATERIALIZED (
-      SELECT v.lang, v.simhash AS s_a, b.simhash AS s_b
-      FROM vals v CROSS JOIN masks mk
-      JOIN vals b ON b.lang = v.lang AND b.simhash = xor(v.simhash, mk.m)
     )
-    SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b,
-           bit_count(xor(ta.simhash, tb.simhash)) AS hamming
-    FROM vpairs vp
-    JOIN tagged ta ON ta.lang = vp.lang AND ta.simhash = vp.s_a
-    JOIN tagged tb ON tb.lang = vp.lang AND tb.simhash = vp.s_b
-    WHERE ta.doc_id < tb.doc_id
+    -- The sf10 twin of this query is OUTPUT-BOUND: 1.69B qualifying
+    -- pairs, which both engines must hash row-by-row for the fingerprint
+    -- compare. Round 8 measured a value-space rewrite (pair the <=65536
+    -- distinct 16-bit simhash VALUES through the 697 XOR masks of weight
+    -- <=3, then expand back to doc pairs) head-to-head against this
+    -- naive self-join at sf10: the rewrite was ~4x SLOWER (5931 s vs
+    -- 1553 s total row wall) — DuckDB streams the degenerate-key join's
+    -- ~2e10 vectorized bit_count comparisons faster than the mask-join
+    -- materializes its multi-hundred-million-row expansion. The naive
+    -- join therefore stays (tests/test_graph.py keeps the mask-join
+    -- equivalence executable); MATERIALIZED on sig/tagged is the one
+    -- kept improvement — it stops DuckDB re-deriving the whole
+    -- tokenize->hash simhash pipeline once per self-join side.
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM tagged a JOIN tagged b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
