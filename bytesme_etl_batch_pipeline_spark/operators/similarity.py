@@ -176,6 +176,7 @@ def lsh_band_window_pairs(
     window: int = 8,
     seed: int = 7,
     threshold: float | None = None,
+    num_chunks: int | None = None,
 ) -> DataFrame:
     """LSH-candidate near-dup pairs with BOUNDED per-row fan-out — the
     production shape of the exact-verify stage (`pairs_above_threshold`
@@ -194,11 +195,38 @@ def lsh_band_window_pairs(
     set. Corrupt vectors (NULL / NULL element / wrong length) get a NULL
     signature and can never become candidates.
 
+    Parallelism (round-9 fix): a window partitioned by (band, band_value)
+    alone has at most ``n_bands * 2**(n_planes/n_bands)`` partitions (64
+    with the defaults) — each window task would sort ~corpus/16 rows, a
+    single-task scale-killer at 100 TB. Instead the exploded (band, bval,
+    id) rows are RANGE-partitioned into ``num_chunks`` id-contiguous
+    chunks (default: ``spark.sql.shuffle.partitions``, i.e. sized like
+    every other shuffle) and the sorted-neighborhood ``lead()`` runs per
+    chunk — each task sorts ~corpus·n_bands/num_chunks rows regardless of
+    bucket cardinality. Chunk-boundary rows (the last ``window`` of each
+    chunk) can have successors in following chunks; they are re-windowed
+    in a second pass over ONLY the boundary subset (first + last
+    ``window`` rows of every chunk, ≤ 2·num_chunks·window rows — bounded
+    by the parallelism setting, not the data). Because range order is
+    (band, bval, id) and bucket rows are therefore globally contiguous, a
+    tail row's true next-``window`` bucket successors all lie in that
+    subset (own-chunk tail rows, then following chunks' heads, chaining
+    through undersized chunks), so the union of the two passes emits the
+    EXACT pair set of the single-window formulation — verified against it
+    property-wise in tests and by the unchanged DuckDB oracles.
+
     Returns (id_a, id_b, cosine) with id_a < id_b; ``threshold`` filters
     on the exact verified cosine when given.
     """
     from pyspark.sql import Window
 
+    if n_planes % n_bands != 0:
+        # silently dropping the high signature bits (e.g. 3 bands over 16
+        # planes using only 15 bits) would weaken candidate recall with no
+        # signal; the DuckDB oracle generator shares this contract
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by n_bands ({n_bands})"
+        )
     r_bits = n_planes // n_bands
     base = vectors.select(
         F.col(id_col).alias("__id"),
@@ -215,15 +243,80 @@ def lsh_band_window_pairs(
     exploded = base.select(
         "__id", F.posexplode(bands).alias("__band", "__bval")
     )
-    w = Window.partitionBy("__band", "__bval").orderBy("__id")
-    # ids only through the window (the vectors re-join below) — leading
-    # the embedding arrays themselves would push window*dim doubles per
-    # row through the sort
-    neigh = F.array(*[F.lead("__id", i).over(w) for i in range(1, window + 1)])
-    cand = (
-        exploded.withColumn("__nb", neigh)
+    if num_chunks is None:
+        try:
+            num_chunks = int(
+                vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+            num_chunks = vectors.sparkSession.sparkContext.defaultParallelism
+    # Range partitioning on (band, bval, id) makes global order == (chunk,
+    # local rank) order and keeps every bucket's rows contiguous across
+    # chunk boundaries — the two facts the boundary pass's exactness proof
+    # rests on. localCheckpoint (lazy) pins the sampled range boundaries /
+    # partition ids and computes the signature map exactly once even
+    # though two passes consume it. ids only through the windows (the
+    # vectors re-join below) — leading the embedding arrays themselves
+    # would push window*dim doubles per row through the sorts.
+    w_loc = Window.partitionBy("__pid").orderBy("__band", "__bval", "__id")
+    w_cnt = Window.partitionBy("__pid")
+    # rn + the chunk-local leads share w_loc, sz shares its partitioning —
+    # all three resolve to ONE exchange + ONE sort of the bulk data.
+    nb = F.array(
+        *[
+            F.lead(
+                F.struct(
+                    F.col("__band").alias("b"),
+                    F.col("__bval").alias("v"),
+                    F.col("__id").alias("i"),
+                ),
+                i,
+            ).over(w_loc)
+            for i in range(1, window + 1)
+        ]
+    )
+    marked = (
+        exploded.repartitionByRange(num_chunks, "__band", "__bval", "__id")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w_loc))
+        .withColumn("__sz", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("__nb", nb)
+        .localCheckpoint(eager=False)
+    )
+    # Pass 1 (bulk, num_chunks-way parallel): interior rows — all
+    # ``window`` leads live in the same chunk; a lead that crossed into
+    # the next bucket is discarded by the (band, bval) match, exactly as
+    # the bucket-scoped lead() returned NULL past the bucket end.
+    is_tail = F.col("__rn") > F.col("__sz") - window
+    interior_pairs = (
+        marked.filter(~is_tail)
+        .select(
+            "__band", "__bval", F.col("__id").alias("id_a"),
+            F.explode("__nb").alias("__n"),
+        )
+        .filter(
+            F.col("__n").isNotNull()
+            & (F.col("__n.b") == F.col("__band"))
+            & (F.col("__n.v") == F.col("__bval"))
+        )
+        .select("id_a", F.col("__n.i").alias("id_b"))
+    )
+    # Pass 2 (boundary, ≤ 2·num_chunks·window rows): chunk-tail rows get
+    # their true bucket successors from the bucket-scoped window over the
+    # boundary subset — head rows participate only as lead targets.
+    boundary = marked.filter((F.col("__rn") <= window) | is_tail).drop("__nb")
+    w_bnd = Window.partitionBy("__band", "__bval").orderBy("__id")
+    nb_bnd = F.array(
+        *[F.lead("__id", i).over(w_bnd) for i in range(1, window + 1)]
+    )
+    tail_pairs = (
+        boundary.withColumn("__nb", nb_bnd)
+        .filter(is_tail)
         .select(F.col("__id").alias("id_a"), F.explode("__nb").alias("id_b"))
         .filter(F.col("id_b").isNotNull())
+    )
+    cand = (
+        interior_pairs.unionByName(tail_pairs)
         # a pair can surface from several bands — dedup BEFORE paying the
         # exact verification
         .distinct()

@@ -2509,6 +2509,9 @@ def _duck_lsh_window_cands(n_planes: int = 16, n_bands: int = 4, window: int = 8
     hyperplanes, every signature bit, the band decomposition, the
     sorted-neighborhood lead() pairs, and the exact cosines — nothing is
     smuggled from the Spark side."""
+    # same contract as lsh_band_window_pairs: a non-divisible band count
+    # would silently drop high signature bits on both engines at once
+    assert n_planes % n_bands == 0, (n_planes, n_bands)
     r_bits = n_planes // n_bands
     leads = ",\n             ".join(
         f"lead(vec_id, {i}) OVER w AS n{i}" for i in range(1, window + 1)
@@ -11912,14 +11915,19 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- ROUND-8 ROTATION: slots 1-3 are the three NEW production-shaped
-    #    ANN-verify queries (VERDICT r7 item 3 — bounded-fan-out LSH
-    #    candidates feeding the exact verify that the quadratic-skip trio
-    #    could not run at sf10); new queries take the front so they get
-    #    official driver rows in their first round. The displaced window
-    #    tail (embedding_pairs_blocked, minhash_lsh_candidates,
-    #    ngram_jaccard_pairs) all hold fresh r07 green rows.
+    # -- ROUND-9 ROTATION (VERDICT r8 item 5): slots 1-3 stay the three
+    #    ANN-verify queries because round 9 REWROTE their shared engine
+    #    stage (lsh_band_window_pairs: the 64-partition window cap replaced
+    #    by the range-chunked two-pass sorted-neighborhood) — the official
+    #    record must re-cover the changed code path. Slots 4-6 re-surface
+    #    the three queries the r8 rotation pushed out of the window
+    #    (embedding_pairs_blocked, minhash_lsh_candidates,
+    #    ngram_jaccard_pairs — their newest driver rows are r07). The
+    #    displaced tail (simhash16, llm_enrich_descriptions,
+    #    minhash_signatures) all hold fresh r08 green rows.
     'embedding_pairs_ann', 'semantic_dedup_ann', 'bitext_margin_ann',
+    'embedding_pairs_blocked', 'minhash_lsh_candidates',
+    'ngram_jaccard_pairs',
     # -- ROUND-6 DRIVER WINDOW (first 50 = the driver's correctness
     #    window), per VERDICT r5 items 1+3: slots 1-2 are pq_adc_search /
     #    ivfpq_topk — the only two queries without a clean driver row
@@ -11949,8 +11957,6 @@ _CATALOG_ORDER = [
     'zip_explode_pairs', 'cube_sales', 'cosine_topk', 'rollup_sales',
     'exact_dedup_docs', 'sessionization', 'simhash16',
     'llm_enrich_descriptions', 'minhash_signatures',
-    'embedding_pairs_blocked', 'minhash_lsh_candidates',
-    'ngram_jaccard_pairs',
     # -- driver evidence r03-r05 on file; order preserved --
    
     'running_distinct_event_types', 'purchase_attribution',

@@ -157,12 +157,13 @@ def test_catalog_plan_lint(spark, sf_dir):
 
 def test_driver_window_holds_rotation_priority():
     """The driver records correctness rows for the FIRST 50 catalog
-    entries. Round 8's window: slots 1-3 are the new production-shaped
-    ANN-verify queries (VERDICT r7 item 3) — new queries take the front
-    so they get official driver rows in their first round; slots 4-50
-    keep the r06 rotation (pq_adc_search/ivfpq_topk then the stale-r01
-    refreshes), with the displaced tail (embedding_pairs_blocked,
-    minhash_lsh_candidates, ngram_jaccard_pairs) all holding fresh r07
+    entries. Round 9's window (VERDICT r8 item 5): slots 1-3 stay the
+    ANN-verify trio because round 9 rewrote their shared engine stage
+    (lsh_band_window_pairs chunked two-pass) and the official record must
+    re-cover changed code; slots 4-6 re-surface the three queries the r8
+    rotation pushed out (their newest driver rows are r07); slots 7-50
+    keep the r06 rotation, with the displaced tail (simhash16,
+    llm_enrich_descriptions, minhash_signatures) all holding fresh r08
     green rows. _apply_catalog_order puts UNLISTED registrations at the
     very front — so (a) the window is bit-for-bit the planned rotation,
     and (b) every registered query MUST be explicitly pinned in
@@ -179,13 +180,16 @@ def test_driver_window_holds_rotation_priority():
         f"{sorted(set(SPARK_QUERIES) - set(_CATALOG_ORDER))}; stale: "
         f"{sorted(set(_CATALOG_ORDER) - set(SPARK_QUERIES))}"
     )
-    r08_window = [
-        # slots 1-3: the round-8 ANN-verify additions, never driver-checked
+    r09_window = [
+        # slots 1-3: engine path rewritten this round (chunked
+        # lsh_band_window_pairs) — must re-enter the official record
         "embedding_pairs_ann", "semantic_dedup_ann", "bitext_margin_ann",
-        # slots 4-5: the last two queries without a clean driver row,
-        # re-entering after the scalar-projection schema fix
+        # slots 4-6: rotated out by r8, newest driver rows are r07
+        "embedding_pairs_blocked", "minhash_lsh_candidates",
+        "ngram_jaccard_pairs",
+        # slots 7-8: the two declared rows-only PQ sketches
         "pq_adc_search", "ivfpq_topk",
-        # slots 3-50: oldest (r01) driver evidence, refreshed
+        # slots 9-50: the r06 stale-evidence refresh order, tail displaced
         "global_shuffle_shards", "lag_lead_deltas", "running_total",
         "doc_fingerprint", "stars_beta", "token_stats", "ratings_exponential",
         "doc_template", "doc_quality", "seeded_enrichment", "lang_id",
@@ -199,15 +203,14 @@ def test_driver_window_holds_rotation_priority():
         "json_extract_events", "tolerant_json_parse", "month_rollup",
         "conditional_rewrite", "membership_filter", "wordcount",
         "zip_explode_pairs", "cube_sales", "cosine_topk", "rollup_sales",
-        "exact_dedup_docs", "sessionization", "simhash16",
-        "llm_enrich_descriptions", "minhash_signatures",
+        "exact_dedup_docs", "sessionization",
     ]
-    assert len(r08_window) == 50
+    assert len(r09_window) == 50
     first50 = list(SPARK_QUERIES)[:50]
-    assert first50 == r08_window, (
-        "driver window drifted from the planned r08 rotation: "
-        f"{[n for n in r08_window if n not in first50]} fell out; "
-        f"{[n for n in first50 if n not in r08_window]} crept in"
+    assert first50 == r09_window, (
+        "driver window drifted from the planned r09 rotation: "
+        f"{[n for n in r09_window if n not in first50]} fell out; "
+        f"{[n for n in first50 if n not in r09_window]} crept in"
     )
     # exactly three window entries lack the hard signal (oracle pair):
     # the two PQ sketches and the declared-no-oracle beta sampler

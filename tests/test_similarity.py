@@ -340,3 +340,153 @@ def test_lsh_window_pairs_excludes_corrupt_vectors(spark):
     ).collect()
     ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
     assert ids == {1, 2}
+
+
+def _naive_band_window_pairs(df, dim, n_planes=16, n_bands=4, window=8,
+                             seed=7, threshold=None):
+    """The pre-round-9 single-window formulation of lsh_band_window_pairs
+    (Window.partitionBy(band, bval) — at most n_bands * 2^(planes/bands)
+    window partitions). Kept here as the EXECUTABLE SPEC the chunked
+    production implementation must match pair-for-pair."""
+    from pyspark.sql import Window
+
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        lsh_signature,
+    )
+
+    r_bits = n_planes // n_bands
+    base = df.select(
+        F.col("vec_id").alias("__id"),
+        lsh_signature(F.col("embedding"), dim, n_planes, seed).alias("__sig"),
+    ).filter(F.col("__sig").isNotNull())
+    bands = F.array(
+        *[
+            F.shiftright(F.col("__sig"), r_bits * b).bitwiseAND(
+                F.lit(2**r_bits - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = base.select("__id", F.posexplode(bands).alias("__band", "__bval"))
+    w = Window.partitionBy("__band", "__bval").orderBy("__id")
+    neigh = F.array(*[F.lead("__id", i).over(w) for i in range(1, window + 1)])
+    cand = (
+        exploded.withColumn("__nb", neigh)
+        .select(F.col("__id").alias("id_a"), F.explode("__nb").alias("id_b"))
+        .filter(F.col("id_b").isNotNull())
+        .distinct()
+    )
+    va = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    vb = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    out = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b",
+        F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("cosine") >= threshold)
+    return out
+
+
+@pytest.mark.parametrize("num_chunks", [1, 3, 32, 64])
+def test_lsh_window_pairs_chunked_equals_single_window(spark, sf_dir, num_chunks):
+    """Round-9 parallelism fix: the range-chunked two-pass formulation must
+    emit the IDENTICAL pair set as the single-window spec at EVERY chunk
+    count — including num_chunks=64 on a ~100-row corpus, where most range
+    chunks hold fewer rows than the window and a tail row's successors
+    chain through several undersized chunks (the boundary pass's hardest
+    case), and num_chunks=1 (degenerate single chunk, boundary pass only
+    at the corpus tail)."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        lsh_band_window_pairs,
+    )
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in _naive_band_window_pairs(e, dim=64).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in lsh_band_window_pairs(
+            e, "vec_id", "embedding", dim=64, num_chunks=num_chunks
+        ).collect()
+    }
+    assert got == want, (
+        f"chunked pair set diverged at num_chunks={num_chunks}: "
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+
+
+def test_lsh_window_pairs_giant_bucket_chunked_equivalence(spark):
+    """Adversarial case for the chunk split: 150 identical vectors put EVERY
+    row in the same (band, bval) bucket of every band, so each range chunk
+    cuts straight through one giant bucket — boundary rows' successors are
+    always in the next chunk. Pair set must still match the spec."""
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        lsh_band_window_pairs,
+    )
+
+    vec = [1.0] + [0.0] * 63
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(150)], "vec_id long, embedding array<double>"
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in _naive_band_window_pairs(df, dim=64).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_band_window_pairs(
+            df, "vec_id", "embedding", dim=64, num_chunks=16
+        ).collect()
+    }
+    assert got == want
+
+
+def test_lsh_window_pairs_bulk_window_not_low_cardinality(spark, sf_dir, monkeypatch):
+    """The 100-TB-scale contract from VERDICT r8: the window that processes
+    the FULL exploded corpus must not be keyed on (band, bval) alone — that
+    key has at most n_bands * 2^(n_planes/n_bands) = 64 values, capping the
+    sort's parallelism at 64 tasks regardless of cluster size. The bulk
+    window must be keyed on the range-chunk id (cardinality = num_chunks,
+    i.e. sized like every other shuffle); a (band, bval) window may appear
+    ONLY above the bounded boundary-subset filter (≤ 2*num_chunks*window
+    rows by construction)."""
+    # the operator localCheckpoints its window frame, which truncates the
+    # lineage the assertion needs to see — neutralize it for plan viewing
+    # (the checkpoint changes reuse, never the plan shape below it). The
+    # concrete class in classic PySpark 4 overrides the pyspark.sql base,
+    # so patch it, not the abstract DataFrame.
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    from bytesme_etl_batch_pipeline_spark.operators.similarity import (
+        lsh_band_window_pairs,
+    )
+    from bytesme_etl_batch_pipeline_spark.sources.tables import load_table
+
+    monkeypatch.setattr(
+        ClassicDataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    df = lsh_band_window_pairs(e, "vec_id", "embedding", dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    saw_pid_window = False
+    for i, line in enumerate(lines):
+        if "windowspecdefinition" not in line:
+            continue
+        if "__pid" in line:
+            saw_pid_window = True
+            continue
+        # any other window spec must be the boundary pass: its subtree
+        # (the lines below it, deeper in the tree) must contain the
+        # boundary filter on __rn before the next exchange brings in
+        # unfiltered bulk data
+        subtree = "\n".join(lines[i : i + 8])
+        assert "__rn" in subtree and "Filter" in subtree, (
+            "window not keyed on __pid and not above the boundary filter:\n"
+            + subtree
+        )
+    assert saw_pid_window, "no chunk-keyed (__pid) window in the plan:\n" + plan
