@@ -124,6 +124,27 @@ def main() -> None:
     medians: dict[str, float] = {}
     import gc
 
+    def run_canary() -> dict[str, float]:
+        # Host-throughput canary (VERDICT r8 item 3): two fixed probes —
+        # a pure whole-stage-codegen scan+agg (pricing_summary) and a
+        # shuffle-bound full outer join (the probe the r8 interference
+        # bursts were observed on) — each x10, timed immediately BEFORE
+        # and AFTER the catalog pass and stored in the pass JSON. Future
+        # cross-round comparisons normalize per-query ratios by the
+        # canary ratio (tools/bench_floor_compare.py --canary) instead of
+        # re-litigating host noise: this host's throughput shifts
+        # uniformly by 25-35% between rounds on identical engine code.
+        out: dict[str, float] = {}
+        for probe in ("pricing_summary", "full_outer_nation_presence"):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                catalog.SPARK_QUERIES[probe](spark, sf_dir).count()
+            out[f"{probe}_x10"] = round(time.perf_counter() - t0, 4)
+        gc.collect()
+        return out
+
+    canary_pre = run_canary()
+
     for name, fn in catalog.SPARK_QUERIES.items():
         samples = []
         for _ in range(repeats):
@@ -144,6 +165,7 @@ def main() -> None:
         # counts — the old upper-middle pick biased the field upward
         medians[name] = round(statistics.median(samples), 4)
 
+    canary_post = run_canary()
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -162,6 +184,7 @@ def main() -> None:
                 "repeats": repeats,
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "canary": {"pre": canary_pre, "post": canary_post},
             },
             f,
             indent=1,

@@ -88,3 +88,125 @@ def test_later_segment_wins(tmp_path: Path) -> None:
     summary = json.loads(out.read_text())
     assert proc.returncode == 0
     assert summary["red"] == [] and summary["green"] == 1
+
+
+def test_merge_rejects_explicit_empty_expect(tmp_path: Path) -> None:
+    """ADVICE r8: an explicitly EMPTY --expect used to fall through to
+    'use the full catalog' — the opposite of a partial-segment caller's
+    intent. nargs='+' makes it an argparse error now."""
+    log = tmp_path / "seg.log"
+    log.write_text("q1                  green  (1.00s)\n")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(TOOLS / "merge_gate_logs.py"),
+            str(tmp_path / "merged.json"),
+            str(log),
+            "--expect",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 2  # argparse usage error
+    assert "expected at least one argument" in proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# bench_floor_compare: zero-floor handling, empty-shared guard, canary
+# normalization (ADVICE r8 + VERDICT r8 item 3)
+# ---------------------------------------------------------------------------
+
+
+def _write_detail(path: Path, queries: dict, canary: dict | None = None) -> None:
+    blob = {"queries": queries}
+    if canary is not None:
+        blob["canary"] = canary
+    path.write_text(json.dumps(blob))
+
+
+def _run_floor_compare(*argv: str) -> tuple[int, str, str]:
+    proc = subprocess.run(
+        [sys.executable, str(TOOLS / "bench_floor_compare.py"), *argv],
+        capture_output=True,
+        text=True,
+    )
+    return proc.returncode, proc.stdout, proc.stderr
+
+
+def test_floor_compare_zero_floor_not_silently_exempt(tmp_path: Path) -> None:
+    """A query with a 0.0 floor used to get ratio 1.0 — invisible to the
+    --flag regression check no matter how slow it got. It must now be
+    listed under zero_floor and flagged by ABSOLUTE time."""
+    f = tmp_path / "floor.json"
+    c = tmp_path / "pass.json"
+    _write_detail(f, {"q_ok": 1.0, "q_zero": 0.0})
+    _write_detail(c, {"q_ok": 1.0, "q_zero": 5.0})
+    rc, out, _ = _run_floor_compare(str(c), "--floors", str(f))
+    assert rc == 0
+    got = json.loads(out)
+    assert got["zero_floor"] == ["q_zero"]
+    assert "q_zero" in got["zero_floor_flagged_abs"]
+    assert "q_zero" not in got["flagged_over_threshold"]
+
+
+def test_floor_compare_empty_shared_is_an_error(tmp_path: Path) -> None:
+    f = tmp_path / "floor.json"
+    c = tmp_path / "pass.json"
+    _write_detail(f, {"old_q": 1.0})
+    _write_detail(c, {"new_q": 1.0})
+    rc, _, err = _run_floor_compare(str(c), "--floors", str(f))
+    assert rc == 2
+    assert "no shared queries" in err
+
+
+def test_floor_compare_canary_normalizes_uniform_host_shift(tmp_path: Path) -> None:
+    """VERDICT r8 item 3: identical engine code on a 2x-slower host must
+    read as host_factor 2.0 and normalized ratios ~1.0 — no flags."""
+    f = tmp_path / "floor.json"
+    c = tmp_path / "pass.json"
+    canary_fast = {"pre": {"a_x10": 1.0, "b_x10": 2.0},
+                   "post": {"a_x10": 1.0, "b_x10": 2.0}}
+    canary_slow = {"pre": {"a_x10": 2.0, "b_x10": 4.0},
+                   "post": {"a_x10": 2.0, "b_x10": 4.0}}
+    _write_detail(f, {"q1": 1.0, "q2": 3.0}, canary_fast)
+    _write_detail(c, {"q1": 2.0, "q2": 6.0}, canary_slow)
+    rc, out, _ = _run_floor_compare(str(c), "--floors", str(f))
+    assert rc == 0
+    got = json.loads(out)
+    assert got["host_factor"] == 2.0
+    assert got["total_ratio"] == 2.0          # raw still reported
+    assert got["normalized"]["total_ratio"] == 1.0
+    assert got["normalized"]["flagged_over_threshold"] == {}
+    # pre-canary floors (r6-r8 files) must degrade gracefully: raw only
+    f2 = tmp_path / "floor_nocanary.json"
+    _write_detail(f2, {"q1": 1.0, "q2": 3.0})
+    rc, out, _ = _run_floor_compare(str(c), "--floors", str(f2))
+    assert rc == 0
+    got = json.loads(out)
+    assert got["host_factor"] is None and "normalized" not in got
+
+
+def test_driver_gate_transient_classification() -> None:
+    """ADVICE r8: classify oracle-open failures by DuckDB exception TYPE
+    first — a permanent config error mentioning 'memory' must not burn
+    the 2x30s retry, an OutOfMemoryException must retry regardless of
+    phrasing."""
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(TOOLS))
+    try:
+        import duckdb
+        from driver_gate import _is_transient_duck_error
+    finally:
+        _sys.path.remove(str(TOOLS))
+
+    assert _is_transient_duck_error(duckdb.OutOfMemoryException("weird phrasing"))
+    # permanent typed errors, even when the text mentions memory
+    assert not _is_transient_duck_error(
+        duckdb.BinderException("invalid memory_limit setting")
+    )
+    assert not _is_transient_duck_error(duckdb.CatalogException("no such table"))
+    # untyped OS-level pressure still retries via the substring fallback
+    assert _is_transient_duck_error(OSError("resource temporarily unavailable"))
+    assert not _is_transient_duck_error(ValueError("bad --sf-dir"))

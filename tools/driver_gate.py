@@ -35,6 +35,38 @@ from bytesme_etl_batch_pipeline_spark.session import get_spark
 from tests.oracle import compare, duckdb_con, fingerprint_compare, rows_only_canon
 
 
+def _is_transient_duck_error(exc: Exception) -> bool:
+    """Retry only allocation/OOM-shaped oracle-open failures. Prefer
+    DuckDB's typed exceptions (ADVICE r8: a permanent config error that
+    merely MENTIONS 'memory' must fail fast, and a transient OOM phrased
+    without the keyword must still retry); fall back to the substring
+    heuristic for OS-level errors that surface as plain Exceptions."""
+    try:
+        import duckdb
+
+        typed = tuple(
+            t
+            for t in (
+                getattr(duckdb, "OutOfMemoryException", None),
+                getattr(duckdb, "IOException", None),  # spill-file pressure
+            )
+            if t is not None
+        )
+        if typed and isinstance(exc, typed):
+            return True
+        # a typed duckdb error that is NOT OOM/IO is permanent — do not
+        # let 'memory_limit' in a config message trigger the retry loop
+        base = getattr(duckdb, "Error", None)
+        if base is not None and isinstance(exc, base):
+            return False
+    except ImportError:  # pragma: no cover — duckdb is baked in
+        pass
+    return any(
+        t in str(exc).lower()
+        for t in ("memory", "alloc", "resource temporarily")
+    )
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -139,11 +171,7 @@ def main() -> int:
                         con = duckdb_con(args.sf_dir)
                         break
                     except Exception as oe:  # noqa: BLE001 — transient pressure
-                        transient = any(
-                            t in str(oe).lower()
-                            for t in ("memory", "alloc", "resource temporarily")
-                        )
-                        if attempt == 2 or not transient:
+                        if attempt == 2 or not _is_transient_duck_error(oe):
                             raise
                         time.sleep(30)
                 df = catalog.SPARK_QUERIES[name](spark, args.sf_dir)

@@ -51,16 +51,20 @@ def main() -> int:
     p.add_argument("--sf-dir", default="")
     p.add_argument(
         "--expect",
-        nargs="*",
+        # '+' not '*': an explicitly EMPTY --expect would fall through to
+        # "use the full catalog" — the opposite of what a caller merging a
+        # partial segment sweep intended. Require at least one name.
+        nargs="+",
         default=None,
-        help="expected query names; default: the full catalog from "
-        "plans.queries. A merged summary missing any expected name FAILS "
-        "(exit 2) — a RED row whose status text broke the one-line log "
-        "contract would otherwise vanish silently and read as 0 red.",
+        help="expected query names (at least one); default when the flag "
+        "is absent: the full catalog from plans.queries. A merged summary "
+        "missing any expected name FAILS (exit 2) — a RED row whose "
+        "status text broke the one-line log contract would otherwise "
+        "vanish silently and read as 0 red.",
     )
     args = p.parse_args()
 
-    if args.expect:
+    if args.expect is not None:
         expected = set(args.expect)
     else:
         sys.path.insert(
