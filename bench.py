@@ -124,7 +124,32 @@ def main() -> None:
     medians: dict[str, float] = {}
     import gc
 
-    def run_canary() -> dict[str, float]:
+    def run_host_probe() -> dict[str, float]:
+        # ENGINE-INDEPENDENT host probe (ADVICE r9, medium): the two
+        # catalog canaries below are themselves executed by the engine
+        # under test, so an engine-wide scan/join regression would inflate
+        # them and be divided out of the normalized ratios. This probe
+        # never touches Spark: a fixed NumPy matmul (CPU throughput) and a
+        # large out-of-cache array copy (memory bandwidth), both seeded
+        # and fixed-size, measure only the HOST. bench_floor_compare
+        # prefers host_* keys for host_factor when both sides carry them.
+        import numpy as np
+
+        rng = np.random.default_rng(20260816)
+        a = rng.standard_normal((1024, 1024))
+        b = rng.standard_normal((1024, 1024))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            a @ b
+        matmul = round(time.perf_counter() - t0, 4)
+        big = rng.standard_normal(64 * 1024 * 1024 // 8)  # 64 MiB >> LLC
+        t0 = time.perf_counter()
+        for _ in range(20):
+            big.copy()
+        memcpy = round(time.perf_counter() - t0, 4)
+        return {"host_matmul_x5": matmul, "host_memcpy_x20": memcpy}
+
+    def run_canary(warmup: bool = False) -> dict[str, float]:
         # Host-throughput canary (VERDICT r8 item 3): two fixed probes —
         # a pure whole-stage-codegen scan+agg (pricing_summary) and a
         # shuffle-bound full outer join (the probe the r8 interference
@@ -134,16 +159,24 @@ def main() -> None:
         # canary ratio (tools/bench_floor_compare.py --canary) instead of
         # re-litigating host noise: this host's throughput shifts
         # uniformly by 25-35% between rounds on identical engine code.
+        # ADVICE r9: one discarded warm-up execution of each probe before
+        # the timed pre block — without it the first pre iterations absorb
+        # JVM/codegen warm-up (observed pass-1 pre 8.7s vs post 3.2s) and
+        # systematically inflate the pre canary.
+        if warmup:
+            for probe in ("pricing_summary", "full_outer_nation_presence"):
+                catalog.SPARK_QUERIES[probe](spark, sf_dir).count()
         out: dict[str, float] = {}
         for probe in ("pricing_summary", "full_outer_nation_presence"):
             t0 = time.perf_counter()
             for _ in range(10):
                 catalog.SPARK_QUERIES[probe](spark, sf_dir).count()
             out[f"{probe}_x10"] = round(time.perf_counter() - t0, 4)
+        out.update(run_host_probe())
         gc.collect()
         return out
 
-    canary_pre = run_canary()
+    canary_pre = run_canary(warmup=True)
 
     for name, fn in catalog.SPARK_QUERIES.items():
         samples = []

@@ -11915,126 +11915,101 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- ROUND-9 ROTATION (VERDICT r8 item 5): slots 1-3 stay the three
-    #    ANN-verify queries because round 9 REWROTE their shared engine
-    #    stage (lsh_band_window_pairs: the 64-partition window cap replaced
-    #    by the range-chunked two-pass sorted-neighborhood) — the official
-    #    record must re-cover the changed code path. Slots 4-6 re-surface
-    #    the three queries the r8 rotation pushed out of the window
-    #    (embedding_pairs_blocked, minhash_lsh_candidates,
-    #    ngram_jaccard_pairs — their newest driver rows are r07). The
-    #    displaced tail (simhash16, llm_enrich_descriptions,
-    #    minhash_signatures) all hold fresh r08 green rows.
-    'embedding_pairs_ann', 'semantic_dedup_ann', 'bitext_margin_ann',
-    'embedding_pairs_blocked', 'minhash_lsh_candidates',
-    'ngram_jaccard_pairs',
-    # -- ROUND-6 DRIVER WINDOW (first 50 = the driver's correctness
-    #    window), per VERDICT r5 items 1+3: slots 1-2 are pq_adc_search /
-    #    ivfpq_topk — the only two queries without a clean driver row
-    #    (their r05 rows err'd on the unhashable embedding list column;
-    #    this round projects both to scalar (vec_id, distance, score), a
-    #    schema change that itself needs a fresh driver row). Slots 3-50
-    #    REFRESH the 48 catalog entries with the OLDEST driver evidence
-    #    (r01 rows, several semantically touched since — e.g. the r5
-    #    string-detour decimal rewrites of running_total/month_rollup):
-    #    every other query has r03+ evidence, so the stalest rows are the
-    #    highest-value re-checks now that the ledger is closed. The full
-    #    241-query order below keeps most-recently-checked last.
-    'pq_adc_search', 'ivfpq_topk',
-    # -- slots 3-50: oldest (r01) driver evidence, refreshed --
-   
-    'global_shuffle_shards', 'lag_lead_deltas', 'running_total',
-    'doc_fingerprint', 'stars_beta', 'token_stats', 'ratings_exponential',
-    'doc_template', 'doc_quality', 'seeded_enrichment', 'lang_id',
-    'nation_set_ops', 'l2_topk', 'snowflake_dims', 'events_tumbling_window',
-    'snowflake_facts', 'pricing_summary', 'dedup_keep_first', 'dup_report',
-    'distinct_projection', 'dim_join_rollup',
-    'anti_join_customers_without_orders', 'semi_join_active_customers',
+    # -- ROUND-10 ROTATION (stale-evidence refresh): the engine is
+    #    unchanged this round (round 10 is an evidence/tooling round —
+    #    sf10 sweep completion + canary-protocol hardening), so rotation
+    #    priority is purely EVIDENCE AGE. Slots 1-44 are the 44 queries
+    #    whose newest driver rows date to r02 (count-capped era, the
+    #    stalest official evidence in the catalog); slots 45-50 are the
+    #    six oldest r03 rows (doc_chunking, udtf_unit_price_explode,
+    #    repetition_signals, simhash_hamming_pairs, cdc_apply,
+    #    join_skew_report). All 50 are oracle-paired — a full-hash
+    #    window. The displaced r9 window (ANN trio, PQ sketches, r06
+    #    refresh tail) all hold fresh r09 green rows.
+    'regex_extract_battery', 'casts_battery', 'salted_counts',
+    'distinct_counts', 'train_val_test_split', 'ranking_battery',
+    'fill_forward_props', 'quantity_percentiles', 'stratified_sample_docs',
+    'grouped_string_agg', 'date_battery', 'stats_moments',
+    'trailing_hour_activity', 'left_outer_order_counts', 'grouping_sets_sales',
+    'unpivot_part_metrics', 'scalar_subquery_above_avg', 'asof_join_last_purchase',
+    'snowflake_children', 'variant_json_events', 'anomaly_events',
+    'order_lineitem_revenue', 'full_outer_nation_presence', 'winnow_fingerprints',
+    'quality_filter_chain', 'pii_redact', 'temperature_sample_mix',
+    'sequence_packing', 'zorder_layout_key', 'grouped_robust_zscore',
+    'domain_cap', 'tfidf_top_terms', 'line_dedup_docs',
+    'bloom_decontaminate', 'late_shipment_priority_counts', 'copurchase_pairs',
+    'weighted_sample_docs', 'next_day_retention', 'order_total_histogram',
+    'url_canonical_dedup', 'sql_market_share', 'percentile_quality_gate',
+    'unicode_normalize_docs', 'unigram_logprob_quality', 'doc_chunking',
+    'udtf_unit_price_explode', 'repetition_signals', 'simhash_hamming_pairs',
+    'cdc_apply', 'join_skew_report', 'embedding_pairs_ann',
+    'semantic_dedup_ann', 'bitext_margin_ann', 'embedding_pairs_blocked',
+    'minhash_lsh_candidates', 'ngram_jaccard_pairs', 'pq_adc_search',
+    'ivfpq_topk', 'global_shuffle_shards', 'lag_lead_deltas',
+    'running_total', 'doc_fingerprint', 'stars_beta',
+    'token_stats', 'ratings_exponential', 'doc_template',
+    'doc_quality', 'seeded_enrichment', 'lang_id',
+    'nation_set_ops', 'l2_topk', 'snowflake_dims',
+    'events_tumbling_window', 'snowflake_facts', 'pricing_summary',
+    'dedup_keep_first', 'dup_report', 'distinct_projection',
+    'dim_join_rollup', 'anti_join_customers_without_orders', 'semi_join_active_customers',
     'topk_orders', 'window_topk_per_customer', 'group_sequence_codes',
     'dense_dim_ids', 'union_all_entities', 'string_normalize',
     'truncate_preview', 'json_extract_events', 'tolerant_json_parse',
-    'month_rollup', 'conditional_rewrite', 'membership_filter', 'wordcount',
-    'zip_explode_pairs', 'cube_sales', 'cosine_topk', 'rollup_sales',
-    'exact_dedup_docs', 'sessionization', 'simhash16',
-    'llm_enrich_descriptions', 'minhash_signatures',
-    # -- driver evidence r03-r05 on file; order preserved --
-   
-    'running_distinct_event_types', 'purchase_attribution',
-    'missing_activity_days', 'tpch_q8_nation_market_share',
-    'inverted_token_index', 'copurchase_triangles', 'daily_activity_spine',
-    'hour_weekday_heatmap', 'daily_volume_anomalies',
-    'revenue_pareto_deciles', 'cohort_ltv_matrix', 'monthly_revenue_growth',
-    'supplier_hhi_by_type', 'orders_keyset_page',
-    'dedup_effectiveness_report', 'session_bounce_rate',
-    'linear_touch_attribution', 'order_total_reconciliation',
-    'returns_rate_by_brand', 'lang_id_confusion_matrix',
+    'month_rollup', 'conditional_rewrite', 'membership_filter',
+    'wordcount', 'zip_explode_pairs', 'cube_sales',
+    'cosine_topk', 'rollup_sales', 'exact_dedup_docs',
+    'sessionization', 'simhash16', 'llm_enrich_descriptions',
+    'minhash_signatures', 'running_distinct_event_types', 'purchase_attribution',
+    'missing_activity_days', 'tpch_q8_nation_market_share', 'inverted_token_index',
+    'copurchase_triangles', 'daily_activity_spine', 'hour_weekday_heatmap',
+    'daily_volume_anomalies', 'revenue_pareto_deciles', 'cohort_ltv_matrix',
+    'monthly_revenue_growth', 'supplier_hhi_by_type', 'orders_keyset_page',
+    'dedup_effectiveness_report', 'session_bounce_rate', 'linear_touch_attribution',
+    'order_total_reconciliation', 'returns_rate_by_brand', 'lang_id_confusion_matrix',
     'weekly_engagement_segments', 'dup_rate_by_source', 'doc_token_entropy',
-    'size_price_correlation', 'winsorized_value_stats',
-    'source_token_divergence', 'lang_purity_by_source',
-    'partition_skew_report', 'token_position_bias', 'dow_seasonality_index',
-    'dup_cluster_size_distribution', 'order_interarrival_percentiles',
-    'embedding_norm_outliers', 'heaps_law_curve',
-    'extraction_artifact_screen', 'rollup_share_of_parent',
-    'part_skyline_pareto', 'zipf_fit_report', 'session_path_topk',
-    'revenue_gini_by_nation', 'new_vs_returning_revenue', 'doc_ngram_novelty',
-    'supplier_delivery_reliability', 'source_quality_scorecard',
+    'size_price_correlation', 'winsorized_value_stats', 'source_token_divergence',
+    'lang_purity_by_source', 'partition_skew_report', 'token_position_bias',
+    'dow_seasonality_index', 'dup_cluster_size_distribution', 'order_interarrival_percentiles',
+    'embedding_norm_outliers', 'heaps_law_curve', 'extraction_artifact_screen',
+    'rollup_share_of_parent', 'part_skyline_pareto', 'zipf_fit_report',
+    'session_path_topk', 'revenue_gini_by_nation', 'new_vs_returning_revenue',
+    'doc_ngram_novelty', 'supplier_delivery_reliability', 'source_quality_scorecard',
     'bpe_train_encode', 'source_overlap_estimate', 'doc_compression_screen',
-    'streaming_windowed_counts', 'tpch_q2_min_cost_supplier',
-    'tpch_q7_volume_shipping', 'tpch_q9_product_type_profit',
-    'tpch_q11_important_stock', 'tpch_q12_shipmode_priority',
-    'tpch_q13_customer_distribution', 'tpch_q20_part_share_suppliers',
-    'tpch_q21_waiting_supplier', 'tpch_q22_global_sales_opportunity',
-    'tpch_q6_forecast_revenue', 'tpch_q10_returned_items',
-    'tpch_q14_promo_share', 'tpch_q15_top_supplier',
-    'tpch_q17_small_qty_revenue', 'tpch_q18_big_orders',
-    'tpch_q19_disjunctive_revenue', 'llm_corpus_pipeline',
+    'streaming_windowed_counts', 'tpch_q2_min_cost_supplier', 'tpch_q7_volume_shipping',
+    'tpch_q9_product_type_profit', 'tpch_q11_important_stock', 'tpch_q12_shipmode_priority',
+    'tpch_q13_customer_distribution', 'tpch_q20_part_share_suppliers', 'tpch_q21_waiting_supplier',
+    'tpch_q22_global_sales_opportunity', 'tpch_q6_forecast_revenue', 'tpch_q10_returned_items',
+    'tpch_q14_promo_share', 'tpch_q15_top_supplier', 'tpch_q17_small_qty_revenue',
+    'tpch_q18_big_orders', 'tpch_q19_disjunctive_revenue', 'llm_corpus_pipeline',
     'kmeans_lloyd_step', 'bigram_logprob_quality', 'cms_heavy_hitters',
     'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bitext_margin_mining',
     'media_phash_dedup', 'scd2_point_in_time', 'cuped_ab_adjusted_lift',
     'dsir_importance_resample', 'gopher_quality_rules', 'ann_recall_report',
-    'hourly_interpolated_values', 'streaming_session_counts',
-    'neardup_keep_best_docs', 'events_hopping_window',
-    'nation_dual_presence_intersect', 'part_hierarchy_rollup',
+    'hourly_interpolated_values', 'streaming_session_counts', 'neardup_keep_best_docs',
+    'events_hopping_window', 'nation_dual_presence_intersect', 'part_hierarchy_rollup',
     'benford_digit_audit', 'contrastive_training_pairs', 'event_burst_dedup',
     'cusum_changepoint_scan', 'bigram_pmi_collocations', 'column_profile',
     'media_frame_sample', 'basket_lift_rules', 'session_funnel',
     'customer_rfm_scores', 'vocab_oov_rate', 'k_anonymity_report',
-    'minhash_estimator_quality', 'shingle_containment_pairs',
-    'purchase_linear_regression', 'doc_chunking', 'udtf_unit_price_explode',
-    'repetition_signals', 'simhash_hamming_pairs', 'cdc_apply',
-    'join_skew_report', 'doc_template_vi', 'decontaminate_ngram_overlap',
-    'neardup_dedup_docs', 'heavy_hitter_tokens', 'embedding_quantize_int8',
-    'semantic_dedup_embeddings', 'neardup_clusters',
-    'range_join_balance_tiers', 'doc_embeddings', 'semantic_search_pipeline',
-    'media_decode', 'approx_percentiles', 'approx_distinct_counts',
-    'ann_lsh_topk', 'ann_ivf_topk', 'rule_cascade_classify',
-    'array_ops_battery', 'data_quality_report', 'funnel_conversion',
-    'pivot_event_counts', 'corpus_stats', 'scd2_history',
-    'snapshot_diff_orders', 'content_checksums', 'per_group_sample_docs',
-    'equidepth_histogram', 'token_bigram_counts', 'multires_rollup',
-    'cumulative_new_users', 'rolling_7d_active_users',
+    'minhash_estimator_quality', 'shingle_containment_pairs', 'purchase_linear_regression',
+    'doc_template_vi', 'decontaminate_ngram_overlap', 'neardup_dedup_docs',
+    'heavy_hitter_tokens', 'embedding_quantize_int8', 'semantic_dedup_embeddings',
+    'neardup_clusters', 'range_join_balance_tiers', 'doc_embeddings',
+    'semantic_search_pipeline', 'media_decode', 'approx_percentiles',
+    'approx_distinct_counts', 'ann_lsh_topk', 'ann_ivf_topk',
+    'rule_cascade_classify', 'array_ops_battery', 'data_quality_report',
+    'funnel_conversion', 'pivot_event_counts', 'corpus_stats',
+    'scd2_history', 'snapshot_diff_orders', 'content_checksums',
+    'per_group_sample_docs', 'equidepth_histogram', 'token_bigram_counts',
+    'multires_rollup', 'cumulative_new_users', 'rolling_7d_active_users',
     'tpch_q3_shipping_priority', 'tpch_q5_local_supplier', 'fuzzy_name_pairs',
     'neardup_clusters_star', 'longest_user_streaks', 'part_supplier_variety',
-    'modal_quantity_per_flag', 'top_tokens_per_lang',
-    'event_transition_matrix', 'weekly_cohort_retention', 'label_centroids',
-    'dau_wau_stickiness', 'intra_doc_span_dedup', 'regex_extract_battery',
-    'casts_battery', 'salted_counts', 'distinct_counts',
-    'train_val_test_split', 'ranking_battery', 'fill_forward_props',
-    'quantity_percentiles', 'stratified_sample_docs', 'grouped_string_agg',
-    'date_battery', 'stats_moments', 'trailing_hour_activity',
-    'left_outer_order_counts', 'grouping_sets_sales', 'unpivot_part_metrics',
-    'scalar_subquery_above_avg', 'asof_join_last_purchase',
-    'snowflake_children', 'variant_json_events', 'anomaly_events',
-    'order_lineitem_revenue', 'full_outer_nation_presence',
-    'winnow_fingerprints', 'quality_filter_chain', 'pii_redact',
-    'temperature_sample_mix', 'sequence_packing', 'zorder_layout_key',
-    'grouped_robust_zscore', 'domain_cap', 'tfidf_top_terms',
-    'line_dedup_docs', 'bloom_decontaminate', 'late_shipment_priority_counts',
-    'copurchase_pairs', 'weighted_sample_docs', 'next_day_retention',
-    'order_total_histogram', 'url_canonical_dedup', 'sql_market_share',
-    'percentile_quality_gate', 'unicode_normalize_docs',
-    'unigram_logprob_quality',
+    'modal_quantity_per_flag', 'top_tokens_per_lang', 'event_transition_matrix',
+    'weekly_cohort_retention', 'label_centroids', 'dau_wau_stickiness',
+    'intra_doc_span_dedup',
 ]
+
 
 
 def _apply_catalog_order() -> None:

@@ -210,3 +210,94 @@ def test_driver_gate_transient_classification() -> None:
     # untyped OS-level pressure still retries via the substring fallback
     assert _is_transient_duck_error(OSError("resource temporarily unavailable"))
     assert not _is_transient_duck_error(ValueError("bad --sf-dir"))
+
+
+def test_driver_gate_ioexception_requires_alloc_shape() -> None:
+    """ADVICE r9 (low): duckdb.IOException also covers PERMANENT failures
+    (missing/corrupt parquet, bad path). Only an allocation/spill-shaped
+    IOException may retry; a bare file error fails fast."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(TOOLS))
+    try:
+        import duckdb
+        from driver_gate import _is_transient_duck_error
+    finally:
+        _sys.path.remove(str(TOOLS))
+
+    assert _is_transient_duck_error(
+        duckdb.IOException("could not allocate spill file block")
+    )
+    assert _is_transient_duck_error(duckdb.IOException("out of memory"))
+    assert not _is_transient_duck_error(
+        duckdb.IOException('No files found that match the pattern "/bad/*.parquet"')
+    )
+    assert not _is_transient_duck_error(
+        duckdb.IOException("corrupt parquet footer")
+    )
+
+
+def test_floor_compare_per_probe_host_factor_and_host_basis(tmp_path: Path) -> None:
+    """ADVICE r9: (a) host_factor is the median of PER-PROBE ratios over
+    matching keys, not a pooled-sample median (mixed-magnitude pooling
+    biases when the probe set shifts); (b) engine-independent host_*
+    probes take precedence, so an engine-wide regression inflating the
+    engine probes cannot be divided out; (c) non-uniform probe ratios are
+    surfaced as canary_disagreement."""
+    f = tmp_path / "floor.json"
+    c = tmp_path / "pass.json"
+    # engine probes claim the host got 3x slower (an engine regression in
+    # disguise); the engine-independent host probes say the host is FLAT.
+    canary_floor = {
+        "pre": {"a_x10": 1.0, "host_matmul_x5": 1.0},
+        "post": {"a_x10": 1.0, "host_matmul_x5": 1.0},
+    }
+    canary_cand = {
+        "pre": {"a_x10": 3.0, "host_matmul_x5": 1.0},
+        "post": {"a_x10": 3.0, "host_matmul_x5": 1.0},
+    }
+    _write_detail(f, {"q1": 1.0}, canary_floor)
+    _write_detail(c, {"q1": 3.0}, canary_cand)
+    rc, out, _ = _run_floor_compare(str(c), "--floors", str(f))
+    assert rc == 0
+    got = json.loads(out)
+    # host basis wins: factor 1.0, so the 3x raw regression is NOT normalized away
+    assert got["host_factor_basis"] == "host"
+    assert got["host_factor"] == 1.0
+    assert got["normalized"]["total_ratio"] == 3.0
+    assert "q1" in got["normalized"]["flagged_over_threshold"]
+
+    # engine-basis fallback (old floors without host_* keys): per-probe
+    # median, not pooled — two probes of different magnitude, both 2x.
+    f2 = tmp_path / "floor2.json"
+    c2 = tmp_path / "pass2.json"
+    _write_detail(
+        f2,
+        {"q1": 1.0},
+        {"pre": {"a_x10": 0.1, "b_x10": 10.0}, "post": {"a_x10": 0.1, "b_x10": 10.0}},
+    )
+    _write_detail(
+        c2,
+        {"q1": 2.0},
+        {"pre": {"a_x10": 0.2, "b_x10": 20.0}, "post": {"a_x10": 0.2, "b_x10": 20.0}},
+    )
+    rc, out, _ = _run_floor_compare(str(c2), "--floors", str(f2))
+    got = json.loads(out)
+    assert got["host_factor_basis"] == "engine"
+    # pooled median would give 20/10 = 2.0 by luck here, but with a probe-set
+    # magnitude shift it biases; per-probe gives exactly 2.0 by construction
+    assert got["host_factor"] == 2.0
+    assert got["canary_disagreement"] is None
+    assert got["host_factor_suspicious"] is not None  # > 1.1 → surfaced
+
+    # disagreeing probes (one 1x, one 3x) → canary_disagreement set
+    c3 = tmp_path / "pass3.json"
+    _write_detail(
+        c3,
+        {"q1": 2.0},
+        {"pre": {"a_x10": 0.1, "b_x10": 30.0}, "post": {"a_x10": 0.1, "b_x10": 30.0}},
+    )
+    rc, out, _ = _run_floor_compare(str(c3), "--floors", str(f2))
+    got = json.loads(out)
+    assert got["canary_disagreement"] is not None
+    assert got["canary_disagreement"]["spread"] == 3.0

@@ -157,18 +157,18 @@ def test_catalog_plan_lint(spark, sf_dir):
 
 def test_driver_window_holds_rotation_priority():
     """The driver records correctness rows for the FIRST 50 catalog
-    entries. Round 9's window (VERDICT r8 item 5): slots 1-3 stay the
-    ANN-verify trio because round 9 rewrote their shared engine stage
-    (lsh_band_window_pairs chunked two-pass) and the official record must
-    re-cover changed code; slots 4-6 re-surface the three queries the r8
-    rotation pushed out (their newest driver rows are r07); slots 7-50
-    keep the r06 rotation, with the displaced tail (simhash16,
-    llm_enrich_descriptions, minhash_signatures) all holding fresh r08
-    green rows. _apply_catalog_order puts UNLISTED registrations at the
-    very front — so (a) the window is bit-for-bit the planned rotation,
-    and (b) every registered query MUST be explicitly pinned in
-    _CATALOG_ORDER (an unlisted one would evict the window tail
-    silently)."""
+    entries. Round 10's window: the engine is unchanged this round
+    (evidence/tooling round — sf10 sweep completion, canary hardening),
+    so rotation priority is purely EVIDENCE AGE: slots 1-44 are the 44
+    queries whose newest driver rows date to r02 (the count-capped era
+    — the stalest official evidence in the catalog), slots 45-50 the six
+    oldest r03 rows. All 50 are oracle-paired — a full-hash window. The
+    displaced r9 window (ANN trio, PQ sketches, r06 refresh tail) all
+    hold fresh r09 green rows. _apply_catalog_order puts UNLISTED
+    registrations at the very front — so (a) the window is bit-for-bit
+    the planned rotation, and (b) every registered query MUST be
+    explicitly pinned in _CATALOG_ORDER (an unlisted one would evict the
+    window tail silently)."""
     from bytesme_etl_batch_pipeline_spark.plans.queries import (
         _CATALOG_ORDER,
         ORACLE_SQL,
@@ -180,42 +180,40 @@ def test_driver_window_holds_rotation_priority():
         f"{sorted(set(SPARK_QUERIES) - set(_CATALOG_ORDER))}; stale: "
         f"{sorted(set(_CATALOG_ORDER) - set(SPARK_QUERIES))}"
     )
-    r09_window = [
-        # slots 1-3: engine path rewritten this round (chunked
-        # lsh_band_window_pairs) — must re-enter the official record
-        "embedding_pairs_ann", "semantic_dedup_ann", "bitext_margin_ann",
-        # slots 4-6: rotated out by r8, newest driver rows are r07
-        "embedding_pairs_blocked", "minhash_lsh_candidates",
-        "ngram_jaccard_pairs",
-        # slots 7-8: the two declared rows-only PQ sketches
-        "pq_adc_search", "ivfpq_topk",
-        # slots 9-50: the r06 stale-evidence refresh order, tail displaced
-        "global_shuffle_shards", "lag_lead_deltas", "running_total",
-        "doc_fingerprint", "stars_beta", "token_stats", "ratings_exponential",
-        "doc_template", "doc_quality", "seeded_enrichment", "lang_id",
-        "nation_set_ops", "l2_topk", "snowflake_dims",
-        "events_tumbling_window", "snowflake_facts", "pricing_summary",
-        "dedup_keep_first", "dup_report", "distinct_projection",
-        "dim_join_rollup", "anti_join_customers_without_orders",
-        "semi_join_active_customers", "topk_orders",
-        "window_topk_per_customer", "group_sequence_codes", "dense_dim_ids",
-        "union_all_entities", "string_normalize", "truncate_preview",
-        "json_extract_events", "tolerant_json_parse", "month_rollup",
-        "conditional_rewrite", "membership_filter", "wordcount",
-        "zip_explode_pairs", "cube_sales", "cosine_topk", "rollup_sales",
-        "exact_dedup_docs", "sessionization",
+    r10_window = [
+        # slots 1-44: newest driver rows r02 (count-capped era)
+        "regex_extract_battery", "casts_battery", "salted_counts",
+        "distinct_counts", "train_val_test_split", "ranking_battery",
+        "fill_forward_props", "quantity_percentiles",
+        "stratified_sample_docs", "grouped_string_agg", "date_battery",
+        "stats_moments", "trailing_hour_activity",
+        "left_outer_order_counts", "grouping_sets_sales",
+        "unpivot_part_metrics", "scalar_subquery_above_avg",
+        "asof_join_last_purchase", "snowflake_children",
+        "variant_json_events", "anomaly_events", "order_lineitem_revenue",
+        "full_outer_nation_presence", "winnow_fingerprints",
+        "quality_filter_chain", "pii_redact", "temperature_sample_mix",
+        "sequence_packing", "zorder_layout_key", "grouped_robust_zscore",
+        "domain_cap", "tfidf_top_terms", "line_dedup_docs",
+        "bloom_decontaminate", "late_shipment_priority_counts",
+        "copurchase_pairs", "weighted_sample_docs", "next_day_retention",
+        "order_total_histogram", "url_canonical_dedup", "sql_market_share",
+        "percentile_quality_gate", "unicode_normalize_docs",
+        "unigram_logprob_quality",
+        # slots 45-50: the six oldest r03 rows
+        "doc_chunking", "udtf_unit_price_explode", "repetition_signals",
+        "simhash_hamming_pairs", "cdc_apply", "join_skew_report",
     ]
-    assert len(r09_window) == 50
+    assert len(r10_window) == 50
     first50 = list(SPARK_QUERIES)[:50]
-    assert first50 == r09_window, (
-        "driver window drifted from the planned r09 rotation: "
-        f"{[n for n in r09_window if n not in first50]} fell out; "
-        f"{[n for n in first50 if n not in r09_window]} crept in"
+    assert first50 == r10_window, (
+        "driver window drifted from the planned r10 rotation: "
+        f"{[n for n in r10_window if n not in first50]} fell out; "
+        f"{[n for n in first50 if n not in r10_window]} crept in"
     )
-    # exactly three window entries lack the hard signal (oracle pair):
-    # the two PQ sketches and the declared-no-oracle beta sampler
+    # every r10 window entry carries the hard signal (oracle pair)
     no_oracle = [n for n in first50 if n not in ORACLE_SQL]
-    assert no_oracle == ["pq_adc_search", "ivfpq_topk", "stars_beta"]
+    assert no_oracle == []
 
 
 def test_catalog_counts_match_coverage_doc():

@@ -16,11 +16,24 @@ a per-query min ("best of the isolated passes"), and reports:
   9 carry a ``canary`` block — two fixed probes (pure-codegen
   pricing_summary x10 and a full-outer-join x10) timed immediately
   before and after the catalog pass. When both the candidate passes and
-  at least one floor file carry canaries, the tool computes
-  ``host_factor = median(candidate probe times) / median(floor probe
-  times)`` and reports ratios divided by it, so a uniform host-throughput
-  shift (r7: x1.33, r8: x1.27 on identical engine code) no longer needs
-  per-round re-adjudication. Raw ratios are always reported alongside.
+  at least one floor file carry canaries, the tool computes a per-probe
+  ratio ``median(candidate samples of probe K) / median(floor samples of
+  probe K)`` over the probe keys PRESENT ON BOTH SIDES, then takes
+  ``host_factor = median(per-probe ratios)`` (ADVICE r9: a pooled median
+  over mixed-magnitude probes biases when the probe set shifts). Since
+  round 10 the canary block also carries ENGINE-INDEPENDENT ``host_*``
+  probes (NumPy matmul / memcpy — no Spark code path); when both sides
+  have them, host_factor uses ONLY those, so an engine-wide regression
+  cannot inflate the canary and be divided out of the normalized view
+  (ADVICE r9, medium). A materially non-uniform probe-ratio spread
+  (max/min > 1.15) is reported as ``canary_disagreement``.
+
+POLICY (ADVICE r9): RAW ratios are primary. The normalized view is
+advisory context for uniform host shifts; a host_factor above ~1.1 is
+itself reported (``host_factor_suspicious``) rather than silently
+absorbed — especially when derived from engine-executed probes (no
+host_* keys on one side), where an engine-wide regression could hide
+inside it.
 
 Queries with a 0.0 floor (sub-100µs timer artifacts) cannot form a
 ratio; they are listed under ``zero_floor`` and checked by absolute
@@ -46,20 +59,38 @@ def _load(path: str) -> dict:
         return json.load(f)
 
 
-def _canary_median(blobs: list[dict]) -> float | None:
-    """Fold the canary blocks of several pass files to one scalar: the
-    median over every probe sample (pre+post of both probes, all files).
-    Median, not min — the canary estimates TYPICAL host throughput for
-    the window, and an interference burst on one sample must not hide a
-    genuinely slow host (nor a lucky sample claim a fast one)."""
-    samples: list[float] = []
+def _canary_samples(blobs: list[dict]) -> dict[str, list[float]]:
+    """Collect canary samples per probe key (pre+post, all files)."""
+    out: dict[str, list[float]] = {}
     for blob in blobs:
         canary = blob.get("canary") or {}
         for phase in ("pre", "post"):
-            samples.extend(float(v) for v in (canary.get(phase) or {}).values())
-    if not samples:
-        return None
-    return statistics.median(samples)
+            for key, v in (canary.get(phase) or {}).items():
+                out.setdefault(key, []).append(float(v))
+    return out
+
+
+def _host_factor(
+    cand: dict[str, list[float]], floor: dict[str, list[float]]
+) -> tuple[float | None, dict[str, float], str | None]:
+    """Per-probe candidate/floor ratio over MATCHING keys, folded by
+    median (ADVICE r9: pooling mixed-magnitude probes into one median
+    biases when the probe set or relative probe cost shifts). Prefers
+    engine-independent ``host_*`` probes when both sides carry them —
+    those cannot be inflated by an engine-wide regression. Returns
+    (host_factor, per_probe_ratios, basis) where basis is 'host' or
+    'engine' or None."""
+    shared = sorted(set(cand) & set(floor))
+    host_keys = [k for k in shared if k.startswith("host_")]
+    basis_keys, basis = (host_keys, "host") if host_keys else (shared, "engine")
+    ratios: dict[str, float] = {}
+    for k in basis_keys:
+        fm = statistics.median(floor[k])
+        if fm > 0:
+            ratios[k] = round(statistics.median(cand[k]) / fm, 4)
+    if not ratios:
+        return None, {}, None
+    return round(statistics.median(ratios.values()), 4), ratios, basis
 
 
 def main() -> int:
@@ -118,14 +149,21 @@ def main() -> int:
         if best[q] > args.zero_floor_abs
     }
 
-    cand_canary = _canary_median(pass_blobs)
-    floor_canary = _canary_median(floor_blobs)
-    host_factor = (
-        round(cand_canary / floor_canary, 4)
-        if cand_canary is not None and floor_canary is not None
-        and floor_canary > 0
-        else None
+    cand_samples = _canary_samples(pass_blobs)
+    floor_samples = _canary_samples(floor_blobs)
+    host_factor, probe_ratios, canary_basis = _host_factor(
+        cand_samples, floor_samples
     )
+    canary_disagreement = None
+    if len(probe_ratios) >= 2:
+        spread = max(probe_ratios.values()) / min(probe_ratios.values())
+        if spread > 1.15:
+            canary_disagreement = {
+                "spread": round(spread, 3),
+                "per_probe": probe_ratios,
+                "note": "probe ratios disagree materially — host shift is "
+                "not uniform; treat host_factor with suspicion",
+            }
 
     out = {
         "n_passes": len(args.passes),
@@ -145,10 +183,24 @@ def main() -> int:
             sorted(flagged.items(), key=lambda kv: -kv[1]["ratio"])
         ),
         # host-normalized view (null fields mean a side lacks canaries —
-        # pre-r9 floors; normalization starts once an r9+ floor exists)
-        "canary_candidate_median": cand_canary,
-        "canary_floor_median": floor_canary,
+        # pre-r9 floors; normalization starts once an r9+ floor exists).
+        # POLICY: raw ratios above are PRIMARY; normalized is advisory.
         "host_factor": host_factor,
+        "host_factor_basis": canary_basis,
+        "host_factor_per_probe": probe_ratios,
+        "canary_disagreement": canary_disagreement,
+        "host_factor_suspicious": (
+            {
+                "host_factor": host_factor,
+                "basis": canary_basis,
+                "note": "host_factor > 1.1 — if its rise coincides with an "
+                "engine diff, the 'host shift' may itself be an engine-wide "
+                "regression (certain when basis=engine; host-basis probes "
+                "cannot be engine-inflated but still warrant a look)",
+            }
+            if host_factor is not None and host_factor > 1.1
+            else None
+        ),
     }
     if host_factor:
         norm = {q: r / host_factor for q, r in ratios.items()}

@@ -35,36 +35,43 @@ from bytesme_etl_batch_pipeline_spark.session import get_spark
 from tests.oracle import compare, duckdb_con, fingerprint_compare, rows_only_canon
 
 
+_TRANSIENT_SUBSTRINGS = (
+    "memory",
+    "alloc",
+    "resource temporarily",
+    "spill",
+)
+
+
 def _is_transient_duck_error(exc: Exception) -> bool:
     """Retry only allocation/OOM-shaped oracle-open failures. Prefer
     DuckDB's typed exceptions (ADVICE r8: a permanent config error that
     merely MENTIONS 'memory' must fail fast, and a transient OOM phrased
     without the keyword must still retry); fall back to the substring
-    heuristic for OS-level errors that surface as plain Exceptions."""
+    heuristic for OS-level errors that surface as plain Exceptions.
+
+    ADVICE r9: IOException also covers PERMANENT failures (missing or
+    corrupt parquet, bad path) — it is transient only when its message is
+    allocation/spill-shaped; a bare IOException fails fast instead of
+    burning the 2x30s retry loop per query across a 244-query sweep."""
     try:
         import duckdb
 
-        typed = tuple(
-            t
-            for t in (
-                getattr(duckdb, "OutOfMemoryException", None),
-                getattr(duckdb, "IOException", None),  # spill-file pressure
-            )
-            if t is not None
-        )
-        if typed and isinstance(exc, typed):
+        oom = getattr(duckdb, "OutOfMemoryException", None)
+        if oom is not None and isinstance(exc, oom):
             return True
-        # a typed duckdb error that is NOT OOM/IO is permanent — do not
-        # let 'memory_limit' in a config message trigger the retry loop
+        ioexc = getattr(duckdb, "IOException", None)
+        if ioexc is not None and isinstance(exc, ioexc):
+            # spill-file pressure retries; missing/corrupt file does not
+            return any(t in str(exc).lower() for t in _TRANSIENT_SUBSTRINGS)
+        # a typed duckdb error that is NOT OOM/alloc-IO is permanent — do
+        # not let 'memory_limit' in a config message trigger the retry loop
         base = getattr(duckdb, "Error", None)
         if base is not None and isinstance(exc, base):
             return False
     except ImportError:  # pragma: no cover — duckdb is baked in
         pass
-    return any(
-        t in str(exc).lower()
-        for t in ("memory", "alloc", "resource temporarily")
-    )
+    return any(t in str(exc).lower() for t in _TRANSIENT_SUBSTRINGS)
 
 
 def main() -> int:
