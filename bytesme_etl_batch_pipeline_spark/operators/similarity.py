@@ -318,15 +318,38 @@ def lsh_band_window_pairs(
     cand = (
         interior_pairs.unionByName(tail_pairs)
         # a pair can surface from several bands — dedup BEFORE paying the
-        # exact verification
-        .distinct()
+        # exact verification. The dedup shuffle is pinned at num_chunks
+        # partitions (hash on the pair key; dropDuplicates then needs no
+        # second exchange) instead of `.distinct()`: the candidate rows are
+        # two longs each, so AQE's byte-targeted coalescing folds them into
+        # one or two partitions and the interpreted cosine folds of the
+        # verify stage — the most expensive per-row work in the operator —
+        # would run nearly serially. An explicit width keyed to the shuffle
+        # setting scales with the session like every other exchange here.
+        .repartition(num_chunks, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
+    # Precompute each vector's norm ONCE on the corpus side of the joins (n
+    # sqrt-folds) instead of inside cosine_similarity per candidate pair.
+    # The inline form costs 5 interpreted 64-element folds per pair — dots
+    # plus both norms, with the norms appearing twice (the zero-denominator
+    # guard AND the division) — and a downstream ``cosine >= t`` filter gets
+    # pushed into the join condition, re-evaluating the whole expression a
+    # second time for surviving rows (10 folds/pair total). With norms as
+    # plain join-carried columns only the dots fold remains per evaluation.
+    # Bit-exact: denom is the same sqrt(fold(a·a)) * sqrt(fold(b·b)) doubles
+    # in the same order, just materialized per vector instead of per pair.
     va = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
     vb = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
     )
+    denom = F.col("__na") * F.col("__nb")
     verified = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -334,7 +357,11 @@ def lsh_band_window_pairs(
             "id_a",
             "id_b",
             F.round(
-                cosine_similarity(F.col("__va"), F.col("__vb")), 6
+                F.when(
+                    denom != 0,
+                    _dots(F.col("__va"), F.col("__vb")) / denom,
+                ),
+                6,
             ).alias("cosine"),
         )
     )

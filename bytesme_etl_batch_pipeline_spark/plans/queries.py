@@ -9571,7 +9571,12 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import _dots, _norm, lsh_signature
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # _cpu_spread, not load_table: the exact side scores |queries|·|corpus|
+    # pairs with interpreted array folds in the MAP stage of this scan, and
+    # the local single-row-group file is a one-task scan — the whole
+    # eval-batch fold ran serially (guide §2: one huge partition = one busy
+    # core). No-op at scale where the scan has natural splits.
+    e = _cpu_spread(spark, sf_dir, "embeddings")
     # Precompute each vector's norm ONCE inside the checkpoint (same
     # double as folding it per pair — sqrt∘fold is deterministic — so the
     # 1e-6-rounded scores are bit-identical): the exact side scores
@@ -9946,21 +9951,34 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the margin math is unchanged."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import cosine_similarity
+    from ..operators.similarity import _dots, _norm
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # _cpu_spread: the A×B scoring below is interpreted-fold map work over
+    # this scan, and the local single-row-group file is a one-task scan.
+    e = _cpu_spread(spark, sf_dir, "embeddings")
+    # Per-SIDE norms once (|A| + |B| sqrt-folds) instead of inside
+    # cosine_similarity per pair (which re-folds both norms twice per pair —
+    # 5 folds/pair on the O(|A|·|B|) stage). Bit-exact: same sqrt∘fold
+    # doubles, same when(denom != 0) guard, just materialized per vector.
     a = e.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
     )
     b = e.filter(F.col("label") == 1).select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
     )
+    denom = F.col("na") * F.col("nb")
     scored = (
         a.crossJoin(F.broadcast(b))
         .select(
             "a_id",
             "b_id",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("c"),
+            F.round(
+                F.when(denom != 0, _dots(F.col("va"), F.col("vb")) / denom), 6
+            ).alias("c"),
         )
         .localCheckpoint(eager=True)  # three ranking branches reuse it
     )

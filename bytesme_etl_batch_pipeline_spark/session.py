@@ -69,6 +69,24 @@ def get_spark(
         # re-shuffle per round anyway, so the cached partitioning is not a
         # co-location contract anywhere in this engine.
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # InferFiltersFromGenerate synthesizes `size(child) > 0 AND
+        # isnotnull(child)` ahead of every non-outer explode and predicate
+        # pushdown then inlines the generator's WHOLE child expression into
+        # that filter (twice — once per conjunct). For this engine's
+        # explodes the child is always a COMPUTED array (shingle sets,
+        # quantization codes, LSH bands — higher-order functions that run
+        # interpreted, outside codegen), so the "optimization" re-evaluates
+        # the most expensive expression in the query 2× per input row and,
+        # where the lambda references per-row aggregates like array_min/max,
+        # expands them per ELEMENT (measured 5.8× on
+        # embedding_quantize_int8 at sf0.1). The inferred filter can never
+        # change results (a non-outer Generate drops empty/NULL rows by
+        # itself) and never reaches the parquet scan here (the arrays are
+        # not stored columns), so exclusion is pure win at every scale.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -35,6 +35,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
     confs; setting them is idempotent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Perf, not correctness (see session.py for the full rationale): the
+    # inferred pre-Generate filter re-evaluates every computed explode
+    # child 2× per row; results are identical with the rule off, so a
+    # driver-built session should run the catalog with the same plans the
+    # engine session does.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     # Driver testdata stores events.ts as Parquet TIMESTAMP with
     # isAdjustedToUTC=false; Spark 4 would surface that as TIMESTAMP_NTZ,
     # which unix_micros()/window() TIMESTAMP-typed code paths reject. Read it
