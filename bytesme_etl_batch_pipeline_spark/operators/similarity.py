@@ -242,7 +242,16 @@ def lsh_band_window_pairs(
     )
     exploded = base.select(
         "__id", F.posexplode(bands).alias("__band", "__bval")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ eager: repartitionByRange runs a SAMPLING job over its child to
+    # pick range boundaries, then the real exchange computes the child
+    # AGAIN — without materialization the n_planes interpreted hyperplane
+    # folds per row (the most expensive map work in this operator) run
+    # twice per corpus row. The checkpointed rows are three longs each
+    # (id, band, bval) — the guide-§8 "decide with small rows" proxy — so
+    # materializing once is the scale-correct trade at any corpus size.
+    # Exactness is boundary-agnostic (the two-pass window proof holds for
+    # ANY chunking), so pinning sampled boundaries changes nothing.
     if num_chunks is None:
         try:
             num_chunks = int(
