@@ -27,12 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrays import lit_doubles
+
 
 def _sq_l2(vec_col, centroid: list[float]):
     """Squared L2 between an array<double> column and a literal centroid,
     folded in ascending index order (same accumulation contract as the
     cosine/oracle fold in plans/queries.py)."""
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    lit_c = lit_doubles(centroid)
     return F.aggregate(
         F.zip_with(vec_col, lit_c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrays import lit_doubles, lit_doubles_2d
 from .ml import kmeans
 
 
@@ -173,7 +174,7 @@ def train_pq(
 
 
 def _sq_l2_lit(vec_expr, centroid: list[float]):
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    lit_c = lit_doubles(centroid)
     return F.aggregate(
         F.zip_with(vec_expr, lit_c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -354,9 +355,7 @@ def pq_adc_topk(
         lut.append(
             [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
         )
-    lut_lit = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in lut]
-    )
+    lut_lit = lit_doubles_2d(lut)
     return (
         encoded.select(F.col(id_col), _adc_dist(lut_lit, m).alias("adc_dist"))
         .filter(F.col("adc_dist").isNotNull())
@@ -396,9 +395,7 @@ def _residual(vec_col, coarse: list[list[float]], cell_col: str = "cell"):
     For coarse tables past ``similarity.IVF_EXPRESSION_MAX_K`` use
     ``_assign_and_residual_pandas`` — this literal form embeds k×dim plan
     nodes."""
-    coarse_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
-    )
+    coarse_lit = lit_doubles_2d(coarse)
     own = F.element_at(coarse_lit, F.col(cell_col) + 1)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return F.zip_with(v, own, lambda x, c: x - c)

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrays import lit_doubles, lit_doubles_2d
 from .textops import md5_hash48
 
 
@@ -152,12 +153,25 @@ def lsh_signature(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -
     (its dot products are all or partially NULL, so every ``when`` would
     fall through) — gets a NULL signature: mapping corrupt vectors to 0
     would pile them into bucket 0 and let them survive Hamming pruning
-    near signature 0."""
-    sig = F.lit(0).cast("long")
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, j, seed)])
-        bit = F.when(_dots(vec_col, plane) > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sig = sig + bit
+    near signature 0.
+
+    Built as ONE transform over a 2-D plane literal + ONE sum fold rather
+    than n_planes independent dot/when chains: per-plane arithmetic and the
+    bit weights are identical (2^j from the element index), but plan
+    construction drops from ~3·n_planes higher-order-function round trips
+    (~0.7 s at n_planes=16 — half this operator's sf0.1 build wall) to 3."""
+    planes = lit_doubles_2d([_hyperplane(dim, j, seed) for j in range(n_planes)])
+    weights = F.expr(
+        "array(" + ",".join(str(2**j) + "L" for j in range(n_planes)) + ")"
+    )
+    bits = F.zip_with(
+        planes,
+        weights,
+        lambda p, w: F.when(_dots(vec_col, p) > 0, w).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
     valid = (
         vec_col.isNotNull()
         & ~F.exists(vec_col, lambda x: x.isNull())
@@ -431,11 +445,12 @@ def ivf_assign(
     # Linear expression tree: one distances array + argmin. (A chained
     # when(d < best).otherwise(best) fold embeds the running best twice per
     # step — O(2^k) Catalyst nodes, which hangs analysis for k ≳ 20.)
-    dists = F.array(
-        *[
-            l2_distance(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-            for c in centroids
-        ]
+    # One transform over the 2-D centroid literal instead of k independent
+    # zip_with/aggregate chains: same per-centroid arithmetic in the same
+    # order, k× fewer higher-order-function construction round trips.
+    dists = F.transform(
+        lit_doubles_2d([[float(x) for x in c] for c in centroids]),
+        lambda c: l2_distance(F.col(vec_col), c),
     )
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return vectors.withColumn(out_col, cell)

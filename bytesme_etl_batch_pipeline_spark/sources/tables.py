@@ -52,6 +52,26 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+# Session-scoped scan memo: (applicationId, sf_dir, table) → lazy scan
+# DataFrame + its scan partition count (filled on first need). A bare
+# ``spark.read.parquet`` re-reads the footer and re-lists the path on
+# EVERY call (~0.13 s driver-side here; minutes against large object-store
+# tables) even though the result is a pure metadata artifact — the same
+# repeated-listing cost guide §6 caches with
+# ``filesourcePartitionFileCacheSize`` for catalog tables. Caching the
+# LAZY plan changes no results: every action still scans the parquet
+# bytes; what is reused is the file listing + schema, exactly what a table
+# catalog persists. Keyed by applicationId so a new session never sees a
+# stale entry; within a session the testdata directory is immutable (the
+# same assumption one DataFrame reused across two actions already makes).
+_SCAN_MEMO: dict[tuple[str, str, str], tuple[DataFrame, int | None]] = {}
+
+
+def _clear_scan_memo() -> None:
+    """Test hook: drop memoized scans (e.g. after rewriting a fixture)."""
+    _SCAN_MEMO.clear()
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -80,11 +100,22 @@ def load_table(
     DuckDB's TZ-naive reading.
     """
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = repair_event_ts(df)
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    hit = _SCAN_MEMO.get(key)
+    if hit is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = repair_event_ts(df)
+        hit = (df, None)
+        _SCAN_MEMO[key] = hit
+    df, nparts = hit
+    if min_parallelism:
+        if nparts is None:
+            # df.rdd forces a full analysis pass (~0.1 s); compute once
+            nparts = df.rdd.getNumPartitions()
+            _SCAN_MEMO[key] = (df, nparts)
+        if nparts < min_parallelism:
+            df = df.repartition(min_parallelism)
     return df
 
 

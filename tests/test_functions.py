@@ -460,3 +460,34 @@ def test_salted_join_handles_map_columns(spark):
         (r["k"], r["name"]) for r in salted_join(skewed, dim, on="k").collect()
     )
     assert got == [(1, "one"), (1, "one"), (2, "two")]
+
+
+def test_lit_doubles_bit_identical_to_elementwise_fold(spark):
+    """The one-call SQL-string literal path must reproduce the element-wise
+    F.array(F.lit(...)) values BIT-exactly (repr is shortest-round-trip and
+    JVM decimal parsing is correctly rounded), including negative zero and
+    denormal/extreme magnitudes; non-finite values must fall back to the
+    element-wise form rather than failing the SQL parse."""
+    import math
+
+    from bytesme_etl_batch_pipeline_spark.functions.arrays import (
+        lit_doubles,
+        lit_doubles_2d,
+    )
+
+    vals = [0.1, -0.0, 1e-308, 1.7976931348623157e308, 2.0 / 3.0, -1.25e-7]
+    df = spark.range(1).select(
+        lit_doubles(vals).alias("fast"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("ref"),
+        lit_doubles_2d([vals, vals[::-1]]).alias("fast2d"),
+        lit_doubles([1.0, float("inf"), float("nan")]).alias("fallback"),
+    )
+    row = df.first()
+    import struct
+
+    as_bits = lambda xs: [struct.pack("<d", x) for x in xs]
+    assert as_bits(row["fast"]) == as_bits(row["ref"])
+    assert as_bits(row["fast2d"][0]) == as_bits(vals)
+    assert as_bits(row["fast2d"][1]) == as_bits(vals[::-1])
+    assert row["fallback"][0] == 1.0 and math.isinf(row["fallback"][1])
+    assert math.isnan(row["fallback"][2])
