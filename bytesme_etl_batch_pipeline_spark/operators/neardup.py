@@ -129,27 +129,26 @@ def minhash_signatures(
     """MinHash signature rows (doc, seed, minhash): for each seed, the min
     over shingles of hash48(seed || '|' || shingle).
 
-    Hash the distinct-shingle DICTIONARY, not the occurrences: corpora repeat
-    shingles heavily, so hashing each distinct shingle once (dict ≪
-    occurrences) and broadcast-joining back turns ~|occurrences|·k hash calls
-    into ~|dict|·k — at sf0.1 that is 6M → 100k md5s. At 100 TB the dict may
-    outgrow a broadcast; the same plan with a shuffle join keeps the
-    hash-once property."""
+    Hashes are computed per (doc, shingle) occurrence directly inside the
+    aggregation: k md5s per row map-side, partial aggregation shrinks the
+    shuffle to ~|docs| rows, ONE pass over the corpus, zero joins. (An
+    earlier revision hashed the distinct-shingle DICTIONARY and joined it
+    back to save md5 calls — but that plan ran the expensive
+    words→ngrams→explode split TWICE (dictionary branch + occurrence
+    branch, Catalyst cannot share a distinct's child with its sibling) and
+    added a dictionary shuffle/broadcast; the split + join cost more than
+    the md5s they saved at every measured SF, and at 100 TB the second
+    corpus pass is strictly worse. min() over per-doc occurrences equals
+    min() over the dictionary, so values are bit-identical either way —
+    the DuckDB oracle is unchanged.)"""
     sh = _shingle_rows(df, id_col, text_col, shingle_n)
-    dictionary = sh.select("__shingle").distinct()
-    for i in range(num_hashes):
-        dictionary = dictionary.withColumn(
-            f"__h{i}", md5_hash48(F.concat(F.lit(f"{i}|"), F.col("__shingle")))
-        )
-    # k mins as parallel aggregate expressions — no per-seed row explosion;
-    # partial (map-side) aggregation shrinks the shuffle to ~|docs| rows.
-    # No broadcast hint: AQE broadcasts a small dictionary automatically and
-    # falls back to a shuffle join when the dict outgrows the threshold —
-    # exactly the behavior we want at 100 TB.
-    mins = (
-        sh.join(dictionary, on="__shingle")
-        .groupBy(id_col)
-        .agg(*[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)])
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                md5_hash48(F.concat(F.lit(f"{i}|"), F.col("__shingle")))
+            ).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     )
     stack_args = ", ".join(f"{i}, __h{i}" for i in range(num_hashes))
     return mins.select(

@@ -3575,7 +3575,10 @@ def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     every value of every vector against the DuckDB re-derivation."""
     from ..operators.embed import embed_column
 
-    d = load_table(spark, sf_dir, "documents")
+    # embed is the expensive (Arrow-batched) stage; spread the
+    # non-splittable local scan so it doesn't run single-task (no-op on
+    # naturally split inputs)
+    d = _cpu_spread(spark, sf_dir, "documents")
     out = d.select("doc_id", embed_column(F.col("text")).alias("e"))
     return out.select("doc_id", F.posexplode("e").alias("pos", "c")).select(
         "doc_id",
@@ -4421,7 +4424,12 @@ def q_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.template import product_document
 
     p = load_table(spark, sf_dir, "part")
-    docs = p.select(
+    # the template+embed projection is the expensive stage and part.parquet
+    # is a non-splittable single-row-group file locally — spread the scan
+    # feeding the ArrowEvalPython stage across cores (no-op at scale where
+    # the scan has natural splits); the final detail join keeps the plain
+    # scan, it is broadcast-side and cheap
+    docs = _cpu_spread(spark, sf_dir, "part").select(
         "p_partkey",
         product_document(
             name=F.col("p_name"),
