@@ -149,6 +149,22 @@ def test_floor_compare_zero_floor_not_silently_exempt(tmp_path: Path) -> None:
     assert "q_zero" not in got["flagged_over_threshold"]
 
 
+def test_floor_compare_output_names_its_input_files(tmp_path: Path) -> None:
+    """VERDICT r9 item 2: the r9-vs-r8 record used r8's best single pass
+    as the floor while reading like a min-of-3 comparison. The output
+    JSON must name exactly which files formed each side so the
+    convention is self-documenting."""
+    f = tmp_path / "floor.json"
+    c = tmp_path / "pass.json"
+    _write_detail(f, {"q": 1.0})
+    _write_detail(c, {"q": 1.1})
+    rc, out, _ = _run_floor_compare(str(c), "--floors", str(f))
+    assert rc == 0
+    got = json.loads(out)
+    assert got["pass_files"] == [str(c)]
+    assert got["floor_files"] == [str(f)]
+
+
 def test_floor_compare_empty_shared_is_an_error(tmp_path: Path) -> None:
     f = tmp_path / "floor.json"
     c = tmp_path / "pass.json"

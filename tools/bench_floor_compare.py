@@ -167,6 +167,13 @@ def main() -> int:
 
     out = {
         "n_passes": len(args.passes),
+        # VERDICT r9 item 2: the r9-vs-r8 comparison silently used r8's
+        # best single pass as the floor instead of the r8 min-of-3 fold,
+        # overstating ×0.91 for a true ×0.999. Echo the exact file lists
+        # so every emitted comparison is self-documenting about what
+        # formed each side.
+        "pass_files": list(args.passes),
+        "floor_files": list(args.floors),
         "n_shared": len(shared),
         "new_queries_excluded": new_only,
         "zero_floor": zero_floor,
