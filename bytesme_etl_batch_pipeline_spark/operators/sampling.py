@@ -238,9 +238,18 @@ def dsir_resample(
             "bucket"
         ),
     )
-    per_bucket = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cnt_raw"),
-        F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("cnt_tgt"),
+    # PERF (r10): `per_bucket` feeds BOTH `totals` and `ratio`; without
+    # materialization Catalyst replays the tokenize→explode→md5 pass (the
+    # operator's dominant cost) once per consumer. The artifact is exactly
+    # ``n_buckets`` rows, so the eager checkpoint is free at any corpus
+    # size and the token stream is scanned once to build it.
+    per_bucket = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_raw"),
+            F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("cnt_tgt"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = per_bucket.agg(
         F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")

@@ -6614,13 +6614,26 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey").isNotNull()
     )
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_baskets = items.select("l_orderkey").distinct().count()
-    item_cnt = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_item")
+    # PERF (r10): ONE lineitem scan + one orderkey shuffle builds the
+    # basket table; every other input the rule math needs is derived from
+    # it. Before, three independent subtrees each re-scanned lineitem and
+    # paid their own distinct/agg shuffle: the n_baskets count action, the
+    # item_cnt distinct+groupBy, and the basket collect_set. Equivalences:
+    # collect_set de-dups within a basket, so |baskets| == count(DISTINCT
+    # l_orderkey) and explode(ps) == DISTINCT (orderkey, partkey) rows;
+    # collect_set drops NULL partkeys, but a NULL-partkey item_cnt row can
+    # never join `pairs` (pair parts come from the same NULL-free arrays),
+    # so the counts that reach the output are identical.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=True)
     )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    n_baskets = baskets.count()
+    item_cnt = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
     )
     s = F.col("ps")
     pair_structs = F.flatten(
@@ -9880,10 +9893,17 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("p_name"), "utf-8").alias("payload"),
     )
     ph = phash_media(media)
+    # PERF (r10): `groups` feeds THREE consumers (both band-join sides of
+    # the Hamming pair stage via `reps`, plus the final observability
+    # join), and its upstream — the 64-md5-per-row phash projection — is
+    # the query's dominant cost; without materialization Catalyst replays
+    # that scan+phash+groupBy subtree once per consumer (3 parquet scans
+    # in the before-plan). The artifact is one short row per DISTINCT
+    # hash, so the checkpoint is dictionary-sized at any corpus size.
     groups = ph.groupBy("phash").agg(
         F.min("media_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("n_members"),
-    )
+    ).localCheckpoint(eager=True)
     reps = groups.select(F.col("canonical_id").alias("media_id"), "phash")
     pairs = hamming_pairs_banded(
         reps, "media_id", "phash", max_hamming=3, n_bands=4, band_bits=16
