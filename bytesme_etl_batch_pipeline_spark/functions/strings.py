@@ -118,6 +118,12 @@ def register_parse_unit_price_udtf(spark) -> None:
 
     spark.udtf.register(
         "parse_unit_price_udtf",
+        # NOT Arrow (guide §4 measured exception): ``useArrow=True`` was
+        # A/B'd interleaved at sf0.1 and ran 3.5× SLOWER (4.49 s vs 1.27 s
+        # floor) — a generator UDTF yielding ~3 rows per eval() makes the
+        # Arrow path materialize a tiny record batch per call, so the
+        # serialization win inverts. Pickle batching amortizes better at
+        # this fan-out; revisit only for UDTFs yielding large row groups.
         udtf(ParseUnitPriceUDTF, returnType="size string, price bigint"),
     )
 

@@ -29,14 +29,26 @@ from .textops import md5_hash48, words
 
 def exact_dedup_by_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact content dedup: keep the lowest-id row per normalized-content
-    digest. One shuffle on the digest; survivors keep their full row."""
+    digest. One shuffle on the digest; survivors keep their full row.
+
+    Requires ``id_col`` to be unique per row (true for every caller — it is
+    the table PK): the survivor-ID set then identifies surviving rows by id
+    alone, so the join back is a LEFT SEMI on the bare id — the probe side
+    never computes the md5 digest and the join shuffles/sorts one id column
+    instead of (32-hex digest, id). min(id) over a digest class is an id of
+    a row IN that class, so an id can only be "its own class's survivor" —
+    membership on id alone is exactly the old (digest, id) equi-join."""
     # NULL text would make the equality join drop BOTH rows (NULL digest
     # never equals NULL); give NULLs their own content class (sentinel can't
     # collide with 32-hex md5 output).
     digest = F.coalesce(F.md5(F.lower(F.trim(F.col(text_col)))), F.lit("__NULL__"))
-    keyed = df.withColumn("__digest", digest)
-    keep = keyed.groupBy("__digest").agg(F.min(id_col).alias(id_col))
-    return keyed.join(keep, on=["__digest", id_col], how="inner").drop("__digest")
+    keep_ids = (
+        df.select(F.col(id_col), digest.alias("__digest"))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep_ids, on=[id_col], how="left_semi")
 
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:

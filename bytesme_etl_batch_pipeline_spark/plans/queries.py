@@ -6312,7 +6312,19 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = d.filter(kept)
     dd = exact_dedup_by_content(q, "text", "doc_id")
     is_eval = F.col("doc_id") % 53 == 0
-    corpus = dd.filter(~is_eval)
+    # THREE consumers need the gated+deduped corpus (decontamination's
+    # shingle explode, its id spine, and the final clean join). Without a
+    # barrier each replays the regexp quality gate AND the digest
+    # dedup subtree per branch (14 parquet scans in the before-plan).
+    # Materialize the corpus ID SPINE once — ids only, ~|unique docs| longs,
+    # the smallest artifact that pins the stage — and let every consumer be
+    # a plain scan + semi-join against it (4 scans total, ONE gate/dedup
+    # evaluation at any scale). doc_id is the table PK, so id membership
+    # selects exactly the corpus rows.
+    corpus_ids = (
+        dd.filter(~is_eval).select("doc_id").localCheckpoint(eager=True)
+    )
+    corpus = d.join(corpus_ids, on=["doc_id"], how="left_semi")
     verdicts = decontaminate_overlap(corpus, d.filter(is_eval), "doc_id", "text", n=5)
     clean = corpus.join(
         verdicts.filter(~F.col("contaminated")).select("doc_id"), "doc_id"

@@ -256,6 +256,38 @@ def test_exact_dedup_keeps_lowest_id(spark):
     assert kept == [2, 9]  # normalization (trim+lower) unifies, lowest id wins
 
 
+def test_exact_dedup_semi_join_shape_and_null_group(spark):
+    """r10 optimization contract: the survivor join-back is a LEFT SEMI on
+    the bare id (probe side computes NO digest, narrower shuffle keys);
+    NULL-text rows still form their own content class; survivors keep the
+    full row with the original column order."""
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import exact_dedup_by_content
+
+    df = spark.createDataFrame(
+        [
+            (7, "dup", "a"),
+            (3, "dup", "b"),
+            (4, None, "c"),
+            (6, None, "d"),
+            (1, "solo", "e"),
+        ],
+        ["doc_id", "text", "tag"],
+    )
+    out = exact_dedup_by_content(df, "text", "doc_id")
+    rows = {r["doc_id"]: r["tag"] for r in out.collect()}
+    # NULLs are ONE dedup group (sentinel digest), lowest id survives
+    assert rows == {3: "b", 4: "c", 1: "e"}
+    assert out.columns == ["doc_id", "text", "tag"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # exactly one md5 evaluation site (the survivor-id aggregate); the
+    # probe side must not recompute the digest. Assert on the optimized
+    # LOGICAL plan — the physical string prints an expression once per AQE
+    # stage section, so site-counting there is presentation-dependent.
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("md5") == 1, logical
+
+
 def test_simhash_close_texts_close_hashes(spark):
     from bytesme_etl_batch_pipeline_spark.operators.textops import simhash
 
