@@ -8844,13 +8844,31 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
-    offer = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("cost")
-    )
-    eu = (
-        offer.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    # Resolve the regional supplier set FIRST (supplier ⋈ nation ⋈ region,
+    # all broadcast) and semi-filter lineitem with it BEFORE the offer
+    # rollup — the rollup then aggregates and shuffles only the regional
+    # share of lineitem instead of every (part, supplier) pair (guide
+    # §2.3 filter-before-shuffle / §3.4 broadcast semi-join pre-filter).
+    # Decimal sums are exact and order-independent, so summing the same
+    # surviving rows earlier cannot change any cost value.
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    # ONE broadcast join does both the regional pre-filter and the name
+    # resolution: s_suppkey is the supplier PK, so the inner join never
+    # duplicates a lineitem row, and grouping by the functionally-dependent
+    # (s_suppkey, s_name) alongside (l_partkey, l_suppkey) yields exactly
+    # the same groups and decimal sums as grouping on the pair alone.
+    eu = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_suppkey", "s_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).alias("cost")
+        )
         .select("l_partkey", "l_suppkey", "cost", "s_suppkey", "s_name")
     )
     # per-part min as a WINDOW over the single regional frame, not an
