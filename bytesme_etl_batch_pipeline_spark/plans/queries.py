@@ -9173,16 +9173,30 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(_dec("l_quantity")).alias("sq")
+    # Pre-filter the rollup with the small%-part broadcast (guide §2.3
+    # filter-before-shuffle): a part's total ``pt`` is a sum over ONLY that
+    # part's rows, so restricting lineitem to qualifying parts before the
+    # (part, supp) rollup leaves every surviving part's sq and pt
+    # bit-identical — the old plan aggregated all parts and discarded the
+    # non-matching ones in a join afterwards.
+    shipped = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
     )
-    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("sq").alias("pt")
-    )
+    # per-part total as a WINDOW over the same rollup stream (the q2
+    # pattern): one partkey exchange replaces the agg-plus-join-back pair,
+    # and the decimal window sum is the same exact sum over the same rows
+    from pyspark.sql import Window
+
+    pt = F.sum("sq").over(Window.partitionBy("l_partkey"))
     dominant = (
-        shipped.join(totals, F.col("l_partkey") == F.col("t_partkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .filter(F.col("sq") * F.lit(2) > F.col("pt"))
+        shipped.withColumn("__pt", pt)
+        .filter(F.col("sq") * F.lit(2) > F.col("__pt"))
         .select("l_suppkey")
         .distinct()
     )
