@@ -46,6 +46,32 @@ def test_aggregation_is_partial(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_q2_q20_rollups_filter_before_aggregate(spark, sf_dir):
+    """r10 optimization contract: both TPC-H rollups must consume a
+    dim-filtered fact stream, never aggregate-then-discard. In the
+    optimized LOGICAL plan (parent printed before child) the fact-side
+    Aggregate must sit ABOVE a Join of lineitem — q2's regional broadcast
+    join, q20's part semi-join — so the rollup only sees qualifying rows."""
+    from bytesme_etl_batch_pipeline_spark.plans import queries as catalog
+
+    for name, join_marker in (
+        ("tpch_q2_min_cost_supplier", "Join Inner"),
+        ("tpch_q20_part_share_suppliers", "Join LeftSemi"),
+    ):
+        lp = (
+            catalog.SPARK_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        agg_at = lp.index("Aggregate [l_partkey")
+        assert join_marker in lp[agg_at:], (
+            f"{name}: the (l_partkey, l_suppkey) rollup no longer has the "
+            f"pre-filtering {join_marker} beneath it - the "
+            "aggregate-everything-then-discard shape regressed"
+        )
+
+
 def test_cascade_is_single_projection(spark, sf_dir):
     """C1 compiles to a map-side projection: no exchange, no UDF."""
     plan = plan_of(spark, sf_dir, "rule_cascade_classify")
