@@ -2695,20 +2695,44 @@ def q_bitext_margin_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # three ranking branches reuse it
     )
-    wa = W.partitionBy("a_id").orderBy(F.col("c").desc(), F.col("b_id"))
-    wb = W.partitionBy("b_id").orderBy(F.col("c").desc(), F.col("a_id"))
     ci = F.round(F.col("c") * 1000000).cast("long")
-    ka = (
-        cp.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= 4)
-        .groupBy("a_id")
-        .agg(F.sum(ci).alias("ksum_a"))
+    # Both per-side kNN sums in ONE window pass (r10): symmetrize the
+    # checkpointed pair list to (side, group-id, other-id) rows and rank
+    # within (side, gid) — one exchange + one sort over 2·|cp| rows
+    # replaces the two per-side window/agg chains. Rank semantics are
+    # identical per side (c DESC, other-id ASC tiebreak), the 1e-6-scaled
+    # integer sums are associative, so ksum_a/ksum_b are bit-identical to
+    # the split formulation (collected-rows equality verified at sf0.1).
+    sym = cp.select(
+        F.lit(0).alias("side"),
+        F.col("a_id").alias("gid"),
+        F.col("b_id").alias("oid"),
+        "c",
+    ).unionByName(
+        cp.select(
+            F.lit(1).alias("side"),
+            F.col("b_id").alias("gid"),
+            F.col("a_id").alias("oid"),
+            "c",
+        )
     )
-    kb = (
-        cp.withColumn("rn", F.row_number().over(wb))
+    ws = W.partitionBy("side", "gid").orderBy(F.col("c").desc(), F.col("oid"))
+    # ks feeds BOTH side filters below — checkpoint it or Catalyst replays
+    # the symmetrized window per consumer (two window passes over the
+    # corpus-sized pair list again). The artifact is ≤ 2·|ids| rows of
+    # three longs; neutral at sf0.1, strictly fewer passes at scale.
+    ks = (
+        sym.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= 4)
-        .groupBy("b_id")
-        .agg(F.sum(ci).alias("ksum_b"))
+        .groupBy("side", "gid")
+        .agg(F.sum(ci).alias("ksum"))
+        .localCheckpoint(eager=True)
+    )
+    ka = ks.filter(F.col("side") == 0).select(
+        F.col("gid").alias("a_id"), F.col("ksum").alias("ksum_a")
+    )
+    kb = ks.filter(F.col("side") == 1).select(
+        F.col("gid").alias("b_id"), F.col("ksum").alias("ksum_b")
     )
     margins = (
         cp.join(ka, "a_id")
