@@ -89,9 +89,14 @@ def build_bloom(
     ≤``max_build_partitions``·m/8 across the cluster."""
     n_bits, n_hashes = _sizing(expected_items, fpp)
     n_words = n_bits // 64
-    hashes = df.select(F.xxhash64(F.col(col)).alias("h"))
-    if hashes.rdd.getNumPartitions() > max_build_partitions:
-        hashes = hashes.coalesce(max_build_partitions)
+    # Unconditional coalesce: coalesce() only ever REDUCES partition count
+    # (above the current count it is a pass-through), so the cap needs no
+    # ``.rdd.getNumPartitions()`` probe — which under AQE materializes the
+    # upstream query stages as a separate job before the build even starts
+    # (r11; guide §1.2 — don't pay a job to learn what a no-op answers).
+    hashes = df.select(F.xxhash64(F.col(col)).alias("h")).coalesce(
+        max_build_partitions
+    )
 
     def set_bits(batches):
         bits = np.zeros(n_words, dtype=np.uint64)
@@ -219,7 +224,12 @@ def bloom_decontaminate(
         bloom_might_contain(corpus_grams, bloom, gram_col)
     )
     out = (
-        candidates.join(eval_grams, gram_col)  # exact: sheds false positives
+        # exact verification sheds false positives. LEFT SEMI (r11): the
+        # join only decides membership, so no eval columns are carried and
+        # — crucially — the eval side needs NO distinct: duplicate grams
+        # can't duplicate a semi-join match, which lets callers skip a
+        # whole dedup shuffle of the eval gram set (guide §2.4).
+        candidates.join(eval_grams.select(gram_col), gram_col, "left_semi")
         .select("doc_id")
         .distinct()
         .cache()

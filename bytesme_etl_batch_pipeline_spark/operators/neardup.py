@@ -81,6 +81,62 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int, extra: list
     )
 
 
+def blocked_shingle_commons(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass blocked shingle machinery shared by the Jaccard/containment
+    pair operators: → ``(sizes, common)`` where ``sizes`` is
+    (id_col, __sz) — distinct-shingle count per doc that HAS shingles —
+    and ``common`` is (doc_a, doc_b, n_common) within the blocking key.
+
+    The shingle projection (split → n-gram HOFs → explode) is the dominant
+    map work and Catalyst cannot share a self-join's child, so the naive
+    shape evaluates it once per join side plus once for the sizes — three
+    corpus passes. Instead the exploded rows are reduced to
+    (id, block, xxhash64(shingle)) — longs plus the small block key — and
+    eagerly ``localCheckpoint``ed ONCE (guide §8: decide with small rows;
+    §2.4: multi-consumer subtrees): the self-join probes the checkpoint on
+    the 8-byte hash instead of re-deriving and shuffling shingle STRINGS,
+    and sizes fall out of the same rows as a count per id (shingles are
+    per-doc distinct), so no third pass exists at all. Docs with zero
+    shingles drop out of ``sizes``, which is invisible downstream: every
+    consumer joins sizes only to ids that appear in ``common``, and those
+    have ≥ 1 shingle by construction.
+
+    Joining on the 64-bit hash is result-identical unless two DISTINCT
+    shingles of one block collide (p ≈ pairs²/2⁶⁵); verified exact against
+    the string-join formulation in tests and by the unchanged DuckDB
+    oracles at every gated SF.
+    """
+    cp = (
+        _shingle_rows(df, id_col, text_col, n, extra=[block_col])
+        .select(
+            F.col(id_col),
+            F.col(block_col),
+            F.xxhash64("__shingle").alias("__sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = cp.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = cp.select(
+        F.col(block_col), F.col(id_col).alias("doc_a"), F.col("__sh")
+    )
+    b = cp.select(
+        F.col(block_col), F.col(id_col).alias("doc_b"), F.col("__sh")
+    )
+    common = (
+        a.join(b, [block_col, "__sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return sizes, common
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -94,29 +150,10 @@ def ngram_jaccard_pairs(
 
     The blocking key bounds the candidate space (only same-block pairs are
     compared); at web scale the block is an LSH bucket instead of a metadata
-    column, but the verify math is identical.
+    column, but the verify math is identical. The shingle pass runs ONCE —
+    see ``blocked_shingle_commons``.
     """
-    sh = _shingle_rows(df, id_col, text_col, n, extra=[block_col])
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            on=[
-                F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
-                F.col("a.__shingle") == F.col("b.__shingle"),
-            ],
-        )
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # Shingle-set sizes straight from size(ngrams) — one row per doc, no
-    # third explode pass over the corpus.
-    sizes_src = df.withColumn("__ws", words(text_col)).select(
-        F.col(id_col), F.size(word_ngrams(F.col("__ws"), n)).alias("__sz")
-    )
+    sizes_src, common = blocked_shingle_commons(df, id_col, text_col, block_col, n)
     sizes = sizes_src.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("size_a"))
     sizes_b = sizes_src.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("size_b"))
     jac = (

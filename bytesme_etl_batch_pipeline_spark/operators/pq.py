@@ -577,19 +577,18 @@ def ivfpq_search(
     probes = sorted(range(len(coarse)), key=lambda i: (cell_d[i], i))[:n_probe]
 
     def lut_for(cell: int):
+        # one py4j call for the whole (m, k) table — the per-element F.lit
+        # form cost n_probe·m·k driver round trips per plan build (r10's
+        # lit_doubles lesson applied to the IVF-PQ LUT; bit-identical
+        # values, same driver-side float arithmetic)
         res_q = [a - b for a, b in zip(q, coarse[cell])]
         rows = []
         for j, book in enumerate(codebooks):
             qs = res_q[j * d_sub : (j + 1) * d_sub]
             rows.append(
-                F.array(
-                    *[
-                        F.lit(sum((a - b) * (a - b) for a, b in zip(qs, c)))
-                        for c in book
-                    ]
-                )
+                [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
             )
-        return F.array(*rows)
+        return lit_doubles_2d(rows)
 
     # per-probed-cell LUT selected by a when-chain (n_probe is small)
     lut = None

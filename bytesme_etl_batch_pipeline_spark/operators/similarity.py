@@ -94,9 +94,32 @@ def pairs_above_threshold(
     vec_col: str,
     block_col: str,
     threshold: float = 0.9,
+    salt_chunks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (exact verify
-    step of an LSH/IVF pipeline; never run unblocked at scale)."""
+    step of an LSH/IVF pipeline; never run unblocked at scale).
+
+    Parallelism (r11): a join keyed on the block alone has at most
+    |distinct blocks| non-empty partitions — with coarse blocks (the
+    catalog's 10 labels) the O(block²) cosine stage ran on ≤10 of 32
+    cores no matter the shuffle setting (guide §2.5: a handful of keys
+    own all the work). The probe side therefore carries a deterministic
+    salt (``pmod(xxhash64(id), S)``) and the build side replicates S
+    ways, spreading each block's pair work over S·|blocks| partitions.
+    Pair set is unchanged: each unordered pair surfaces exactly once,
+    through the a-side row's single salt. The trade is S extra copies of
+    the build side through the exchange — linear in the corpus, amortized
+    by the quadratic per-block verify whenever avg block size ≫ S; for
+    fine blocking (blocks ≫ cores) pass ``salt_chunks=1`` to skip it.
+    """
+    if salt_chunks is None:
+        try:
+            salt_chunks = int(
+                vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            salt_chunks = vectors.sparkSession.sparkContext.defaultParallelism
+    salt_chunks = max(1, salt_chunks)
     # Precompute each vector's norm ONCE (n folds) instead of per pair
     # (2·n² folds) — same arithmetic, ~3× less work on the O(n²) stage.
     with_norm = vectors.select(
@@ -106,13 +129,26 @@ def pairs_above_threshold(
     a = with_norm.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
         F.col("__blk"), F.col("__nrm").alias("n_a"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_chunks)).alias("__salt"),
     )
     b = with_norm.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
         F.col("__blk"), F.col("__nrm").alias("n_b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_chunks - 1)).cast("array<bigint>")
+        ).alias("__salt"),
     )
+    # PIN both exchanges at salt_chunks partitions: the shuffled bytes are
+    # tiny (vectors + norms), so AQE's byte-targeted coalescing folds the
+    # join back to ~1 partition — but the work here is the QUADRATIC
+    # per-block fold downstream of the exchange, invisible to the byte
+    # target (same lesson as lsh_band_window_pairs' candidate dedup, r10).
+    # An explicit width keyed to the shuffle setting scales with the
+    # session; the join reuses the pinned partitioning, adding no exchange.
+    a = a.repartition(salt_chunks, "__blk", "__salt")
+    b = b.repartition(salt_chunks, "__blk", "__salt")
     return (
-        a.join(b, "__blk")
+        a.join(b, ["__blk", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",

@@ -3907,8 +3907,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textops as T
 
     d = load_table(spark, sf_dir, "documents")
-    sim = T.simhash(d, "text", ["doc_id"], n_bits=16).join(
-        d.select("doc_id", "lang"), "doc_id"
+    # the tokenize→hash simhash pipeline is the dominant map work and the
+    # operator self-joins its input, which Catalyst evaluates once per
+    # side — materialize the (doc_id, simhash, lang) rows ONCE (r11; guide
+    # §2.4 multi-consumer subtrees / §8 decide with small rows: two longs
+    # plus a tiny lang key per doc, at any corpus size)
+    sim = (
+        T.simhash(d, "text", ["doc_id"], n_bits=16)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     return N.simhash_hamming_pairs(sim, "doc_id", "simhash", max_hamming=3, block_col="lang")
 
@@ -5260,9 +5267,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_grams = corpus.select(
         "doc_id", F.explode(word_ngrams(F.col("__ws"), 5)).alias("gram")
     )
+    # no .distinct() (r11): the Bloom build sets identical bits for
+    # duplicate grams and the verify join is LEFT SEMI — the dedup shuffle
+    # bought nothing (guide §2.4: remove shuffles outright)
     eval_grams = eval_df.select(
         F.explode(word_ngrams(F.col("__ws"), 5)).alias("gram")
-    ).distinct()
+    )
     # Filter sizing from table metadata (parquet row-count read, no gram
     # job): eval slice ≈ n_docs/53 docs × ≤64 grams/doc — an overestimate,
     # which only widens the bitset.
@@ -8522,21 +8532,15 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard misses. Same blocked pair machinery as
     ``ngram_jaccard_pairs`` (never all-pairs), both directions reported,
     threshold 0.5 either way."""
-    from ..operators.neardup import _shingle_rows
+    from ..operators.neardup import blocked_shingle_commons
 
     d = _cpu_spread(spark, sf_dir, "documents")
-    sh = _shingle_rows(d, "doc_id", "text", 2, extra=["source"])
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select("source", F.col("doc_id").alias("doc_a"), "__shingle")
-    b = sh.select("source", F.col("doc_id").alias("doc_b"), "__shingle")
-    common = (
-        a.join(b, ["source", "__shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    # one checkpointed (id, block, shingle-hash) pass feeds sizes AND both
+    # self-join sides — the naive shape re-derived the shingle projection
+    # three times (see blocked_shingle_commons)
+    sizes, common = blocked_shingle_commons(d, "doc_id", "text", "source", 2)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__sz").alias("szb"))
     ca = F.col("n_common").cast("double") / F.col("sza")
     cb = F.col("n_common").cast("double") / F.col("szb")
     return (
@@ -8774,7 +8778,11 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.similarity import ivf_assign
 
-    # assign + encode the FULL table with the sample-trained quantizers
+    # assign + encode the FULL table with the sample-trained quantizers.
+    # Measured negative (r11): _cpu_spread on this path was 1.4x SLOWER at
+    # sf0.1 — the embeddings table is small enough that the repartition
+    # shuffle + 32 Arrow worker round trips cost more than the single-task
+    # encode; the scan splits naturally at scale anyway. NOT landed.
     from ..operators.pq import _residual, pq_encode
 
     assigned = ivf_assign(em, coarse)
@@ -9954,7 +9962,16 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import phash_media
     from ..operators.neardup import hamming_pairs_banded
 
-    p = load_table(spark, sf_dir, "part")
+    # PERF (r11): the decode+hash stage ran single-task over the
+    # non-splittable local scan — one 4.9 s stage on one of 32 cores in
+    # the event-log profile. _cpu_spread parallelizes the Python boundary
+    # (guide §4.1/§2.6), a no-op where scans split naturally. A pure-
+    # expression twin of the synthetic codec (multimodal.fake_phash_expr)
+    # was measured as the alternative: ~2.3x SLOWER per core than the
+    # pandas codec loop (HOF md5 chains run interpreted, not codegen) and
+    # a tie once both are spread — kept as a documented negative result
+    # with its bit-identity test, NOT landed.
+    p = _cpu_spread(spark, sf_dir, "part")
     media = p.select(
         F.col("p_partkey").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -12029,36 +12046,51 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CATALOG_ORDER = [
-    # -- ROUND-10 ROTATION (stale-evidence refresh): the engine is
-    #    unchanged this round (round 10 is an evidence/tooling round —
-    #    sf10 sweep completion + canary-protocol hardening), so rotation
-    #    priority is purely EVIDENCE AGE. Slots 1-44 are the 44 queries
-    #    whose newest driver rows date to r02 (count-capped era, the
-    #    stalest official evidence in the catalog); slots 45-50 are the
-    #    six oldest r03 rows (doc_chunking, udtf_unit_price_explode,
-    #    repetition_signals, simhash_hamming_pairs, cdc_apply,
-    #    join_skew_report). All 50 are oracle-paired — a full-hash
-    #    window. The displaced r9 window (ANN trio, PQ sketches, r06
-    #    refresh tail) all hold fresh r09 green rows.
-    'regex_extract_battery', 'casts_battery', 'salted_counts',
-    'distinct_counts', 'train_val_test_split', 'ranking_battery',
-    'fill_forward_props', 'quantity_percentiles', 'stratified_sample_docs',
-    'grouped_string_agg', 'date_battery', 'stats_moments',
-    'trailing_hour_activity', 'left_outer_order_counts', 'grouping_sets_sales',
-    'unpivot_part_metrics', 'scalar_subquery_above_avg', 'asof_join_last_purchase',
-    'snowflake_children', 'variant_json_events', 'anomaly_events',
-    'order_lineitem_revenue', 'full_outer_nation_presence', 'winnow_fingerprints',
-    'quality_filter_chain', 'pii_redact', 'temperature_sample_mix',
-    'sequence_packing', 'zorder_layout_key', 'grouped_robust_zscore',
-    'domain_cap', 'tfidf_top_terms', 'line_dedup_docs',
-    'bloom_decontaminate', 'late_shipment_priority_counts', 'copurchase_pairs',
-    'weighted_sample_docs', 'next_day_retention', 'order_total_histogram',
-    'url_canonical_dedup', 'sql_market_share', 'percentile_quality_gate',
-    'unicode_normalize_docs', 'unigram_logprob_quality', 'doc_chunking',
-    'udtf_unit_price_explode', 'repetition_signals', 'simhash_hamming_pairs',
-    'cdc_apply', 'join_skew_report', 'embedding_pairs_ann',
-    'semantic_dedup_ann', 'bitext_margin_ann', 'embedding_pairs_blocked',
-    'minhash_lsh_candidates', 'ngram_jaccard_pairs', 'pq_adc_search',
+    # -- ROUND-11 ROTATION (VERDICT r10 item 1): the driver's r10 window
+    #    was rotated BEFORE the r10 optimization work existed, so none of
+    #    the queries r10 restructured got a driver-stamped parity row.
+    #    Slots 1-29 are therefore the union of (a) the r10-rewritten set
+    #    named in VERDICT r10 (minhash family, ANN trio, tpch q2/q20,
+    #    exact-dedup pair, llm_corpus_pipeline, basket_lift_rules,
+    #    dsir_importance_resample, media_phash_dedup, bitext pair,
+    #    embedding_quantize_int8, udtf_unit_price_explode) and (b) every
+    #    query round 11 itself touches (shingle-pair family, bloom,
+    #    streaming twins, CC-cluster pair, blocked-cosine family).
+    #    Slots 30-50 refresh the 21 stalest remaining rows (newest driver
+    #    evidence r03). All 50 are oracle-paired - a full-hash window.
+    'minhash_signatures', 'minhash_lsh_candidates', 'minhash_estimator_quality',
+    'embedding_pairs_ann', 'semantic_dedup_ann', 'bitext_margin_ann',
+    'tpch_q2_min_cost_supplier', 'tpch_q20_part_share_suppliers', 'exact_dedup_docs',
+    'llm_corpus_pipeline', 'basket_lift_rules', 'dsir_importance_resample',
+    'media_phash_dedup', 'bitext_margin_mining', 'embedding_quantize_int8',
+    'udtf_unit_price_explode', 'ngram_jaccard_pairs', 'shingle_containment_pairs',
+    'neardup_dedup_docs', 'neardup_keep_best_docs', 'contrastive_training_pairs',
+    'bloom_decontaminate', 'streaming_windowed_counts', 'streaming_session_counts',
+    'neardup_clusters', 'neardup_clusters_star', 'embedding_pairs_blocked',
+    'semantic_dedup_embeddings', 'ann_recall_report', 'ann_ivf_topk',
+    'ann_lsh_topk', 'array_ops_battery', 'content_checksums',
+    'corpus_stats', 'cumulative_new_users', 'data_quality_report',
+    'dau_wau_stickiness', 'decontaminate_ngram_overlap', 'doc_embeddings',
+    'doc_template_vi', 'equidepth_histogram', 'event_transition_matrix',
+    'funnel_conversion', 'fuzzy_name_pairs', 'heavy_hitter_tokens',
+    'intra_doc_span_dedup', 'label_centroids', 'longest_user_streaks',
+    'media_decode', 'modal_quantity_per_flag', 'regex_extract_battery',
+    'casts_battery', 'salted_counts', 'distinct_counts',
+    'train_val_test_split', 'ranking_battery', 'fill_forward_props',
+    'quantity_percentiles', 'stratified_sample_docs', 'grouped_string_agg',
+    'date_battery', 'stats_moments', 'trailing_hour_activity',
+    'left_outer_order_counts', 'grouping_sets_sales', 'unpivot_part_metrics',
+    'scalar_subquery_above_avg', 'asof_join_last_purchase', 'snowflake_children',
+    'variant_json_events', 'anomaly_events', 'order_lineitem_revenue',
+    'full_outer_nation_presence', 'winnow_fingerprints', 'quality_filter_chain',
+    'pii_redact', 'temperature_sample_mix', 'sequence_packing',
+    'zorder_layout_key', 'grouped_robust_zscore', 'domain_cap',
+    'tfidf_top_terms', 'line_dedup_docs', 'late_shipment_priority_counts',
+    'copurchase_pairs', 'weighted_sample_docs', 'next_day_retention',
+    'order_total_histogram', 'url_canonical_dedup', 'sql_market_share',
+    'percentile_quality_gate', 'unicode_normalize_docs', 'unigram_logprob_quality',
+    'doc_chunking', 'repetition_signals', 'simhash_hamming_pairs',
+    'cdc_apply', 'join_skew_report', 'pq_adc_search',
     'ivfpq_topk', 'global_shuffle_shards', 'lag_lead_deltas',
     'running_total', 'doc_fingerprint', 'stars_beta',
     'token_stats', 'ratings_exponential', 'doc_template',
@@ -12072,56 +12104,42 @@ _CATALOG_ORDER = [
     'truncate_preview', 'json_extract_events', 'tolerant_json_parse',
     'month_rollup', 'conditional_rewrite', 'membership_filter',
     'wordcount', 'zip_explode_pairs', 'cube_sales',
-    'cosine_topk', 'rollup_sales', 'exact_dedup_docs',
-    'sessionization', 'simhash16', 'llm_enrich_descriptions',
-    'minhash_signatures', 'running_distinct_event_types', 'purchase_attribution',
-    'missing_activity_days', 'tpch_q8_nation_market_share', 'inverted_token_index',
-    'copurchase_triangles', 'daily_activity_spine', 'hour_weekday_heatmap',
-    'daily_volume_anomalies', 'revenue_pareto_deciles', 'cohort_ltv_matrix',
-    'monthly_revenue_growth', 'supplier_hhi_by_type', 'orders_keyset_page',
-    'dedup_effectiveness_report', 'session_bounce_rate', 'linear_touch_attribution',
-    'order_total_reconciliation', 'returns_rate_by_brand', 'lang_id_confusion_matrix',
-    'weekly_engagement_segments', 'dup_rate_by_source', 'doc_token_entropy',
-    'size_price_correlation', 'winsorized_value_stats', 'source_token_divergence',
-    'lang_purity_by_source', 'partition_skew_report', 'token_position_bias',
-    'dow_seasonality_index', 'dup_cluster_size_distribution', 'order_interarrival_percentiles',
-    'embedding_norm_outliers', 'heaps_law_curve', 'extraction_artifact_screen',
-    'rollup_share_of_parent', 'part_skyline_pareto', 'zipf_fit_report',
-    'session_path_topk', 'revenue_gini_by_nation', 'new_vs_returning_revenue',
-    'doc_ngram_novelty', 'supplier_delivery_reliability', 'source_quality_scorecard',
-    'bpe_train_encode', 'source_overlap_estimate', 'doc_compression_screen',
-    'streaming_windowed_counts', 'tpch_q2_min_cost_supplier', 'tpch_q7_volume_shipping',
-    'tpch_q9_product_type_profit', 'tpch_q11_important_stock', 'tpch_q12_shipmode_priority',
-    'tpch_q13_customer_distribution', 'tpch_q20_part_share_suppliers', 'tpch_q21_waiting_supplier',
-    'tpch_q22_global_sales_opportunity', 'tpch_q6_forecast_revenue', 'tpch_q10_returned_items',
-    'tpch_q14_promo_share', 'tpch_q15_top_supplier', 'tpch_q17_small_qty_revenue',
-    'tpch_q18_big_orders', 'tpch_q19_disjunctive_revenue', 'llm_corpus_pipeline',
+    'cosine_topk', 'rollup_sales', 'sessionization',
+    'simhash16', 'llm_enrich_descriptions', 'running_distinct_event_types',
+    'purchase_attribution', 'missing_activity_days', 'tpch_q8_nation_market_share',
+    'inverted_token_index', 'copurchase_triangles', 'daily_activity_spine',
+    'hour_weekday_heatmap', 'daily_volume_anomalies', 'revenue_pareto_deciles',
+    'cohort_ltv_matrix', 'monthly_revenue_growth', 'supplier_hhi_by_type',
+    'orders_keyset_page', 'dedup_effectiveness_report', 'session_bounce_rate',
+    'linear_touch_attribution', 'order_total_reconciliation', 'returns_rate_by_brand',
+    'lang_id_confusion_matrix', 'weekly_engagement_segments', 'dup_rate_by_source',
+    'doc_token_entropy', 'size_price_correlation', 'winsorized_value_stats',
+    'source_token_divergence', 'lang_purity_by_source', 'partition_skew_report',
+    'token_position_bias', 'dow_seasonality_index', 'dup_cluster_size_distribution',
+    'order_interarrival_percentiles', 'embedding_norm_outliers', 'heaps_law_curve',
+    'extraction_artifact_screen', 'rollup_share_of_parent', 'part_skyline_pareto',
+    'zipf_fit_report', 'session_path_topk', 'revenue_gini_by_nation',
+    'new_vs_returning_revenue', 'doc_ngram_novelty', 'supplier_delivery_reliability',
+    'source_quality_scorecard', 'bpe_train_encode', 'source_overlap_estimate',
+    'doc_compression_screen', 'tpch_q7_volume_shipping', 'tpch_q9_product_type_profit',
+    'tpch_q11_important_stock', 'tpch_q12_shipmode_priority', 'tpch_q13_customer_distribution',
+    'tpch_q21_waiting_supplier', 'tpch_q22_global_sales_opportunity', 'tpch_q6_forecast_revenue',
+    'tpch_q10_returned_items', 'tpch_q14_promo_share', 'tpch_q15_top_supplier',
+    'tpch_q17_small_qty_revenue', 'tpch_q18_big_orders', 'tpch_q19_disjunctive_revenue',
     'kmeans_lloyd_step', 'bigram_logprob_quality', 'cms_heavy_hitters',
-    'ccnet_quality_buckets', 'boilerplate_purge_docs', 'bitext_margin_mining',
-    'media_phash_dedup', 'scd2_point_in_time', 'cuped_ab_adjusted_lift',
-    'dsir_importance_resample', 'gopher_quality_rules', 'ann_recall_report',
-    'hourly_interpolated_values', 'streaming_session_counts', 'neardup_keep_best_docs',
+    'ccnet_quality_buckets', 'boilerplate_purge_docs', 'scd2_point_in_time',
+    'cuped_ab_adjusted_lift', 'gopher_quality_rules', 'hourly_interpolated_values',
     'events_hopping_window', 'nation_dual_presence_intersect', 'part_hierarchy_rollup',
-    'benford_digit_audit', 'contrastive_training_pairs', 'event_burst_dedup',
-    'cusum_changepoint_scan', 'bigram_pmi_collocations', 'column_profile',
-    'media_frame_sample', 'basket_lift_rules', 'session_funnel',
-    'customer_rfm_scores', 'vocab_oov_rate', 'k_anonymity_report',
-    'minhash_estimator_quality', 'shingle_containment_pairs', 'purchase_linear_regression',
-    'doc_template_vi', 'decontaminate_ngram_overlap', 'neardup_dedup_docs',
-    'heavy_hitter_tokens', 'embedding_quantize_int8', 'semantic_dedup_embeddings',
-    'neardup_clusters', 'range_join_balance_tiers', 'doc_embeddings',
-    'semantic_search_pipeline', 'media_decode', 'approx_percentiles',
-    'approx_distinct_counts', 'ann_lsh_topk', 'ann_ivf_topk',
-    'rule_cascade_classify', 'array_ops_battery', 'data_quality_report',
-    'funnel_conversion', 'pivot_event_counts', 'corpus_stats',
-    'scd2_history', 'snapshot_diff_orders', 'content_checksums',
-    'per_group_sample_docs', 'equidepth_histogram', 'token_bigram_counts',
-    'multires_rollup', 'cumulative_new_users', 'rolling_7d_active_users',
-    'tpch_q3_shipping_priority', 'tpch_q5_local_supplier', 'fuzzy_name_pairs',
-    'neardup_clusters_star', 'longest_user_streaks', 'part_supplier_variety',
-    'modal_quantity_per_flag', 'top_tokens_per_lang', 'event_transition_matrix',
-    'weekly_cohort_retention', 'label_centroids', 'dau_wau_stickiness',
-    'intra_doc_span_dedup',
+    'benford_digit_audit', 'event_burst_dedup', 'cusum_changepoint_scan',
+    'bigram_pmi_collocations', 'column_profile', 'media_frame_sample',
+    'session_funnel', 'customer_rfm_scores', 'vocab_oov_rate',
+    'k_anonymity_report', 'purchase_linear_regression', 'range_join_balance_tiers',
+    'semantic_search_pipeline', 'approx_percentiles', 'approx_distinct_counts',
+    'rule_cascade_classify', 'pivot_event_counts', 'scd2_history',
+    'snapshot_diff_orders', 'per_group_sample_docs', 'token_bigram_counts',
+    'multires_rollup', 'rolling_7d_active_users', 'tpch_q3_shipping_priority',
+    'tpch_q5_local_supplier', 'part_supplier_variety', 'top_tokens_per_lang',
+    'weekly_cohort_retention',
 ]
 
 

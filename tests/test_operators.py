@@ -285,7 +285,10 @@ def test_exact_dedup_semi_join_shape_and_null_group(spark):
     # LOGICAL plan — the physical string prints an expression once per AQE
     # stage section, so site-counting there is presentation-dependent.
     logical = out._jdf.queryExecution().optimizedPlan().toString()
-    assert logical.count("md5") == 1, logical
+    # count the FUNCTION APPLICATION, not the bare substring (ADVICE r10:
+    # a future column/alias merely named *md5* must not break the
+    # single-evaluation-site check)
+    assert logical.count("md5(") == 1, logical
 
 
 def test_simhash_close_texts_close_hashes(spark):
@@ -1116,3 +1119,90 @@ def test_boilerplate_removal_null_source_keeps_text(spark):
     assert got[1]["n_kept"] == 2 and got[1]["n_dropped"] == 0
     assert got[1]["clean_text"].startswith("unique words")
     assert got[2]["n_kept"] == 1
+
+
+def test_fake_phash_expr_matches_python_codec(spark):
+    """The pure-expression FakeCodec twin (r11: removes the Python boundary
+    from the media dedup query) must be BIT-IDENTICAL to
+    phash_media(FakeCodec) on every payload class: md5-expanded payloads of
+    assorted lengths, the raw-grid 64-byte branch, empty payloads, and the
+    NULL-id/NULL-payload dead-letter drops. Also pins single evaluation:
+    the 64-md5 pixel projection must appear once in the optimized plan,
+    not be inlined per bit term."""
+    import random
+
+    from bytesme_etl_batch_pipeline_spark.operators.multimodal import (
+        phash_media,
+        phash_media_expr,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        n = rng.choice([0, 1, 5, 17, 63, 64, 65, 100])
+        rows.append((i, "image", bytes(rng.randrange(256) for _ in range(n))))
+    rows.append((100, "image", None))  # dead-letter: NULL payload
+    rows.append((None, "image", b"x"))  # dead-letter: NULL id
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    a = {r.media_id: r.phash for r in phash_media(media).collect()}
+    b = {r.media_id: r.phash for r in phash_media_expr(media).collect()}
+    assert a == b and len(a) == 60
+    # single-evaluation guard: one md5-per-pixel chain (64 calls) plus the
+    # seed hash — NOT 64x64 from Catalyst inlining the pixel array into
+    # each bit term of the mean comparison
+    plan = (
+        phash_media_expr(media)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5(") <= 130, plan.count("md5(")
+
+
+def test_blocked_shingle_commons_matches_string_join(spark):
+    """r11 rewrite guard: the one-pass hashed-shingle machinery must emit
+    the same pair counts and sizes as the naive string self-join on mixed
+    input (dups, near-dups, empty text, NULL text, short docs)."""
+    from bytesme_etl_batch_pipeline_spark.operators.neardup import (
+        _shingle_rows,
+        blocked_shingle_commons,
+    )
+
+    rows = [
+        (1, "s1", "the quick brown fox jumps over the lazy dog"),
+        (2, "s1", "the quick brown fox jumps over a lazy dog"),
+        (3, "s1", "completely different text body here now"),
+        (4, "s2", "the quick brown fox jumps over the lazy dog"),
+        (5, "s1", ""),
+        (6, "s1", None),
+        (7, "s1", "one"),
+        (8, "s1", "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sizes, common = blocked_shingle_commons(df, "doc_id", "text", "source", 2)
+    got_sizes = {r.doc_id: r["__sz"] for r in sizes.collect()}
+    got_common = {(r.doc_a, r.doc_b): r.n_common for r in common.collect()}
+
+    sh = _shingle_rows(df, "doc_id", "text", 2, extra=["source"])
+    want_sizes = {
+        r.doc_id: r.sz
+        for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).collect()
+    }
+    a = sh.select("source", F.col("doc_id").alias("doc_a"), "__shingle")
+    b = sh.select("source", F.col("doc_id").alias("doc_b"), "__shingle")
+    want_common = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in (
+            a.join(b, ["source", "__shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        ).collect()
+    }
+    assert got_sizes == want_sizes
+    assert got_common == want_common
+    # docs 1/8 are exact dups in one block; 4 is blocked away from them
+    assert got_common[(1, 8)] == got_sizes[1]
+    assert (1, 4) not in got_common

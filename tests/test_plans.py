@@ -183,15 +183,14 @@ def test_catalog_plan_lint(spark, sf_dir):
 
 def test_driver_window_holds_rotation_priority():
     """The driver records correctness rows for the FIRST 50 catalog
-    entries. Round 10's window: the engine is unchanged this round
-    (evidence/tooling round — sf10 sweep completion, canary hardening),
-    so rotation priority is purely EVIDENCE AGE: slots 1-44 are the 44
-    queries whose newest driver rows date to r02 (the count-capped era
-    — the stalest official evidence in the catalog), slots 45-50 the six
-    oldest r03 rows. All 50 are oracle-paired — a full-hash window. The
-    displaced r9 window (ANN trio, PQ sketches, r06 refresh tail) all
-    hold fresh r09 green rows. _apply_catalog_order puts UNLISTED
-    registrations at the very front — so (a) the window is bit-for-bit
+    entries. Round 11's window (VERDICT r10 item 1): the r10 window was
+    rotated before the r10 optimization work existed, so the queries r10
+    restructured never got a driver-stamped parity row. Slots 1-29 are
+    the union of the r10-rewritten set named in VERDICT r10 and every
+    query round 11 itself touches; slots 30-50 refresh the 21 stalest
+    remaining rows (newest driver evidence r03). All 50 are oracle-paired
+    - a full-hash window. _apply_catalog_order puts UNLISTED
+    registrations at the very front - so (a) the window is bit-for-bit
     the planned rotation, and (b) every registered query MUST be
     explicitly pinned in _CATALOG_ORDER (an unlisted one would evict the
     window tail silently)."""
@@ -206,38 +205,40 @@ def test_driver_window_holds_rotation_priority():
         f"{sorted(set(SPARK_QUERIES) - set(_CATALOG_ORDER))}; stale: "
         f"{sorted(set(_CATALOG_ORDER) - set(SPARK_QUERIES))}"
     )
-    r10_window = [
-        # slots 1-44: newest driver rows r02 (count-capped era)
-        "regex_extract_battery", "casts_battery", "salted_counts",
-        "distinct_counts", "train_val_test_split", "ranking_battery",
-        "fill_forward_props", "quantity_percentiles",
-        "stratified_sample_docs", "grouped_string_agg", "date_battery",
-        "stats_moments", "trailing_hour_activity",
-        "left_outer_order_counts", "grouping_sets_sales",
-        "unpivot_part_metrics", "scalar_subquery_above_avg",
-        "asof_join_last_purchase", "snowflake_children",
-        "variant_json_events", "anomaly_events", "order_lineitem_revenue",
-        "full_outer_nation_presence", "winnow_fingerprints",
-        "quality_filter_chain", "pii_redact", "temperature_sample_mix",
-        "sequence_packing", "zorder_layout_key", "grouped_robust_zscore",
-        "domain_cap", "tfidf_top_terms", "line_dedup_docs",
-        "bloom_decontaminate", "late_shipment_priority_counts",
-        "copurchase_pairs", "weighted_sample_docs", "next_day_retention",
-        "order_total_histogram", "url_canonical_dedup", "sql_market_share",
-        "percentile_quality_gate", "unicode_normalize_docs",
-        "unigram_logprob_quality",
-        # slots 45-50: the six oldest r03 rows
-        "doc_chunking", "udtf_unit_price_explode", "repetition_signals",
-        "simhash_hamming_pairs", "cdc_apply", "join_skew_report",
+    r11_window = [
+        # slots 1-29: r10-rewritten (VERDICT r10 item 1) + r11-touched
+        "minhash_signatures", "minhash_lsh_candidates",
+        "minhash_estimator_quality", "embedding_pairs_ann",
+        "semantic_dedup_ann", "bitext_margin_ann",
+        "tpch_q2_min_cost_supplier", "tpch_q20_part_share_suppliers",
+        "exact_dedup_docs", "llm_corpus_pipeline", "basket_lift_rules",
+        "dsir_importance_resample", "media_phash_dedup",
+        "bitext_margin_mining", "embedding_quantize_int8",
+        "udtf_unit_price_explode", "ngram_jaccard_pairs",
+        "shingle_containment_pairs", "neardup_dedup_docs",
+        "neardup_keep_best_docs", "contrastive_training_pairs",
+        "bloom_decontaminate", "streaming_windowed_counts",
+        "streaming_session_counts", "neardup_clusters",
+        "neardup_clusters_star", "embedding_pairs_blocked",
+        "semantic_dedup_embeddings", "ann_recall_report",
+        # slots 30-50: stalest remaining driver rows (r03 era)
+        "ann_ivf_topk", "ann_lsh_topk", "array_ops_battery",
+        "content_checksums", "corpus_stats", "cumulative_new_users",
+        "data_quality_report", "dau_wau_stickiness",
+        "decontaminate_ngram_overlap", "doc_embeddings", "doc_template_vi",
+        "equidepth_histogram", "event_transition_matrix",
+        "funnel_conversion", "fuzzy_name_pairs", "heavy_hitter_tokens",
+        "intra_doc_span_dedup", "label_centroids", "longest_user_streaks",
+        "media_decode", "modal_quantity_per_flag",
     ]
-    assert len(r10_window) == 50
+    assert len(r11_window) == 50
     first50 = list(SPARK_QUERIES)[:50]
-    assert first50 == r10_window, (
-        "driver window drifted from the planned r10 rotation: "
-        f"{[n for n in r10_window if n not in first50]} fell out; "
-        f"{[n for n in first50 if n not in r10_window]} crept in"
+    assert first50 == r11_window, (
+        "driver window drifted from the planned r11 rotation: "
+        f"{[n for n in r11_window if n not in first50]} fell out; "
+        f"{[n for n in first50 if n not in r11_window]} crept in"
     )
-    # every r10 window entry carries the hard signal (oracle pair)
+    # every r11 window entry carries the hard signal (oracle pair)
     no_oracle = [n for n in first50 if n not in ORACLE_SQL]
     assert no_oracle == []
 
