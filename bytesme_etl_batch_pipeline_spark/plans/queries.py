@@ -59,6 +59,26 @@ def _cpu_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def _pin_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition on ``keys`` at the session's shuffle width, PINNING the
+    exchange against AQE's byte-target coalescing (r11). For shuffles
+    whose DOWNSTREAM per-row work is super-linear in the shuffled bytes —
+    basket pair explodes, melt+exact-distinct stacks — the post-shuffle
+    rows are tiny, so AQE folds the compute stage to 1-4 partitions and
+    the fan-out work runs nearly serial (measured: copurchase's pair
+    stage at 4 of 32 cores). A user repartition is exempt from AQE
+    coalescing, and the following groupBy on the same keys reuses the
+    partitioning, so no extra exchange is added. Width tracks
+    ``spark.sql.shuffle.partitions`` — the same session-adaptive knob as
+    every other exchange (guide §2.5/§2.6; the r10 ANN candidate-dedup
+    lesson applied to the aggregation sites)."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 _LSH_EDGES_MEMO: dict = {}
 
 
@@ -1853,6 +1873,12 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(_PROFILE_COLS),
         ", ".join(f"'{c}', cast({c} as string)" for c in _PROFILE_COLS),
     )
+    # Examined, NOT pinned (r11): a _pin_width repartition ahead of the
+    # distinct agg was measured 1.6x SLOWER — it exchanges the RAW 11x
+    # melt rows where the unpinned plan exchanges map-side PARTIALLY
+    # DEDUPED (column_name, value) pairs; losing partial aggregation
+    # costs more than the AQE-narrowed reduce stage (guide §2.3
+    # aggregate-before-shuffle beats stage-width here).
     return (
         li.select(F.expr(stack_expr))
         .groupBy("column_name")
@@ -5264,7 +5290,15 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ws = d.withColumn("__ws", words("text"))
     corpus = with_ws.filter(~is_eval)
     eval_df = with_ws.filter(is_eval)
-    corpus_grams = corpus.select(
+    # spread ONLY the corpus-gram branch (r11): its explode + Bloom probe
+    # ran as one 0.55 s single-task stage over the non-splittable local
+    # scan. Spreading the TABLE (_cpu_spread on d) was measured 2x
+    # SLOWER — every consumer branch (eval grams, final anti-join) then
+    # re-pays the repartition shuffle of the full text column; one
+    # round-robin exchange of just the corpus docs feeds the probe stage.
+    corpus_grams = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id", F.explode(word_ngrams(F.col("__ws"), 5)).alias("gram")
     )
     # no .distinct() (r11): the Bloom build sets identical bits for
@@ -5348,8 +5382,11 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # One shuffle on the order key builds each basket; pairs expand INSIDE
     # the array expression (map-side after the agg) instead of a self-join —
-    # two exchanges total instead of the join shape's ~9.
-    baskets = li.groupBy("l_orderkey").agg(
+    # two exchanges total instead of the join shape's ~9. The exchange is
+    # width-pinned (r11): basket rows are tiny, so AQE coalesced the
+    # agg+pair-explode stage to 4 partitions while the explode's quadratic
+    # fan-out is where the query's work lives (see _pin_width).
+    baskets = _pin_width(li, "l_orderkey").groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
     s = F.col("ps")
@@ -6671,7 +6708,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never join `pairs` (pair parts come from the same NULL-free arrays),
     # so the counts that reach the output are identical.
     baskets = (
-        li.groupBy("l_orderkey")
+        # width-pinned (r11): the pair explode downstream of the
+        # checkpoint is the quadratic work; AQE otherwise coalesces the
+        # basket agg (and so the checkpoint's partitioning) to ~4
+        _pin_width(li, "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint(eager=True)
     )
@@ -7236,7 +7277,10 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge self-join SQL at small SF. Also reports the global clustering
     coefficient (3·triangles / open wedges)."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
+    # width-pinned basket exchange (r11): the pair explode below is the
+    # query's quadratic work and AQE's byte target otherwise folds the
+    # agg+explode stage to ~4 partitions (see _pin_width)
+    baskets = _pin_width(li, "l_orderkey").groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
     s = F.col("ps")

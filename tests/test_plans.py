@@ -64,8 +64,25 @@ def test_q2_q20_rollups_filter_before_aggregate(spark, sf_dir):
             .optimizedPlan()
             .toString()
         )
-        agg_at = lp.index("Aggregate [l_partkey")
-        assert join_marker in lp[agg_at:], (
+        # anchor on the Aggregate's CHILD SUBTREE via tree indentation
+        # (ADVICE r10: a flat substring-after-index scan also matches
+        # sibling subtrees of ancestor joins printed after the Aggregate,
+        # so a regressed aggregate-then-discard shape could false-pass)
+        lines = lp.splitlines()
+
+        def _prefix(line: str) -> int:
+            return len(line) - len(line.lstrip(" :+-"))
+
+        agg_i = next(
+            i for i, l in enumerate(lines) if "Aggregate [l_partkey" in l
+        )
+        base = _prefix(lines[agg_i])
+        subtree = []
+        for l in lines[agg_i + 1:]:
+            if _prefix(l) <= base:
+                break
+            subtree.append(l)
+        assert join_marker in "\n".join(subtree), (
             f"{name}: the (l_partkey, l_suppkey) rollup no longer has the "
             f"pre-filtering {join_marker} beneath it - the "
             "aggregate-everything-then-discard shape regressed"
