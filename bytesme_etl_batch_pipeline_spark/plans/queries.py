@@ -12118,7 +12118,8 @@ _CATALOG_ORDER = [
     'doc_template_vi', 'equidepth_histogram', 'event_transition_matrix',
     'funnel_conversion', 'fuzzy_name_pairs', 'heavy_hitter_tokens',
     'intra_doc_span_dedup', 'label_centroids', 'longest_user_streaks',
-    'media_decode', 'modal_quantity_per_flag', 'regex_extract_battery',
+    'media_decode', 'simhash_hamming_pairs', 'modal_quantity_per_flag',
+    'regex_extract_battery',
     'casts_battery', 'salted_counts', 'distinct_counts',
     'train_val_test_split', 'ranking_battery', 'fill_forward_props',
     'quantity_percentiles', 'stratified_sample_docs', 'grouped_string_agg',
@@ -12133,7 +12134,7 @@ _CATALOG_ORDER = [
     'copurchase_pairs', 'weighted_sample_docs', 'next_day_retention',
     'order_total_histogram', 'url_canonical_dedup', 'sql_market_share',
     'percentile_quality_gate', 'unicode_normalize_docs', 'unigram_logprob_quality',
-    'doc_chunking', 'repetition_signals', 'simhash_hamming_pairs',
+    'doc_chunking', 'repetition_signals', 
     'cdc_apply', 'join_skew_report', 'pq_adc_search',
     'ivfpq_topk', 'global_shuffle_shards', 'lag_lead_deltas',
     'running_total', 'doc_fingerprint', 'stars_beta',

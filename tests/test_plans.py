@@ -246,7 +246,7 @@ def test_driver_window_holds_rotation_priority():
         "equidepth_histogram", "event_transition_matrix",
         "funnel_conversion", "fuzzy_name_pairs", "heavy_hitter_tokens",
         "intra_doc_span_dedup", "label_centroids", "longest_user_streaks",
-        "media_decode", "modal_quantity_per_flag",
+        "media_decode", "simhash_hamming_pairs",
     ]
     assert len(r11_window) == 50
     first50 = list(SPARK_QUERIES)[:50]
